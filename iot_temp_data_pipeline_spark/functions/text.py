@@ -1,0 +1,75 @@
+"""Text-analysis Column factories (beyond-reference surface).
+
+All built on native ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs in any hot path. Tokenization is a plain
+lowercase whitespace split so the DuckDB oracle can reproduce it
+byte-for-byte (``regexp_split_to_array(lower(text), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and frozen so the oracle SQL can inline
+# them. Sourced from the most frequent function words of each language.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# a cheap deterministic proxy for subword token counting.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Regex-based subword-ish token count (public BPE heuristics use a
+    similar pre-tokenization regex; no external tokenizer libs here)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*[F.lit(w) for w in words]))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    nonpunct = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total > 0, (total - nonpunct).cast("double") / total).otherwise(0.0)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct not applied).
+
+    Built with sequence+transform (all JVM-side): for token array t of
+    size s, shingle i = concat_ws(' ', t[i], …, t[i+n-1]) for
+    i ∈ [0, s-n]. Docs shorter than n tokens yield an empty array.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.filter(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+        lambda s: s != "",
+    )

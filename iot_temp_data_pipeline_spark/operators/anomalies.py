@@ -1,0 +1,191 @@
+"""Intermediate model: z-score anomaly detection over deduplicated readings.
+
+Re-expresses `dbt_transform/models/intermediate/int_temperature_anomalies.sql`
+(whole model) Spark-first:
+
+- W1 dedup: `row_number() over (partition by device_id, reading_timestamp
+  order by _dlt_id desc)` then rn=1 (sql:10-25). One shuffle on the
+  composite key; AQE skew-splitting covers hot devices at scale.
+- A1-A4 stats: global / per-device / per-location / per-environment
+  avg+stddev+count with HAVING thresholds 5/10/5 (sql:28-74). All are
+  partial+final hash aggregates (map-side combine) over the SAME
+  shuffle-free child, so Spark computes them as four independent small
+  aggregations of a cached input.
+- J1-J4 joins: the stats sides are tiny after aggregation (≤ #devices /
+  #locations / 3 rows / 1 row) → all four are explicit ``broadcast()``
+  hash joins; the 100 TB probe side never shuffles for enrichment
+  (sql:119-122).
+- P12-P14: threshold flags + greatest-of-scores (sql:129-166).
+
+Scale note (SURVEY.md §4.1): Postgres evaluates the `valid_readings` CTE
+once; Spark would recompute its lineage for each of the 5 consumers.
+``cache=True`` persists it — semantically load-bearing only for
+nondeterministic inputs, but a 5× scan saving always.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import z_score
+from ..functions.stats import exact_avg, exact_stddev
+
+ANOMALY_THRESHOLD = 3.0  # var('anomaly_threshold_multiplier'), dbt_project.yml:38
+
+
+def deduplicated_valid_readings(stg: DataFrame) -> DataFrame:
+    """W1 + validity filter (`int_temperature_anomalies.sql:10-25`)."""
+    w = Window.partitionBy("device_id", "reading_timestamp").orderBy(
+        F.col("_dlt_id").desc()
+    )
+    return (
+        stg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("is_valid_record") == True)  # noqa: E712
+            & F.col("temperature_celsius").isNotNull()
+        )
+    )
+
+
+def int_temperature_anomalies(
+    stg: DataFrame,
+    threshold: float = ANOMALY_THRESHOLD,
+    cache: bool = True,
+) -> DataFrame:
+    vr = deduplicated_valid_readings(stg)
+    if cache:
+        vr = vr.persist()
+
+    t = F.col("temperature_celsius")
+
+    # A1 global_stats (sql:28-34)
+    global_stats = vr.agg(
+        exact_avg(t).alias("global_mean_temp"),
+        # Postgres stddev ≡ stddev_samp; computed from exact integer sums
+        # for oracle bit-parity and 100 TB numerical stability (stats.py)
+        exact_stddev(t).alias("global_stddev_temp"),
+        F.count("*").alias("total_readings"),
+    )
+
+    # A2 device_stats + HAVING >= 5 (sql:37-48)
+    device_stats = (
+        vr.groupBy("device_id")
+        .agg(
+            exact_avg(t).alias("device_mean_temp"),
+            exact_stddev(t).alias("device_stddev_temp"),
+            F.count("*").alias("device_reading_count"),
+            F.min(t).alias("device_min_temp"),
+            F.max(t).alias("device_max_temp"),
+        )
+        .filter(F.col("device_reading_count") >= 5)
+    )
+
+    # A3 location_stats + HAVING >= 10 (sql:51-61)
+    location_stats = (
+        vr.filter(F.col("location").isNotNull())
+        .groupBy("location")
+        .agg(
+            exact_avg(t).alias("location_mean_temp"),
+            exact_stddev(t).alias("location_stddev_temp"),
+            F.count("*").alias("location_reading_count"),
+        )
+        .filter(F.col("location_reading_count") >= 10)
+    )
+
+    # A4 environment_stats + HAVING >= 5 (sql:64-74)
+    environment_stats = (
+        vr.filter(F.col("environment_type").isNotNull())
+        .groupBy("environment_type")
+        .agg(
+            exact_avg(t).alias("environment_mean_temp"),
+            exact_stddev(t).alias("environment_stddev_temp"),
+            F.count("*").alias("environment_reading_count"),
+        )
+        .filter(F.col("environment_reading_count") >= 5)
+    )
+
+    # J1-J4 (sql:119-122): all stats sides are small — broadcast them so the
+    # probe side stays shuffle-free regardless of input scale.
+    enriched = (
+        vr.crossJoin(F.broadcast(global_stats))
+        .join(
+            F.broadcast(
+                device_stats.select(
+                    "device_id",
+                    "device_mean_temp",
+                    "device_stddev_temp",
+                    "device_reading_count",
+                )
+            ),
+            "device_id",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                location_stats.select(
+                    "location", "location_mean_temp", "location_stddev_temp"
+                )
+            ),
+            "location",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                environment_stats.select(
+                    "environment_type",
+                    "environment_mean_temp",
+                    "environment_stddev_temp",
+                )
+            ),
+            "environment_type",
+            "left",
+        )
+    )
+
+    # P13 z-scores (sql:90-116) — note the asymmetric else-0 (global) vs
+    # else-NULL (others), preserved exactly.
+    gz = z_score(t, F.col("global_mean_temp"), F.col("global_stddev_temp"), else_null=False)
+    dz = F.when(
+        (F.col("device_stddev_temp") > 0) & (F.col("device_reading_count") >= 5),
+        F.abs(t - F.col("device_mean_temp")) / F.col("device_stddev_temp"),
+    )
+    lz = z_score(t, F.col("location_mean_temp"), F.col("location_stddev_temp"))
+    ez = z_score(t, F.col("environment_mean_temp"), F.col("environment_stddev_temp"))
+
+    scored = (
+        enriched.withColumn("global_z_score", gz)
+        .withColumn("device_z_score", dz)
+        .withColumn("location_z_score", lz)
+        .withColumn("environment_z_score", ez)
+    )
+
+    # P12 flags (sql:129-158) + P14 greatest-of-scores (sql:161-166)
+    thr = F.lit(threshold)
+    sub_thr = F.lit(threshold - 0.5)
+    flag = lambda c, lim: F.when(c > lim, F.lit(True)).otherwise(F.lit(False))  # noqa: E731
+    return (
+        scored.withColumn("is_global_anomaly", flag(F.col("global_z_score"), thr))
+        .withColumn("is_device_anomaly", flag(F.col("device_z_score"), sub_thr))
+        .withColumn("is_location_anomaly", flag(F.col("location_z_score"), sub_thr))
+        .withColumn(
+            "is_environment_anomaly", flag(F.col("environment_z_score"), sub_thr)
+        )
+        .withColumn(
+            "is_anomaly",
+            flag(F.col("global_z_score"), thr)
+            | flag(F.col("device_z_score"), sub_thr)
+            | flag(F.col("location_z_score"), sub_thr)
+            | flag(F.col("environment_z_score"), sub_thr),
+        )
+        .withColumn(
+            "anomaly_score",
+            F.greatest(
+                F.coalesce(F.col("global_z_score"), F.lit(0.0)),
+                F.coalesce(F.col("device_z_score"), F.lit(0.0)),
+                F.coalesce(F.col("location_z_score"), F.lit(0.0)),
+                F.coalesce(F.col("environment_z_score"), F.lit(0.0)),
+            ),
+        )
+    )

@@ -1,0 +1,456 @@
+"""Named query registry: every entry pairs a Spark callable
+``(spark, sf_dir) -> DataFrame`` with a DuckDB oracle SQL string.
+
+A shared column-spec layer shapes BOTH sides, so column names, order,
+types, and float rounding are identical by construction (the driver's
+compare sorts columns by name and hashes values — see
+`__spark_entry__.py` contract):
+
+  kind ""      pass through unchanged
+  kind "f4"    cast double + ROUND(…, 4)  — float aggregates whose last
+               ~4 bits may differ between engines (summation order)
+  kind "f2"    cast double + ROUND(…, 2)  — large money-style sums
+  kind "long"  cast BIGINT  — DuckDB SUM(int)=HUGEINT, Spark hour()=int,
+               both normalized to 64-bit
+  kind "str"   cast VARCHAR — dates (pandas dtype drift) and similar
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.anomalies import deduplicated_valid_readings, int_temperature_anomalies
+from ..operators.marts import (
+    anomaly_analysis,
+    device_level_stats,
+    load_level_stats,
+    location_level_stats,
+    mart_temperature_readings,
+    overall_stats,
+    pipeline_summary,
+)
+from ..operators.staging import stg_raw_temperature_readings
+from ..sources.readings import raw_readings
+from ..functions.stats import sql_exact_avg, sql_exact_stddev
+from .oracles import oracle_prelude
+
+_T_AVG = sql_exact_avg("temperature_celsius")
+_T_STD = sql_exact_stddev("temperature_celsius")
+_Q_AVG = sql_exact_avg("data_quality_score", 10)
+
+ColSpec = list[tuple[str, str]]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+
+
+def shape(df: DataFrame, spec: ColSpec) -> DataFrame:
+    cols = []
+    for name, kind in spec:
+        c = F.col(name)
+        if kind == "f4":
+            c = F.round(c.cast("double"), 4)
+        elif kind == "f2":
+            c = F.round(c.cast("double"), 2)
+        elif kind == "long":
+            c = c.cast("long")
+        elif kind == "str":
+            c = c.cast("string")
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def sql_select(spec: ColSpec, from_clause: str, tail: str = "") -> str:
+    parts = []
+    for name, kind in spec:
+        if kind == "f4":
+            parts.append(f"ROUND(CAST({name} AS DOUBLE), 4) AS {name}")
+        elif kind == "f2":
+            parts.append(f"ROUND(CAST({name} AS DOUBLE), 2) AS {name}")
+        elif kind == "long":
+            parts.append(f"CAST({name} AS BIGINT) AS {name}")
+        elif kind == "str":
+            parts.append(f"CAST({name} AS VARCHAR) AS {name}")
+        else:
+            parts.append(name)
+    return f"SELECT {', '.join(parts)} FROM {from_clause} {tail}"
+
+
+# ---------------------------------------------------------------- column specs
+
+STAGING_SPEC: ColSpec = [
+    ("record_id", ""),
+    ("device_id", ""),
+    ("reading_timestamp", ""),
+    ("temperature_celsius", ""),
+    ("location", ""),
+    ("environment_type", ""),
+    ("_dlt_load_id", ""),
+    ("_dlt_id", ""),
+    ("is_valid_record", ""),
+    ("data_quality_score", ""),
+]
+
+VALID_SPEC: ColSpec = STAGING_SPEC + [("rn", "long")]
+
+ANOM_SPEC: ColSpec = VALID_SPEC + [
+    ("global_mean_temp", "f4"),
+    ("global_stddev_temp", "f4"),
+    ("device_mean_temp", "f4"),
+    ("device_stddev_temp", "f4"),
+    ("device_reading_count", "long"),
+    ("location_mean_temp", "f4"),
+    ("location_stddev_temp", "f4"),
+    ("environment_mean_temp", "f4"),
+    ("environment_stddev_temp", "f4"),
+    ("global_z_score", "f4"),
+    ("device_z_score", "f4"),
+    ("location_z_score", "f4"),
+    ("environment_z_score", "f4"),
+    ("is_global_anomaly", ""),
+    ("is_device_anomaly", ""),
+    ("is_location_anomaly", ""),
+    ("is_environment_anomaly", ""),
+    ("is_anomaly", ""),
+    ("anomaly_score", "f4"),
+]
+
+MART_SPEC: ColSpec = ANOM_SPEC + [
+    ("temperature_category", ""),
+    ("reading_hour", "long"),
+    ("reading_day_of_week", "long"),
+    ("reading_date", "str"),
+    ("reading_month", "long"),
+    ("reading_year", "long"),
+    ("environment_condition", ""),
+    ("data_freshness", ""),
+]
+
+SUMMARY_BY_LOAD_SPEC: ColSpec = [
+    ("_dlt_load_id", ""),
+    ("total_records", "long"),
+    ("valid_records", "long"),
+    ("invalid_records", "long"),
+    ("anomaly_records", "long"),
+    ("avg_data_quality_score", "f4"),
+    ("min_data_quality_score", "f4"),
+    ("max_data_quality_score", "f4"),
+    ("unique_devices", "long"),
+    ("unique_locations", "long"),
+    ("unique_environments", "long"),
+    ("earliest_reading", ""),
+    ("latest_reading", ""),
+]
+
+SUMMARY_BY_DEVICE_SPEC: ColSpec = [
+    ("device_id", ""),
+    ("total_readings", "long"),
+    ("anomaly_count", "long"),
+    ("avg_temperature", "f4"),
+    ("min_temperature", "f4"),
+    ("max_temperature", "f4"),
+    ("temperature_stddev", "f4"),
+    ("avg_quality_score", "f4"),
+    ("first_reading", ""),
+    ("last_reading", ""),
+    ("reading_span_hours", "f4"),
+    ("active_days", "long"),
+    ("locations_visited", "long"),
+    ("environments_recorded", "long"),
+]
+
+SUMMARY_BY_LOCATION_SPEC: ColSpec = [
+    ("location", ""),
+    ("environment_type", ""),
+    ("total_readings", "long"),
+    ("unique_devices", "long"),
+    ("avg_temperature", "f4"),
+    ("min_temperature", "f4"),
+    ("max_temperature", "f4"),
+    ("temperature_stddev", "f4"),
+    ("anomaly_count", "long"),
+    ("avg_quality_score", "f4"),
+]
+
+SUMMARY_OVERALL_SPEC: ColSpec = [
+    ("total_processed_records", "long"),
+    ("total_valid_records", "long"),
+    ("total_invalid_records", "long"),
+    ("total_anomalies", "long"),
+    ("global_avg_temperature", "f4"),
+    ("global_min_temperature", "f4"),
+    ("global_max_temperature", "f4"),
+    ("global_temperature_stddev", "f4"),
+    ("global_avg_quality_score", "f4"),
+    ("global_min_quality_score", "f4"),
+    ("global_max_quality_score", "f4"),
+    ("total_unique_devices", "long"),
+    ("total_unique_locations", "long"),
+    ("total_environment_types", "long"),
+    ("total_load_batches", "long"),
+    ("earliest_reading_timestamp", ""),
+    ("latest_reading_timestamp", ""),
+    ("data_span_days", "f4"),
+    ("indoor_readings", "long"),
+    ("outdoor_readings", "long"),
+    ("unknown_environment_readings", "long"),
+    ("valid_record_percentage", "f4"),
+    ("anomaly_percentage", "f4"),
+    ("indoor_percentage", "f4"),
+    ("outdoor_percentage", "f4"),
+]
+
+ANOMALY_BREAKDOWN_SPEC: ColSpec = [
+    ("anomaly_type", ""),
+    ("anomaly_count", "long"),
+    ("avg_z_score", "f4"),
+]
+
+OPS_ANOMALY_COUNT_SPEC: ColSpec = [
+    ("device_id", ""),
+    ("anomaly_count", "long"),
+]
+
+# The reference's default anomaly threshold (dbt var) and the
+# non-default variant used for the summary queries: at threshold 3.0 the
+# fixture's range-filtered temperature distribution has max |z| ≈ 2.49,
+# so no flags fire (faithful but degenerate); threshold 2.0 exercises
+# every flag/branch. Both are registered.
+REF_THRESHOLD = 3.0
+ACTIVE_THRESHOLD = 2.0
+
+# ----------------------------------------------------------- spark callables
+
+
+def _staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    return shape(stg, STAGING_SPEC)
+
+
+def _valid_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    return shape(deduplicated_valid_readings(stg), VALID_SPEC)
+
+
+def _anomalies(threshold: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stg = stg_raw_temperature_readings(
+            raw_readings(spark, sf_dir), with_processing_timestamp=False
+        )
+        return shape(int_temperature_anomalies(stg, threshold=threshold), ANOM_SPEC)
+
+    return run
+
+
+def _mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(_mart_df(spark, sf_dir), MART_SPEC)
+
+
+def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    return mart_temperature_readings(
+        int_temperature_anomalies(stg, threshold=ACTIVE_THRESHOLD)
+    )
+
+
+def _summary(fn, spec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return shape(fn(_mart_df(spark, sf_dir)), spec)
+
+    return run
+
+
+def _summary_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(pipeline_summary(_mart_df(spark, sf_dir)), SUMMARY_OVERALL_SPEC)
+
+
+def _ops_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops query `README.md:120-127`: anomaly count per device."""
+    mart = _mart_df(spark, sf_dir)
+    return shape(
+        mart.filter(F.col("is_anomaly")).groupBy("device_id").agg(
+            F.count("*").alias("anomaly_count")
+        ),
+        OPS_ANOMALY_COUNT_SPEC,
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+
+def _oracle(spec: ColSpec, from_clause: str, threshold: float = ACTIVE_THRESHOLD, tail: str = "") -> str:
+    return oracle_prelude(threshold) + sql_select(spec, from_clause, tail)
+
+
+_SUMMARY_BY_LOAD_SQL = f"""(
+    SELECT _dlt_load_id,
+        COUNT(*) AS total_records,
+        SUM(CASE WHEN is_valid_record THEN 1 ELSE 0 END) AS valid_records,
+        SUM(CASE WHEN NOT is_valid_record THEN 1 ELSE 0 END) AS invalid_records,
+        SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS anomaly_records,
+        {_Q_AVG} AS avg_data_quality_score,
+        MIN(data_quality_score) AS min_data_quality_score,
+        MAX(data_quality_score) AS max_data_quality_score,
+        COUNT(DISTINCT device_id) AS unique_devices,
+        COUNT(DISTINCT location) AS unique_locations,
+        COUNT(DISTINCT environment_type) AS unique_environments,
+        MIN(reading_timestamp) AS earliest_reading,
+        MAX(reading_timestamp) AS latest_reading
+    FROM mart GROUP BY _dlt_load_id
+) s"""
+
+_SUMMARY_BY_DEVICE_SQL = f"""(
+    SELECT device_id,
+        COUNT(*) AS total_readings,
+        SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS anomaly_count,
+        {_T_AVG} AS avg_temperature,
+        MIN(temperature_celsius) AS min_temperature,
+        MAX(temperature_celsius) AS max_temperature,
+        {_T_STD} AS temperature_stddev,
+        {_Q_AVG} AS avg_quality_score,
+        MIN(reading_timestamp) AS first_reading,
+        MAX(reading_timestamp) AS last_reading,
+        (epoch_us(MAX(reading_timestamp)) - epoch_us(MIN(reading_timestamp))) / 3600000000.0
+            AS reading_span_hours,
+        COUNT(DISTINCT date_trunc('day', reading_timestamp)) AS active_days,
+        COUNT(DISTINCT location) AS locations_visited,
+        COUNT(DISTINCT environment_type) AS environments_recorded
+    FROM mart GROUP BY device_id
+) s"""
+
+_SUMMARY_BY_LOCATION_SQL = f"""(
+    SELECT location, environment_type,
+        COUNT(*) AS total_readings,
+        COUNT(DISTINCT device_id) AS unique_devices,
+        {_T_AVG} AS avg_temperature,
+        MIN(temperature_celsius) AS min_temperature,
+        MAX(temperature_celsius) AS max_temperature,
+        {_T_STD} AS temperature_stddev,
+        SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS anomaly_count,
+        {_Q_AVG} AS avg_quality_score
+    FROM mart
+    WHERE location IS NOT NULL AND environment_type IS NOT NULL
+    GROUP BY location, environment_type
+) s"""
+
+_SUMMARY_OVERALL_SQL = f"""(
+    SELECT *,
+        ROUND((CAST(total_valid_records AS DOUBLE) / total_processed_records) * 100, 2)
+            AS valid_record_percentage,
+        ROUND((CAST(total_anomalies AS DOUBLE) / total_processed_records) * 100, 2)
+            AS anomaly_percentage,
+        ROUND((CAST(indoor_readings AS DOUBLE) / total_processed_records) * 100, 2)
+            AS indoor_percentage,
+        ROUND((CAST(outdoor_readings AS DOUBLE) / total_processed_records) * 100, 2)
+            AS outdoor_percentage
+    FROM (
+        SELECT
+            COUNT(*) AS total_processed_records,
+            SUM(CASE WHEN is_valid_record THEN 1 ELSE 0 END) AS total_valid_records,
+            SUM(CASE WHEN NOT is_valid_record THEN 1 ELSE 0 END) AS total_invalid_records,
+            SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS total_anomalies,
+            {_T_AVG} AS global_avg_temperature,
+            MIN(temperature_celsius) AS global_min_temperature,
+            MAX(temperature_celsius) AS global_max_temperature,
+            {_T_STD} AS global_temperature_stddev,
+            {_Q_AVG} AS global_avg_quality_score,
+            MIN(data_quality_score) AS global_min_quality_score,
+            MAX(data_quality_score) AS global_max_quality_score,
+            COUNT(DISTINCT device_id) AS total_unique_devices,
+            COUNT(DISTINCT location) AS total_unique_locations,
+            COUNT(DISTINCT environment_type) AS total_environment_types,
+            COUNT(DISTINCT _dlt_load_id) AS total_load_batches,
+            MIN(reading_timestamp) AS earliest_reading_timestamp,
+            MAX(reading_timestamp) AS latest_reading_timestamp,
+            (epoch_us(MAX(reading_timestamp)) - epoch_us(MIN(reading_timestamp))) / 86400000000.0
+                AS data_span_days,
+            SUM(CASE WHEN environment_type = 'Indoor' THEN 1 ELSE 0 END) AS indoor_readings,
+            SUM(CASE WHEN environment_type = 'Outdoor' THEN 1 ELSE 0 END) AS outdoor_readings,
+            SUM(CASE WHEN environment_type = 'Unknown' THEN 1 ELSE 0 END)
+                AS unknown_environment_readings
+        FROM mart
+    ) os
+) s"""
+
+_ANOMALY_BREAKDOWN_SQL = """(
+    SELECT 'Global Anomalies' AS anomaly_type,
+        SUM(CASE WHEN is_global_anomaly THEN 1 ELSE 0 END) AS anomaly_count,
+        AVG(CASE WHEN is_global_anomaly THEN global_z_score END) AS avg_z_score
+    FROM mart
+    UNION ALL
+    SELECT 'Device Anomalies',
+        SUM(CASE WHEN is_device_anomaly THEN 1 ELSE 0 END),
+        AVG(CASE WHEN is_device_anomaly THEN device_z_score END)
+    FROM mart
+    UNION ALL
+    SELECT 'Location Anomalies',
+        SUM(CASE WHEN is_location_anomaly THEN 1 ELSE 0 END),
+        AVG(CASE WHEN is_location_anomaly THEN location_z_score END)
+    FROM mart
+    UNION ALL
+    SELECT 'Environment Anomalies',
+        SUM(CASE WHEN is_environment_anomaly THEN 1 ELSE 0 END),
+        AVG(CASE WHEN is_environment_anomaly THEN environment_z_score END)
+    FROM mart
+) s"""
+
+_OPS_ANOMALY_COUNT_SQL = """(
+    SELECT device_id, COUNT(*) AS anomaly_count
+    FROM mart WHERE is_anomaly GROUP BY device_id
+) s"""
+
+
+# ------------------------------------------------------------------ registry
+
+REGISTRY: dict[str, QuerySpec] = {
+    "staging_readings": QuerySpec(
+        _staging, _oracle(STAGING_SPEC, "staged")
+    ),
+    "dedup_valid_readings": QuerySpec(
+        _valid_readings, _oracle(VALID_SPEC, "valid_readings")
+    ),
+    "anomaly_scores": QuerySpec(
+        _anomalies(REF_THRESHOLD),
+        _oracle(ANOM_SPEC, "anomalies", threshold=REF_THRESHOLD),
+    ),
+    "anomaly_scores_t2": QuerySpec(
+        _anomalies(ACTIVE_THRESHOLD),
+        _oracle(ANOM_SPEC, "anomalies", threshold=ACTIVE_THRESHOLD),
+    ),
+    "mart_readings": QuerySpec(_mart, _oracle(MART_SPEC, "mart")),
+    "summary_by_load": QuerySpec(
+        _summary(load_level_stats, SUMMARY_BY_LOAD_SPEC),
+        _oracle(SUMMARY_BY_LOAD_SPEC, _SUMMARY_BY_LOAD_SQL),
+    ),
+    "summary_by_device": QuerySpec(
+        _summary(device_level_stats, SUMMARY_BY_DEVICE_SPEC),
+        _oracle(SUMMARY_BY_DEVICE_SPEC, _SUMMARY_BY_DEVICE_SQL),
+    ),
+    "summary_by_location": QuerySpec(
+        _summary(location_level_stats, SUMMARY_BY_LOCATION_SPEC),
+        _oracle(SUMMARY_BY_LOCATION_SPEC, _SUMMARY_BY_LOCATION_SQL),
+    ),
+    "summary_overall": QuerySpec(
+        _summary_overall, _oracle(SUMMARY_OVERALL_SPEC, _SUMMARY_OVERALL_SQL)
+    ),
+    "anomaly_breakdown": QuerySpec(
+        _summary(anomaly_analysis, ANOMALY_BREAKDOWN_SPEC),
+        _oracle(ANOMALY_BREAKDOWN_SPEC, _ANOMALY_BREAKDOWN_SQL),
+    ),
+    "ops_anomaly_count_per_device": QuerySpec(
+        _ops_anomaly_counts, _oracle(OPS_ANOMALY_COUNT_SPEC, _OPS_ANOMALY_COUNT_SQL)
+    ),
+}

@@ -1,0 +1,52 @@
+"""Parquet table catalog over the driver-provided fixtures (TESTDATA.md).
+
+The reference's "catalog" is Postgres schemas created by dlt/dbt
+(`dlt_raw`, `dbt_staging`, ... — SURVEY.md §1.1). Here every table is a
+parquet directory/file; reads are columnar and Catalyst prunes columns
+and pushes filters into the scan, which replaces the reference's
+secondary B-tree indexes (`models/marts/mart_temperature_readings.sql:4-12`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-settable
+        # legacy conf, so this works on any caller-provided session) and
+        # convert to a microsecond timestamp with integer arithmetic — `div`
+        # keeps full precision where a double division would not (ns since
+        # 2024 ≈ 1.7e18 > 2^53). Fixture nanos are all exact microseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the SQL API can be
+    used interchangeably with the DataFrame API (SURVEY.md §3.3)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

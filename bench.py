@@ -26,6 +26,12 @@ HEADLINE = [
     "mart_readings",
     "summary_by_device",
     "summary_overall",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "window_temperature_deltas",
+    "events_hourly_tumbling",
+    "ingest_kaggle_transform",
 ]
 
 

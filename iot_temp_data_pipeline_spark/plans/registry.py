@@ -454,3 +454,9 @@ REGISTRY: dict[str, QuerySpec] = {
         _ops_anomaly_counts, _oracle(OPS_ANOMALY_COUNT_SPEC, _OPS_ANOMALY_COUNT_SQL)
     ),
 }
+
+# Merged sub-registries (imported at the bottom to avoid cycles: they use
+# QuerySpec/shape/sql_select defined above).
+from .relational import RELATIONAL  # noqa: E402
+
+REGISTRY.update(RELATIONAL)

@@ -1,0 +1,637 @@
+"""Relational operator coverage queries on the TPC-H-ish fixture tables,
+plus the ingestion-expression queries (SURVEY.md §2.3) — every entry
+oracle-checked.
+
+Money arithmetic uses the exact-integer scheme from functions/stats.py:
+price scale 100, discount/tax scale 1000, quantity scale 1 — sums are
+order-independent integers (decimal(38,0) / HUGEINT), so revenues and
+averages are bit-identical with DuckDB and drift-free at 100 TB.
+
+Scale notes per query are inline; the common pattern: dimension sides of
+joins are broadcast, fact-side aggregations are partial+final hash aggs,
+and every filter is a plain pushdown-able predicate.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import exact_avg, sql_exact_avg
+from ..operators.anomalies import deduplicated_valid_readings
+from ..operators.staging import stg_raw_temperature_readings
+from ..sources.catalog import load_table
+from ..sources.csv_ingest import kaggle_transform
+from ..sources.readings import raw_readings
+from .oracles import oracle_prelude
+from .registry import QuerySpec, shape, sql_select
+
+_DEC = "decimal(38,0)"
+
+
+def _pi() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _di() -> F.Column:
+    return F.round(F.col("l_discount") * 1000).cast("long")
+
+
+def _ti() -> F.Column:
+    return F.round(F.col("l_tax") * 1000).cast("long")
+
+
+# SQL fragments for the same integers
+_SQL_PI = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_SQL_DI = "CAST(ROUND(l_discount * 1000) AS BIGINT)"
+_SQL_TI = "CAST(ROUND(l_tax * 1000) AS BIGINT)"
+
+
+# ------------------------------------------------------------------ TPC-H Q1
+
+Q1_SPEC = [
+    ("l_returnflag", ""),
+    ("l_linestatus", ""),
+    ("sum_qty", "long"),
+    ("sum_base_price", ""),
+    ("sum_disc_price", ""),
+    ("sum_charge", ""),
+    ("avg_qty", ""),
+    ("avg_price", ""),
+    ("avg_disc", ""),
+    ("count_order", "long"),
+]
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass grouped pricing summary over lineitem.
+
+    Plan at scale: parquet scan with l_shipdate pushdown → partial hash
+    agg (map-side) → shuffle on 6 tiny groups → final agg. No joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pi, di, ti = _pi(), _di(), _ti()
+    df = (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(pi.cast(_DEC)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum((pi * (1000 - di) * (1000 + ti)).cast(_DEC)).cast("double")
+                / 100000000.0
+            ).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 1).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 100).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 1000).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return shape(df, Q1_SPEC)
+
+
+Q1_SQL = sql_select(
+    Q1_SPEC,
+    f"""(
+    SELECT l_returnflag, l_linestatus,
+        SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+        CAST(SUM({_SQL_PI}) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI})) AS DOUBLE) / 100000.0 AS sum_disc_price,
+        CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI}) * (1000 + {_SQL_TI})) AS DOUBLE)
+            / 100000000.0 AS sum_charge,
+        {sql_exact_avg("l_quantity", 1)} AS avg_qty,
+        {sql_exact_avg("l_extendedprice", 100)} AS avg_price,
+        {sql_exact_avg("l_discount", 1000)} AS avg_disc,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+) s""",
+)
+
+
+# ------------------------------------------------------------------ TPC-H Q3
+
+Q3_SPEC = [
+    ("l_orderkey", "long"),
+    ("revenue", ""),
+    ("o_orderdate", ""),
+    ("o_orderpriority", ""),
+]
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1999-01-01 00:00:00"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, top-10 open orders
+    by revenue.
+
+    Plan at scale: customer is the small side → broadcast into orders;
+    orders⋈lineitem is the big equi-join → shuffle hash/sort-merge on
+    orderkey (AQE decides); top-k via TakeOrderedAndProject (no global
+    sort materialization). Revenue is bit-exact, so the ORDER
+    BY/LIMIT cutoff is deterministic (o_orderkey tiebreak).
+    """
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime.datetime(1999, 1, 1))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime.datetime(1999, 1, 1))
+    )
+    pi, di = _pi(), _di()
+    df = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return shape(df, Q3_SPEC)
+
+
+Q3_SQL = sql_select(
+    Q3_SPEC,
+    f"""(
+    SELECT l_orderkey,
+        CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI})) AS DOUBLE) / 100000.0 AS revenue,
+        o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = '{_Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+) s""",
+)
+
+
+# ------------------------------------------------------------------ TPC-H Q5
+
+Q5_SPEC = [("n_name", ""), ("revenue", "")]
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with all dimensions broadcast.
+
+    Plan at scale: lineitem (fact) never shuffles for the dimension
+    joins — supplier/nation/region and the filtered customer side are
+    broadcast; the one real shuffle is lineitem⋈orders on orderkey, then
+    a 25-group aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(1997, 1, 1)))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pi, di = _pi(), _di()
+    df = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(
+            F.broadcast(cu),
+            (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+                "revenue"
+            )
+        )
+    )
+    return shape(df, Q5_SPEC)
+
+
+Q5_SQL = sql_select(
+    Q5_SPEC,
+    f"""(
+    SELECT n_name,
+        CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI})) AS DOUBLE) / 100000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+) s""",
+)
+
+
+# ------------------------------------------------------- top-k / order by
+
+TOPK_SPEC = [
+    ("o_orderkey", "long"),
+    ("o_orderdate", ""),
+    ("o_totalprice", ""),
+    ("customer_name", ""),
+]
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 orders by total price with broadcast customer enrich —
+    the ops `ORDER BY ... DESC` pattern (README.md:117,126) as top-k.
+    TakeOrderedAndProject at scale (heap per partition, no global sort)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    df = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("c_name").alias("customer_name"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+    return shape(df, TOPK_SPEC)
+
+
+TOPK_SQL = sql_select(
+    TOPK_SPEC,
+    """(
+    SELECT o_orderkey, o_orderdate, o_totalprice, c_name AS customer_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+) s""",
+)
+
+
+# ----------------------------------------------------- window functions
+
+WINDOW_SPEC = [
+    ("record_id", ""),
+    ("device_id", ""),
+    ("reading_timestamp", ""),
+    ("temperature_celsius", ""),
+    ("prev_temp", ""),
+    ("temp_delta", ""),
+    ("next_temp", ""),
+    ("seq_no", "long"),
+    ("temp_rank", "long"),
+    ("rolling_avg_4", ""),
+]
+
+
+def window_temperature_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface beyond the reference's single row_number
+    (SURVEY.md §2.4): lag/lead deltas, per-device rank, sequence numbers
+    and a 4-row rolling average over deduplicated readings.
+
+    The rolling average uses the exact-integer frame sum (order-exact in
+    any engine). One shuffle on device_id serves every window.
+    """
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    vr = deduplicated_valid_readings(stg)
+    t = F.col("temperature_celsius")
+    ti = F.round(t * 100).cast("long")
+    w = Window.partitionBy("device_id").orderBy("reading_timestamp")
+    wf = w.rowsBetween(-3, 0)
+    wrank = Window.partitionBy("device_id").orderBy(t.desc(), F.col("_dlt_id"))
+    df = vr.select(
+        "record_id",
+        "device_id",
+        "reading_timestamp",
+        t,
+        F.lag(t).over(w).alias("prev_temp"),
+        (t - F.lag(t).over(w)).alias("temp_delta"),
+        F.lead(t).over(w).alias("next_temp"),
+        F.row_number().over(w).cast("long").alias("seq_no"),
+        F.rank().over(wrank).cast("long").alias("temp_rank"),
+        (
+            F.sum(ti).over(wf).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(wf).cast("double")
+        ).alias("rolling_avg_4"),
+    )
+    return shape(df, WINDOW_SPEC)
+
+
+WINDOW_SQL = (
+    "SELECT record_id, device_id, reading_timestamp, temperature_celsius, "
+    "prev_temp, temp_delta, next_temp, CAST(seq_no AS BIGINT) AS seq_no, "
+    "CAST(temp_rank AS BIGINT) AS temp_rank, rolling_avg_4 FROM ("
+    """
+    SELECT record_id, device_id, reading_timestamp, temperature_celsius,
+        LAG(temperature_celsius) OVER w AS prev_temp,
+        temperature_celsius - LAG(temperature_celsius) OVER w AS temp_delta,
+        LEAD(temperature_celsius) OVER w AS next_temp,
+        ROW_NUMBER() OVER w AS seq_no,
+        RANK() OVER (PARTITION BY device_id
+                     ORDER BY temperature_celsius DESC, _dlt_id) AS temp_rank,
+        CAST(SUM(CAST(ROUND(temperature_celsius * 100) AS BIGINT))
+                 OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 100.0
+            / CAST(COUNT(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rolling_avg_4
+    FROM valid_readings
+    WINDOW w AS (PARTITION BY device_id ORDER BY reading_timestamp)
+) s"""
+)
+
+
+# ------------------------------------------------- event-time tumbling agg
+
+TUMBLING_SPEC = [
+    ("window_start", ""),
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("unique_users", "long"),
+    ("sum_value", ""),
+    ("avg_value", ""),
+]
+
+
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the
+    Structured Streaming windowed agg — streaming/ has the readStream
+    twin). `window()` here == `time_bucket` in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 100).cast("long")
+    df = (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            (F.sum(vi.cast(_DEC)).cast("double") / 100.0).alias("sum_value"),
+            exact_avg(F.col("value"), 100).alias("avg_value"),
+        )
+    )
+    return shape(df, TUMBLING_SPEC)
+
+
+TUMBLING_SQL = sql_select(
+    TUMBLING_SPEC,
+    f"""(
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS unique_users,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        {sql_exact_avg("value", 100)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+) s""",
+)
+
+
+# ------------------------------------------------------------ JSON props
+
+JSON_SPEC = [
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("n_with_k", "long"),
+    ("sum_k", "long"),
+    ("min_k", "long"),
+    ("max_k", "long"),
+    ("avg_k", ""),
+]
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the string `props` column (extension surface
+    noted in SURVEY.md §2.9 — the reference has no JSON functions)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    df = (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+        )
+    )
+    return shape(df, JSON_SPEC)
+
+
+JSON_SQL = sql_select(
+    JSON_SPEC,
+    """(
+    SELECT event_type,
+        COUNT(*) AS n_events,
+        COUNT(k) AS n_with_k,
+        SUM(k) AS sum_k,
+        MIN(k) AS min_k,
+        MAX(k) AS max_k,
+        CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS avg_k
+    FROM (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ) t
+    GROUP BY event_type
+) s""",
+)
+
+
+# -------------------------------------------------------- set operations
+
+UNION_SPEC = [("layer", ""), ("record_count", "long")]
+
+
+def union_ops_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of layer-level counts — `run-pipeline.sh:92-108` /
+    SURVEY.md §2.8."""
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    vr = deduplicated_valid_readings(stg)
+    rows = [
+        stg.agg(F.lit("staging").alias("layer"), F.count("*").alias("record_count")),
+        vr.agg(F.lit("valid").alias("layer"), F.count("*").alias("record_count")),
+        stg.filter(~F.col("is_valid_record")).agg(
+            F.lit("invalid").alias("layer"), F.count("*").alias("record_count")
+        ),
+    ]
+    df = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return shape(df, UNION_SPEC)
+
+
+UNION_SQL = sql_select(
+    UNION_SPEC,
+    """(
+    SELECT 'staging' AS layer, COUNT(*) AS record_count FROM staged
+    UNION ALL
+    SELECT 'valid', COUNT(*) FROM valid_readings
+    UNION ALL
+    SELECT 'invalid', COUNT(*) FROM staged WHERE NOT is_valid_record
+) s""",
+)
+
+
+# ------------------------------------------------------- retention filter
+
+RETENTION_SPEC = [("record_id", ""), ("device_id", ""), ("reading_timestamp", "")]
+
+
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 retention delete as rewrite-on-read: keep rows younger than 90
+    days before the frozen run date (`iot_temperature_dag.py:267-270`).
+    At scale this is a partition-pruned scan when the mart is written
+    partitioned by reading_date (marts.write_mart)."""
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    cutoff = F.date_sub(F.lit(datetime.date(2024, 3, 1)), 90).cast("timestamp")
+    df = stg.filter(F.col("reading_timestamp") >= cutoff).select(
+        "record_id", "device_id", "reading_timestamp"
+    )
+    return shape(df, RETENTION_SPEC)
+
+
+RETENTION_SQL = sql_select(
+    RETENTION_SPEC,
+    """(
+    SELECT record_id, device_id, reading_timestamp
+    FROM staged
+    WHERE reading_timestamp >= CAST(DATE '2024-03-01' - 90 AS TIMESTAMP)
+) s""",
+)
+
+
+# --------------------------------------------- ingestion expressions (I2-I5)
+
+INGEST_SPEC = [
+    ("event_id", "long"),
+    ("device_id", ""),
+    ("timestamp", ""),
+    ("temperature", ""),
+    ("location", ""),
+]
+
+
+def _kaggle_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the Kaggle CSV shape (FIXTURES.md §1) from events,
+    deterministically — exercises null ids, unparseable dates, and every
+    room-name branch of the I5 transform."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    return ev.select(
+        eid,
+        F.when(eid % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("__export__.temp_log_"),
+                eid.cast("string"),
+                F.lit("_bd"),
+                F.substring(F.md5(eid.cast("string")), 1, 8),
+            )
+        )
+        .alias("id"),
+        F.when(uid % 5 == 0, F.lit("Room Admin"))
+        .when(uid % 5 == 1, F.lit("Room 809"))
+        .when(uid % 5 == 2, F.lit("Room Lab 2"))
+        .when(uid % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("Admin Office"))
+        .alias("room_id_id"),
+        F.when(eid % 89 == 0, F.lit("not a date"))
+        .otherwise(F.date_format("ts", "dd-MM-yyyy HH:mm"))
+        .alias("noted_date"),
+        F.col("value").cast("string").alias("temp"),
+        F.when(uid % 2 == 0, F.lit("In")).otherwise(F.lit("Out")).alias("out_in"),
+    )
+
+
+def ingest_kaggle_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2-I5 + I10 as one oracle-checked query: device-id synthesis,
+    coerce-to-null timestamp parse, float cast, location synthesis, and
+    the null-timestamp drop (`iot_temperature_pipeline.py:146-207`)."""
+    kg = _kaggle_like(spark, sf_dir)
+    out = kaggle_transform(kg, passthrough=("event_id",))
+    df = out.filter(F.col("timestamp").isNotNull()).select(
+        "event_id", "device_id", "timestamp", "temperature", "location"
+    )
+    return shape(df, INGEST_SPEC)
+
+
+INGEST_SQL = sql_select(
+    INGEST_SPEC,
+    """(
+    SELECT event_id,
+        COALESCE(
+            CASE WHEN id IS NOT NULL THEN
+                'IOT_TEMP_' || upper(substr((string_split(id, '_'))[-1], 1, 8))
+            END,
+            'IOT_TEMP_UNKNOWN') AS device_id,
+        try_strptime(noted_date, '%d-%m-%Y %H:%M') AS "timestamp",
+        CAST(temp AS DOUBLE) AS temperature,
+        concat_ws('_',
+            replace(replace(room_id_id, 'Room ', ''), 'Admin', 'Office'),
+            lower(out_in)) AS location
+    FROM (
+        SELECT event_id,
+            CASE WHEN event_id % 97 = 0 THEN NULL
+                 ELSE '__export__.temp_log_' || CAST(event_id AS VARCHAR)
+                      || '_bd' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            END AS id,
+            CASE WHEN user_id % 5 = 0 THEN 'Room Admin'
+                 WHEN user_id % 5 = 1 THEN 'Room 809'
+                 WHEN user_id % 5 = 2 THEN 'Room Lab 2'
+                 WHEN user_id % 5 = 3 THEN NULL
+                 ELSE 'Admin Office'
+            END AS room_id_id,
+            CASE WHEN event_id % 89 = 0 THEN 'not a date'
+                 ELSE strftime(ts, '%d-%m-%Y %H:%M')
+            END AS noted_date,
+            CAST(value AS VARCHAR) AS temp,
+            CASE WHEN user_id % 2 = 0 THEN 'In' ELSE 'Out' END AS out_in
+        FROM events
+    ) kaggle_like
+    WHERE try_strptime(noted_date, '%d-%m-%Y %H:%M') IS NOT NULL
+) s""",
+)
+
+
+# ------------------------------------------------------------------ registry
+
+def _with_prelude(sql: str) -> str:
+    return oracle_prelude() + sql
+
+
+RELATIONAL: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "tpch_q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL),
+    "topk_orders": QuerySpec(topk_orders, TOPK_SQL),
+    "window_temperature_deltas": QuerySpec(
+        window_temperature_deltas, _with_prelude(WINDOW_SQL)
+    ),
+    "events_hourly_tumbling": QuerySpec(events_hourly_tumbling, TUMBLING_SQL),
+    "events_json_props": QuerySpec(events_json_props, JSON_SQL),
+    "union_ops_counts": QuerySpec(union_ops_counts, _with_prelude(UNION_SQL)),
+    "retention_filter": QuerySpec(retention_filter, _with_prelude(RETENTION_SQL)),
+    "ingest_kaggle_transform": QuerySpec(ingest_kaggle_transform, INGEST_SQL),
+}

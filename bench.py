@@ -32,6 +32,12 @@ HEADLINE = [
     "window_temperature_deltas",
     "events_hourly_tumbling",
     "ingest_kaggle_transform",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_brute_force_cosine",
+    "knn_ivf_cosine",
+    "text_stats",
+    "multimodal_media_metadata",
 ]
 
 

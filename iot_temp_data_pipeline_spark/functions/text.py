@@ -59,17 +59,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct not applied).
 
     Built with sequence+transform (all JVM-side): for token array t of
-    size s, shingle i = concat_ws(' ', t[i], …, t[i+n-1]) for
-    i ∈ [0, s-n]. Docs shorter than n tokens yield an empty array.
+    size s (1-based), shingle i = concat_ws(' ', t[i], …, t[i+n-1]) for
+    i ∈ [1, s-n+1]. Docs shorter than n tokens yield an empty array —
+    guarded explicitly because Spark's ``sequence(1, 0)`` counts DOWN
+    instead of returning empty.
     """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.filter(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-        lambda s: s != "",
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )

@@ -1,0 +1,431 @@
+"""Deduplication operators for large-scale text corpora (beyond-reference
+surface; north-star requirement).
+
+Five strategies, all built on native expressions (no Python UDFs):
+
+- exact:          md5(text) hash-groupBy — one shuffle on the hash.
+- n-gram Jaccard: distinct word-3-gram shingles → self-join on shingle →
+                  per-pair intersection counts → Jaccard threshold.
+- MinHash + LSH:  k portable hashes per shingle → per-doc min per hash
+                  (signature) → band buckets → candidate pairs share a
+                  bucket → signature-agreement estimate.
+- SimHash:        per-bit majority vote over token hashes → 32-bit
+                  fingerprint → byte-block buckets → Hamming ≤ d pairs.
+- embedding:      quantized-cosine near-pairs (operators/similarity.py).
+
+Scale design (100 TB stance):
+- The shingle self-join is the only quadratic-risk operator; ultra-common
+  shingles are pruned by document frequency (``max_shingle_df``) before
+  the join — a shingle in N docs contributes O(N²) candidate pairs, and
+  shingles that common carry no near-dup signal. Deterministic, applied
+  identically in the oracle.
+- MinHash/SimHash bucket joins are linear in bucket sizes; bands/blocks
+  bound bucket fan-out. Signatures are one narrow aggregate per doc.
+- All hashes are md5-derived (functions/hashing.py) so DuckDB verifies
+  every stage bit-for-bit.
+
+The fixture corpus has no natural duplicates, so ``dedup_corpus``
+deterministically re-inserts exact copies (doc_id+1_000_000, every 7th
+doc) and head-truncated near-copies (doc_id+2_000_000, every 11th doc,
+first 5 tokens dropped) — giving every strategy real positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32
+from ..functions.text import shingles, tokens
+from ..sources.catalog import load_table
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+SIMHASH_SEED = 99
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    toks = F.split(F.col("text"), " ")
+    truncated = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 6, F.greatest(F.size(toks) - 5, F.lit(0))), " "
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    return docs.unionByName(exact_copies).unionByName(truncated)
+
+
+CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string((string_split(text, ' '))[6:], ' '),
+           lang, source
+    FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_duplicates(corpus: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy: clusters with >1 member. At scale:
+    single shuffle on a 128-bit hash (uniform, unskewed by design)."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("dropped_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+EXACT_DUP_SQL = """(
+    SELECT md5(text) AS text_hash,
+        COUNT(*) AS dup_count,
+        MIN(doc_id) AS keep_doc_id,
+        MAX(doc_id) AS dropped_doc_id
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+) s"""
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = 1000) -> DataFrame:
+    """(doc_id, shingle) with distinct word n-grams; shingles appearing in
+    more than ``max_shingle_df`` docs are pruned (candidate-pair blowup
+    control — see module docstring)."""
+    sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _shingle_counts(corpus: DataFrame, n: int = 3) -> DataFrame:
+    return corpus.select(
+        "doc_id", F.size(F.array_distinct(shingles(F.col("text"), n))).alias("n_shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, n: int = 3, min_jaccard: float = 0.6, max_shingle_df: int = 1000
+) -> DataFrame:
+    """Candidate pairs by shared shingle, scored with exact Jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|) — integer counts, so the score is
+    bit-identical in any engine."""
+    sh = doc_shingles(corpus, n, max_shingle_df)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    counts = _shingle_counts(corpus, n)
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = (
+        common.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.col("ca.n_shingles").alias("shingles_a"),
+            F.col("cb.n_shingles").alias("shingles_b"),
+            (
+                F.col("common_shingles").cast("double")
+                / (
+                    F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("common_shingles")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+# shared SQL: tokenization must equal functions/text.tokens (regex \s+ on lower)
+SHINGLES_SQL = """
+doc_tokens AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
+),
+doc_shingles AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(
+            generate_series(1, greatest(len(tk) - 2, 0)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    )) AS shingle
+    FROM doc_tokens
+),
+shingle_df AS (
+    SELECT shingle FROM doc_shingles GROUP BY shingle HAVING COUNT(*) > 1000
+),
+pruned_shingles AS (
+    SELECT * FROM doc_shingles WHERE shingle NOT IN (SELECT shingle FROM shingle_df)
+),
+shingle_counts AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM doc_shingles GROUP BY doc_id
+)
+"""
+
+NGRAM_JACCARD_SQL = """(
+    SELECT doc_a, doc_b, common_shingles,
+        ca.n_shingles AS shingles_a, cb.n_shingles AS shingles_b,
+        CAST(common_shingles AS DOUBLE)
+            / CAST(ca.n_shingles + cb.n_shingles - common_shingles AS DOUBLE) AS jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+        FROM pruned_shingles a
+        JOIN pruned_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) c
+    JOIN shingle_counts ca ON c.doc_a = ca.doc_id
+    JOIN shingle_counts cb ON c.doc_b = cb.doc_id
+    WHERE CAST(common_shingles AS DOUBLE)
+        / CAST(ca.n_shingles + cb.n_shingles - common_shingles AS DOUBLE) >= 0.6
+) s"""
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over shingles of h_i(shingle),
+    h_i = portable 32-bit md5 hash with seed i. One explode + one grouped
+    aggregate; signature width k columns."""
+    sh = corpus.select("doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
+    aggs = [
+        F.min(portable_hash32(F.col("shingle"), seed=i)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidates; the
+    signature-agreement fraction estimates Jaccard. At scale the band
+    tables shuffle on (band_id, band_key) — bucket sizes bound the join."""
+    sig = minhash_signatures(corpus, k).persist()
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("-", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    bands_df = band_frames[0]
+    for bf in band_frames[1:]:
+        bands_df = bands_df.unionByName(bf)
+    cand = (
+        bands_df.alias("x")
+        .join(
+            bands_df.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / float(k)).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def _minhash_sql_exprs(k: int = MINHASH_K) -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    return ",\n        ".join(
+        f"MIN({portable_hash32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k)
+    )
+
+
+def minhash_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS, min_est: float = 0.5) -> str:
+    rows_per_band = k // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || '-' || ".join(
+            f"CAST(mh{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM signatures"
+        )
+    bands_union = "\n        UNION ALL\n        ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""(
+    WITH signatures AS (
+        SELECT doc_id,
+        {_minhash_sql_exprs(k)}
+        FROM doc_shingles
+        GROUP BY doc_id
+    ),
+    band_table AS (
+        {bands_union}
+    ),
+    candidates AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM band_table x
+        JOIN band_table y ON x.band_id = y.band_id AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({agree} AS DOUBLE) / {float(k)} AS est_jaccard
+    FROM candidates
+    JOIN signatures sa ON doc_a = sa.doc_id
+    JOIN signatures sb ON doc_b = sb.doc_id
+    WHERE CAST({agree} AS DOUBLE) / {float(k)} >= {min_est}
+) s"""
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash: per-bit majority vote over (multiplicity-weighted)
+    token hashes. One explode + one grouped aggregate with 32 conditional
+    sums — entirely JVM-side."""
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    h = portable_hash32(F.col("token"), seed=SIMHASH_SEED)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    hash_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return agg.select("doc_id", hash_expr.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Banded Hamming search: candidates share one of four 8-bit blocks
+    (pigeonhole guarantees recall for hamming ≤ 3 with 4 blocks; larger
+    distances are best-effort, standard SimHash practice). Verified with
+    bit_count(a XOR b)."""
+    sh = simhash(corpus).persist()
+    blocks = []
+    for j in range(4):
+        blocks.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(j).alias("block_id"),
+                F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255)).alias("block_key"),
+            )
+        )
+    bt = blocks[0]
+    for b in blocks[1:]:
+        bt = bt.unionByName(b)
+    pairs = (
+        bt.alias("x")
+        .join(
+            bt.alias("y"),
+            (F.col("x.block_id") == F.col("y.block_id"))
+            & (F.col("x.block_key") == F.col("y.block_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("token", seed=SIMHASH_SEED)
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+doc_simhash AS (
+    SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id,
+        {votes}
+        FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+            FROM corpus
+        ) t
+        GROUP BY doc_id
+    ) v
+)
+"""
+
+
+SIMHASH_PAIRS_SQL = """(
+    WITH block_table AS (
+        SELECT doc_id, simhash, 0 AS block_id, (simhash >> 0) & 255 AS block_key FROM doc_simhash
+        UNION ALL
+        SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM doc_simhash
+        UNION ALL
+        SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM doc_simhash
+        UNION ALL
+        SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM doc_simhash
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM block_table x
+    JOIN block_table y ON x.block_id = y.block_id AND x.block_key = y.block_key
+        AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+) s"""

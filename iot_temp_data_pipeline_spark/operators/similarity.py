@@ -1,0 +1,373 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+Vectors are `array<float>`; all math happens through higher-order
+functions (zip_with/aggregate/transform) — JVM-side, no UDFs, no
+collect. Two search paths:
+
+- brute-force top-k: exact baseline; Q broadcast queries × N corpus scan,
+  per-query heap via window rank. Cost O(Q·N) — right answer for small Q
+  or as the recall reference.
+- IVF (inverted file): coarse centroids → one assignment pass (each
+  vector to its nearest centroid, broadcast centroids) → queries search
+  only their own cell. At 100 TB: cells are written bucketed/partitioned
+  by cell_id, so a query touches 1/C of the data; recall is traded via
+  n_probe (here 1, the classic IVF-flat shape).
+
+**Quantized cosine**: scores use integer-quantized vectors
+(round(x·10⁶) per dim). Integer dot products and norms are exact and
+order-independent, so scores are bit-identical with the DuckDB oracle —
+double-fold cosines differ in the last ulp between engines, which would
+make top-k cutoffs nondeterministic. Quantization error (~1e-6 relative)
+is far below any meaningful similarity resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.round(x * QUANT_SCALE).cast("long"),
+    )
+
+
+def qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    return qdot(a, a)
+
+
+def qcosine(a: Column, b: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    """cos = dot / sqrt(|a|²) / sqrt(|b|²), all from exact integers."""
+    return (
+        qdot(a, b).cast("double")
+        / F.sqrt(norm2_a.cast("double"))
+        / F.sqrt(norm2_b.cast("double"))
+    )
+
+
+def _with_quantized(emb: DataFrame) -> DataFrame:
+    q = quantize(F.col("embedding"))
+    return emb.select("vec_id", "label", q.alias("qvec")).withColumn(
+        "qnorm2", qnorm2(F.col("qvec"))
+    )
+
+
+# SQL twins ------------------------------------------------------------
+
+QUANT_SQL = f"""
+qembeddings AS (
+    SELECT vec_id, label,
+        list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(ROUND(x * {QUANT_SCALE}) AS BIGINT)) AS qvec
+    FROM embeddings
+),
+qnormed AS (
+    SELECT vec_id, label, qvec,
+        list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i] * qvec[i]))
+            AS qnorm2
+    FROM qembeddings
+)
+"""
+
+def sql_qcos(vec_a: str, vec_b: str, n2_a: str, n2_b: str) -> str:
+    """DuckDB text twin of :func:`qcosine` over arbitrary column refs."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({vec_a})),"
+        f" i -> {vec_a}[i] * {vec_b}[i])) AS DOUBLE)"
+        f" / sqrt(CAST({n2_a} AS DOUBLE)) / sqrt(CAST({n2_b} AS DOUBLE))"
+    )
+
+
+# ----------------------------------------------------------- brute force
+
+def knn_brute_force(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (vec_id % query_mod
+    == 0), self-matches excluded. Deterministic cutoff: rank over
+    (score DESC, neighbor id)."""
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_brute_force_sql(query_mod: int = 100, k: int = 5) -> str:
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    WITH queries AS (
+        SELECT vec_id AS query_id, qvec, qnorm2 FROM qnormed WHERE vec_id % {query_mod} = 0
+    ),
+    scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+            {cos} AS cosine
+        FROM queries a
+        CROSS JOIN qnormed b
+        WHERE b.vec_id != a.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
+# -------------------------------------------------------------------- IVF
+
+def ivf_cell_assignments(
+    emb: DataFrame, centroid_mod: int = 37
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer: centroids are the vectors with vec_id % centroid_mod
+    == 0 (deterministic stand-in for k-means — the assignment/search
+    machinery is identical). Each vector joins its argmax-cosine centroid."""
+    cent = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm2").alias("c_qnorm2"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "qvec",
+        "qnorm2",
+        "cell_id",
+        qcosine(
+            F.col("qvec"), F.col("c_qvec"), F.col("qnorm2"), F.col("c_qnorm2")
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "c_cos")
+    )
+    return assigned, cent
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    centroid_mod: int = 37,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-flat search: queries probe only their own cell (n_probe=1)."""
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    assigned = assigned.persist()
+    q = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.col("cell_id") == F.col("q_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cell_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivf_sql(query_mod: int = 100, centroid_mod: int = 37, k: int = 5) -> str:
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    search_cos = sql_qcos("q.q_qvec", "n.qvec", "q.q_qnorm2", "n.qnorm2")
+    return f"""(
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+        WHERE vec_id % {centroid_mod} = 0
+    ),
+    cell_scored AS (
+        SELECT b.vec_id, b.label, b.qvec, b.qnorm2, a.cell_id,
+            {assign_cos} AS c_cos
+        FROM qnormed b
+        CROSS JOIN centroids a
+    ),
+    assigned AS (
+        SELECT vec_id, label, qvec, qnorm2, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+            FROM cell_scored
+        ) t WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qvec AS q_qvec, qnorm2 AS q_qnorm2,
+               cell_id AS q_cell
+        FROM assigned WHERE vec_id % {query_mod} = 0
+    ),
+    pair_scored AS (
+        SELECT q.query_id, n.cell_id, n.vec_id AS neighbor_id,
+            {search_cos} AS cosine
+        FROM assigned n
+        JOIN queries q ON n.cell_id = q.q_cell
+        WHERE n.vec_id != q.query_id
+    )
+    SELECT query_id, cell_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pair_scored
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
+# ------------------------------------------------- embedding near-dup pairs
+
+PERTURB_DELTA = 0.05  # added to dim 1 of every 5th vector's copy
+
+
+def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id+1_000_000, every 5th vector,
+    +0.05 on dimension 1) — deterministic near-duplicates for the
+    near-dup detector to find (the fixture's vectors are random with max
+    pairwise cosine ≈ 0.48, so organic near-dups don't exist)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pert = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + PERTURB_DELTA).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(pert)
+
+
+EMB_CORPUS_SQL = f"""
+emb_corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+        list_transform(generate_series(1, len(embedding)),
+            i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + {PERTURB_DELTA}
+                      ELSE CAST(embedding[i] AS DOUBLE) END),
+        label
+    FROM embeddings WHERE vec_id % 5 = 0
+),
+qembeddings AS (
+    SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(ROUND(x * {QUANT_SCALE}) AS BIGINT)) AS qvec
+    FROM emb_corpus
+),
+qnormed AS (
+    SELECT vec_id, label, qvec,
+        list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i] * qvec[i]))
+            AS qnorm2
+    FROM qembeddings
+)
+"""
+
+
+def embedding_near_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.98,
+    centroid_mod: int = 37,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), blocked by IVF
+    cell so the pairwise comparison is within-cell only — the O(N²/C)
+    scale path instead of a full cross join. Oracle runs the identical
+    algorithm, so blocking-boundary misses (inherent to n_probe=1) are
+    reproduced exactly."""
+    emb = _with_quantized(embedding_corpus(spark, sf_dir))
+    assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell_id").alias("cell_id"),
+            qcosine(
+                F.col("a.qvec"), F.col("b.qvec"), F.col("a.qnorm2"), F.col("b.qnorm2")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_sql(threshold: float = 0.98, centroid_mod: int = 37) -> str:
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    pair_cos = sql_qcos("x.qvec", "y.qvec", "x.qnorm2", "y.qnorm2")
+    return f"""(
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+        WHERE vec_id % {centroid_mod} = 0
+    ),
+    cell_scored AS (
+        SELECT b.vec_id, b.qvec, b.qnorm2, a.cell_id, {assign_cos} AS c_cos
+        FROM qnormed b CROSS JOIN centroids a
+    ),
+    assigned AS (
+        SELECT vec_id, qvec, qnorm2, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+            FROM cell_scored
+        ) t WHERE rn = 1
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell_id AS cell_id,
+        {pair_cos} AS cosine
+    FROM assigned x
+    JOIN assigned y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+    WHERE {pair_cos} >= {threshold}
+) s"""

@@ -1,0 +1,189 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference
+surface): per-document statistics, quality scoring, heuristic language
+ID, BPE-ish token counting, and bottom-k document fingerprints.
+
+Everything is native expressions over arrays (split / filter / transform
+/ aggregate) — whole-stage codegen, zero Python in the hot path. Ratios
+divide exact integer counts, so scores are bit-identical with the
+oracle. Per-doc stats are a single narrow projection (no shuffle); the
+fingerprint operator shuffles once on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32, portable_hash32_sql
+from ..functions.text import BPE_TOKEN_PATTERN, STOPWORDS, shingles, tokens
+
+FINGERPRINT_K = 8
+FINGERPRINT_SEED = 7
+
+# quality-score weights (length / word-shape / stopword-signal)
+QUALITY_TOKEN_RANGE = (20, 2000)
+QUALITY_WORDLEN_RANGE = (2.0, 12.0)
+QUALITY_STOPWORD_MIN = 0.02
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(tk, t -> t IN ({quoted})))"
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics + quality score + predicted language.
+
+    predicted_lang = argmax of stopword hits over the four frozen lists
+    (ties broken en > es > fr > de; all-zero → 'und'). The fixture's
+    `lang` labels are synthetic and uncorrelated with the text — the
+    point here is the deterministic pipeline, not benchmark accuracy.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    predicted = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    avg_word_len = char_sum.cast("double") / n_tokens.cast("double")
+    stop_ratio = hits["en"].cast("double") / n_tokens.cast("double")
+    lo_t, hi_t = QUALITY_TOKEN_RANGE
+    lo_w, hi_w = QUALITY_WORDLEN_RANGE
+    quality = F.round(
+        F.when((n_tokens >= lo_t) & (n_tokens <= hi_t), 0.4).otherwise(0.0)
+        + F.when(
+            (avg_word_len >= lo_w) & (avg_word_len <= hi_w), 0.3
+        ).otherwise(0.0)
+        + F.when(stop_ratio >= QUALITY_STOPWORD_MIN, 0.3).otherwise(0.0),
+        1,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        hits["en"].alias("stopword_hits_en"),
+        stop_ratio.alias("stopword_ratio_en"),
+        quality.alias("quality_score"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def text_stats_sql(source: str = "documents") -> str:
+    hits = {lang: _sql_stopword_hits(lang) for lang in STOPWORDS}
+    best = f"greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    lo_t, hi_t = QUALITY_TOKEN_RANGE
+    lo_w, hi_w = QUALITY_WORDLEN_RANGE
+    return f"""(
+    SELECT doc_id, lang, source,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+            AS n_bpe_tokens,
+        CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) AS avg_word_len,
+        CAST({hits['en']} AS BIGINT) AS stopword_hits_en,
+        CAST({hits['en']} AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stopword_ratio_en,
+        ROUND(CAST(
+            (CASE WHEN len(tk) BETWEEN {lo_t} AND {hi_t} THEN 0.4 ELSE 0 END)
+          + (CASE WHEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                       / CAST(len(tk) AS DOUBLE) BETWEEN {lo_w} AND {hi_w}
+                  THEN 0.3 ELSE 0 END)
+          + (CASE WHEN CAST({hits['en']} AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                       >= {QUALITY_STOPWORD_MIN}
+                  THEN 0.3 ELSE 0 END)
+        AS DOUBLE), 1) AS quality_score,
+        CASE WHEN {best} = 0 THEN 'und'
+             WHEN {hits['en']} = {best} THEN 'en'
+             WHEN {hits['es']} = {best} THEN 'es'
+             WHEN {hits['fr']} = {best} THEN 'fr'
+             ELSE 'de'
+        END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang, source, text,
+            regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM {source}
+    ) t
+) s"""
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Label × prediction contingency counts (per-lang aggregation over
+    the per-doc language ID)."""
+    stats = text_stats(docs)
+    return stats.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def lang_confusion_sql(source: str = "documents") -> str:
+    return f"""(
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM {text_stats_sql(source)}
+    GROUP BY lang, predicted_lang
+) s2"""
+
+
+def bottomk_fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """Bottom-k sketch document fingerprint: the k smallest portable
+    hashes of the doc's distinct 3-gram shingles (a MinHash-family
+    sketch; equal-fingerprint overlap estimates containment). Output is
+    exploded (doc_id, fp_rank, fp_hash) — array ordering pitfalls
+    avoided."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    ).select("doc_id", portable_hash32(F.col("shingle"), seed=FINGERPRINT_SEED).alias("fp_hash"))
+    distinct_hashes = sh.distinct()
+    w = Window.partitionBy("doc_id").orderBy("fp_hash")
+    return (
+        distinct_hashes.withColumn("fp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fp_rank") <= k)
+        .select("doc_id", "fp_rank", "fp_hash")
+    )
+
+
+def bottomk_fingerprints_sql(source: str = "documents", k: int = FINGERPRINT_K) -> str:
+    h = portable_hash32_sql("shingle", seed=FINGERPRINT_SEED)
+    return f"""(
+    SELECT doc_id, CAST(fp_rank AS BIGINT) AS fp_rank, fp_hash
+    FROM (
+        SELECT doc_id, fp_hash,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS fp_rank
+        FROM (
+            SELECT DISTINCT doc_id, {h} AS fp_hash
+            FROM (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(
+                        generate_series(1, greatest(len(tk) - 2, 0)),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                )) AS shingle
+                FROM (
+                    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                    FROM {source}
+                ) tt
+            ) sh
+        ) hs
+    ) ranked
+    WHERE fp_rank <= {k}
+) s"""

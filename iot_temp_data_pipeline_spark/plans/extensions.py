@@ -1,0 +1,214 @@
+"""QuerySpecs for the training-data-pipeline extensions: dedup family,
+similarity search, text analysis, multimodal metadata. Every entry is
+oracle-checked — including the mapInPandas multimodal path, whose
+byte-level features are recomputed declaratively in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..sources.catalog import load_table
+from .registry import QuerySpec, shape, sql_select
+
+# --------------------------------------------------------------- dedup specs
+
+EXACT_DUP_SPEC = [
+    ("text_hash", ""),
+    ("dup_count", "long"),
+    ("keep_doc_id", "long"),
+    ("dropped_doc_id", "long"),
+]
+
+JACCARD_SPEC = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("common_shingles", "long"),
+    ("shingles_a", "long"),
+    ("shingles_b", "long"),
+    ("jaccard", ""),
+]
+
+MINHASH_SPEC = [("doc_a", "long"), ("doc_b", "long"), ("est_jaccard", "")]
+
+SIMHASH_FP_SPEC = [("doc_id", "long"), ("simhash", "long")]
+
+SIMHASH_PAIRS_SPEC = [("doc_a", "long"), ("doc_b", "long"), ("hamming", "long")]
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(dd.exact_duplicates(dd.dedup_corpus(spark, sf_dir)), EXACT_DUP_SPEC)
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.ngram_jaccard_pairs(dd.dedup_corpus(spark, sf_dir)), JACCARD_SPEC
+    )
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(dd.minhash_lsh_pairs(dd.dedup_corpus(spark, sf_dir)), MINHASH_SPEC)
+
+
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(dd.simhash(dd.dedup_corpus(spark, sf_dir)), SIMHASH_FP_SPEC)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.simhash_near_pairs(dd.dedup_corpus(spark, sf_dir)), SIMHASH_PAIRS_SPEC
+    )
+
+
+_CORPUS = "WITH " + dd.CORPUS_SQL.strip()
+
+EXACT_DUP_ORACLE = _CORPUS + sql_select(EXACT_DUP_SPEC, dd.EXACT_DUP_SQL)
+JACCARD_ORACLE = (
+    _CORPUS + ",\n" + dd.SHINGLES_SQL.strip() + sql_select(JACCARD_SPEC, dd.NGRAM_JACCARD_SQL)
+)
+MINHASH_ORACLE = (
+    _CORPUS + ",\n" + dd.SHINGLES_SQL.strip() + sql_select(MINHASH_SPEC, dd.minhash_sql())
+)
+SIMHASH_FP_ORACLE = (
+    _CORPUS + ",\n" + dd.simhash_sql().strip() + sql_select(SIMHASH_FP_SPEC, "doc_simhash")
+)
+SIMHASH_PAIRS_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.simhash_sql().strip()
+    + sql_select(SIMHASH_PAIRS_SPEC, dd.SIMHASH_PAIRS_SQL)
+)
+
+
+# ---------------------------------------------------------- similarity specs
+
+KNN_BRUTE_SPEC = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("neighbor_label", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+KNN_IVF_SPEC = [
+    ("query_id", "long"),
+    ("cell_id", "long"),
+    ("neighbor_id", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+EMB_NEAR_SPEC = [
+    ("vec_a", "long"),
+    ("vec_b", "long"),
+    ("cell_id", "long"),
+    ("cosine", ""),
+]
+
+
+def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.knn_brute_force(spark, sf_dir), KNN_BRUTE_SPEC)
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.knn_ivf(spark, sf_dir), KNN_IVF_SPEC)
+
+
+def _emb_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.embedding_near_pairs(spark, sf_dir), EMB_NEAR_SPEC)
+
+
+KNN_BRUTE_ORACLE = (
+    "WITH " + sim.QUANT_SQL.strip() + sql_select(KNN_BRUTE_SPEC, sim.knn_brute_force_sql())
+)
+KNN_IVF_ORACLE = (
+    "WITH " + sim.QUANT_SQL.strip() + sql_select(KNN_IVF_SPEC, sim.knn_ivf_sql())
+)
+EMB_NEAR_ORACLE = (
+    "WITH "
+    + sim.EMB_CORPUS_SQL.strip()
+    + sql_select(EMB_NEAR_SPEC, sim.embedding_near_pairs_sql())
+)
+
+
+# --------------------------------------------------------------- text specs
+
+TEXT_STATS_SPEC = [
+    ("doc_id", "long"),
+    ("lang", ""),
+    ("source", ""),
+    ("n_chars", "long"),
+    ("n_tokens", "long"),
+    ("n_bpe_tokens", "long"),
+    ("avg_word_len", ""),
+    ("stopword_hits_en", "long"),
+    ("stopword_ratio_en", ""),
+    ("quality_score", ""),
+    ("predicted_lang", ""),
+]
+
+LANG_CONFUSION_SPEC = [("lang", ""), ("predicted_lang", ""), ("n_docs", "long")]
+
+FINGERPRINT_SPEC = [("doc_id", "long"), ("fp_rank", "long"), ("fp_hash", "long")]
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(ta.text_stats(load_table(spark, sf_dir, "documents")), TEXT_STATS_SPEC)
+
+
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.lang_confusion(load_table(spark, sf_dir, "documents")), LANG_CONFUSION_SPEC
+    )
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.bottomk_fingerprints(load_table(spark, sf_dir, "documents")),
+        FINGERPRINT_SPEC,
+    )
+
+
+TEXT_STATS_ORACLE = sql_select(TEXT_STATS_SPEC, ta.text_stats_sql())
+LANG_CONFUSION_ORACLE = sql_select(LANG_CONFUSION_SPEC, ta.lang_confusion_sql())
+FINGERPRINT_ORACLE = sql_select(FINGERPRINT_SPEC, ta.bottomk_fingerprints_sql())
+
+
+# ---------------------------------------------------------- multimodal spec
+
+MEDIA_SPEC = [
+    ("media_id", "long"),
+    ("media_type", ""),
+    ("n_bytes", "long"),
+    ("content_sha256", ""),
+    ("fake_width", "long"),
+    ("fake_height", "long"),
+]
+
+
+def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return shape(mm.extract_media_metadata(media), MEDIA_SPEC)
+
+
+MEDIA_ORACLE = sql_select(MEDIA_SPEC, mm.MEDIA_METADATA_SQL)
+
+
+EXTENSIONS: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(_dedup_exact, EXACT_DUP_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, JACCARD_ORACLE),
+    "dedup_minhash_lsh": QuerySpec(_dedup_minhash, MINHASH_ORACLE),
+    "simhash_fingerprints": QuerySpec(_simhash_fps, SIMHASH_FP_ORACLE),
+    "dedup_simhash_pairs": QuerySpec(_dedup_simhash, SIMHASH_PAIRS_ORACLE),
+    "knn_brute_force_cosine": QuerySpec(_knn_brute, KNN_BRUTE_ORACLE),
+    "knn_ivf_cosine": QuerySpec(_knn_ivf, KNN_IVF_ORACLE),
+    "dedup_embedding_cosine": QuerySpec(_emb_near, EMB_NEAR_ORACLE),
+    "text_stats": QuerySpec(_text_stats, TEXT_STATS_ORACLE),
+    "lang_id_confusion": QuerySpec(_lang_confusion, LANG_CONFUSION_ORACLE),
+    "doc_fingerprints_bottomk": QuerySpec(_fingerprints, FINGERPRINT_ORACLE),
+    "multimodal_media_metadata": QuerySpec(_media_metadata, MEDIA_ORACLE),
+}

@@ -457,6 +457,8 @@ REGISTRY: dict[str, QuerySpec] = {
 
 # Merged sub-registries (imported at the bottom to avoid cycles: they use
 # QuerySpec/shape/sql_select defined above).
+from .extensions import EXTENSIONS  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 
 REGISTRY.update(RELATIONAL)
+REGISTRY.update(EXTENSIONS)

@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_ivf_cosine",
     "text_stats",
     "multimodal_media_metadata",
+    "streaming_ingest_kaggle",
 ]
 
 

@@ -459,6 +459,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # QuerySpec/shape/sql_select defined above).
 from .extensions import EXTENSIONS  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
+from .streaming_specs import STREAMING  # noqa: E402
 
 REGISTRY.update(RELATIONAL)
 REGISTRY.update(EXTENSIONS)
+REGISTRY.update(STREAMING)

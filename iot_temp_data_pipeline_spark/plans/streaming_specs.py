@@ -1,0 +1,245 @@
+"""Oracle-checked QuerySpecs for the Structured Streaming surface.
+
+Each query materializes a deterministic CSV landing zone from the
+fixture parquet, runs a real streaming query to completion with
+``trigger(availableNow=True)`` (multiple micro-batches via
+``maxFilesPerTrigger``), and returns the batch-read sink. The DuckDB
+oracle models the *end-state semantics* of the stream:
+
+- ingest:    identical to the batch ingest oracle (stream ≡ batch for
+             stateless transforms)
+- dedup:     SELECT DISTINCT (exact-duplicate drop is split-invariant)
+- windows:   tumbling agg restricted to windows the final watermark
+             finalized — watermark_us = (epoch_ms(max ts) - delay_ms)
+             * 1000, emit iff window_end <= watermark (append mode)
+- stateful:  the max-n row per device of the applyInPandasWithState
+             update log == a plain GROUP BY over the whole input
+
+All integer-scaled (``*_centi``) so sums are exact and order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load_table
+from ..streaming.core import materialize_landing, run_available_now, workdir
+from ..streaming.dedup import streaming_dedup
+from ..streaming.ingest import streamed_kaggle_ingest
+from ..streaming.stateful import running_device_stats
+from ..streaming.windows import tumbling_event_stats
+from .registry import QuerySpec, shape, sql_select
+from .relational import INGEST_SPEC, INGEST_SQL, _kaggle_like
+
+# ------------------------------------------------------------------ ingest
+
+def _streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("ingest")
+    materialize_landing(_kaggle_like(spark, sf_dir), f"{work}/landing")
+    df = streamed_kaggle_ingest(
+        spark, f"{work}/landing", f"{work}/sink", f"{work}/ckpt"
+    )
+    return shape(df, INGEST_SPEC)
+
+
+# ------------------------------------------------------------------- dedup
+
+DEDUP_SPEC = [
+    ("device_id", ""),
+    ("ts_micros", "long"),
+    ("temp_centi", "long"),
+    ("dlt_id", ""),
+]
+
+_DEDUP_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("temp_centi", T.LongType()),
+        T.StructField("dlt_id", T.StringType()),
+    ]
+)
+
+# Base rows keyed by unique dlt_id; rows with dlt_id % 7 == 0 are written
+# twice — the landing zone contains exact duplicates the stream must drop.
+_DEDUP_BASE_SQL = """
+base AS (
+    SELECT 'DEV_' || CAST(user_id AS VARCHAR) AS device_id,
+        epoch_us(ts) AS ts_micros,
+        CAST(ROUND(value * 100) AS BIGINT) AS temp_centi,
+        CAST(event_id AS VARCHAR) AS dlt_id
+    FROM events
+),
+landed AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT * FROM base WHERE CAST(dlt_id AS BIGINT) % 7 = 0
+)
+"""
+
+
+def _dedup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("DEV_"), F.col("user_id").cast("string")).alias("device_id"),
+        F.unix_micros("ts").alias("ts_micros"),
+        F.round(F.col("value") * 100).cast("long").alias("temp_centi"),
+        F.col("event_id").cast("string").alias("dlt_id"),
+    )
+    return base.union(base.filter(F.col("dlt_id").cast("long") % 7 == 0))
+
+
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("dedup")
+    materialize_landing(_dedup_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_DEDUP_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_micros")))
+    )
+    deduped = streaming_dedup(stream, "event_time", "1 hour").drop("event_time")
+    run_available_now(deduped, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), DEDUP_SPEC)
+
+
+DEDUP_ORACLE = (
+    "WITH "
+    + _DEDUP_BASE_SQL.strip()
+    + sql_select(DEDUP_SPEC, "(SELECT DISTINCT * FROM landed) s")
+)
+
+
+# ----------------------------------------------------------------- windows
+
+WINDOW_SPEC = [
+    ("window_start", ""),
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("sum_centi", "long"),
+    ("min_centi", "long"),
+    ("max_centi", "long"),
+]
+
+_WINDOW_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_centi", T.LongType()),
+    ]
+)
+
+
+def _window_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.unix_micros("ts").alias("ts_micros"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+
+
+def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("window")
+    materialize_landing(_window_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_WINDOW_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_micros")))
+    )
+    agg = tumbling_event_stats(stream, "event_time", "1 hour", "2 hours")
+    run_available_now(agg, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), WINDOW_SPEC)
+
+
+# Spark's watermark is ms-floored: wm_us = (epoch_ms(max ts) - delay_ms)
+# * 1000; append mode emits a window iff window_end <= wm.
+WINDOW_ORACLE = sql_select(
+    WINDOW_SPEC,
+    """(
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi,
+        MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_centi,
+        MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_centi
+    FROM events
+    GROUP BY 1, 2
+    HAVING epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')
+        <= (epoch_ms((SELECT max(ts) FROM events)) - 7200000) * 1000
+) s""",
+)
+
+
+# ---------------------------------------------------------------- stateful
+
+STATEFUL_SPEC = [
+    ("device_id", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("min_centi", "long"),
+    ("max_centi", "long"),
+]
+
+_STATEFUL_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("temp_centi", T.LongType()),
+    ]
+)
+
+
+def _stateful_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("DEV_"), F.col("user_id").cast("string")).alias("device_id"),
+        F.round(F.col("value") * 100).cast("long").alias("temp_centi"),
+    )
+
+
+def _streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("stateful")
+    materialize_landing(_stateful_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_STATEFUL_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    out = running_device_stats(stream)
+    run_available_now(out, f"{work}/sink", f"{work}/ckpt")
+    log = spark.read.parquet(f"{work}/sink")
+    # Final state per device = the max-n row of its update log (n is
+    # strictly increasing per device across micro-batches).
+    w = Window.partitionBy("device_id").orderBy(F.desc("n"))
+    final = (
+        log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return shape(final, STATEFUL_SPEC)
+
+
+STATEFUL_ORACLE = sql_select(
+    STATEFUL_SPEC,
+    """(
+    SELECT 'DEV_' || CAST(user_id AS VARCHAR) AS device_id,
+        COUNT(*) AS n,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi,
+        MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_centi,
+        MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_centi
+    FROM events
+    GROUP BY 1
+) s""",
+)
+
+
+STREAMING: dict[str, QuerySpec] = {
+    "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
+    "streaming_dedup_exact": QuerySpec(_streaming_dedup, DEDUP_ORACLE),
+    "streaming_tumbling_watermark": QuerySpec(_streaming_tumbling, WINDOW_ORACLE),
+    "streaming_stateful_device_stats": QuerySpec(_streaming_stateful, STATEFUL_ORACLE),
+}

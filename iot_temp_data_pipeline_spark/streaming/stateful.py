@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.10-§2.11: the reference has no stateful operators; this is
+the extension surface the task brief calls `applyInPandasWithState for
+custom stateful operators`).
+
+Operator: per-device *running* sensor statistics. Every micro-batch in
+which a device appears emits that device's cumulative
+``(n, sum, min, max)`` so far — an update log. Because ``n`` is strictly
+increasing per device, the final state of every device is recoverable
+from the append-mode output as the max-``n`` row, and THAT is what the
+DuckDB oracle checks (a plain GROUP BY over the whole input) — the
+incremental path must converge to the batch answer regardless of how
+files were split into micro-batches.
+
+Values are pre-scaled integers (``temp_centi``) so cumulative sums are
+exact and order-independent.
+
+Scale: state is one tiny tuple per device, hash-partitioned across the
+state store; Arrow moves each group's batch rows to Python in columnar
+form (pandas), not row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n BIGINT, sum_centi BIGINT, min_centi BIGINT, max_centi BIGINT"
+OUTPUT_SCHEMA = (
+    "device_id STRING, n BIGINT, sum_centi BIGINT, min_centi BIGINT, max_centi BIGINT"
+)
+
+
+def _update_device_stats(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, mn, mx = state.get if state.exists else (0, 0, None, None)
+    for pdf in pdfs:
+        c = pdf["temp_centi"]
+        if len(c) == 0:
+            continue
+        n += int(len(c))
+        total += int(c.sum())
+        bmn, bmx = int(c.min()), int(c.max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    if n > 0:
+        state.update((n, total, mn, mx))
+        yield pd.DataFrame(
+            {
+                "device_id": [key[0]],
+                "n": [n],
+                "sum_centi": [total],
+                "min_centi": [mn],
+                "max_centi": [mx],
+            }
+        )
+
+
+def running_device_stats(sdf: DataFrame) -> DataFrame:
+    """Attach the stateful operator to a stream with columns
+    ``device_id`` and ``temp_centi``."""
+    return sdf.groupBy("device_id").applyInPandasWithState(
+        _update_device_stats,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

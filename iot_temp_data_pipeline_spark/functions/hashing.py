@@ -36,3 +36,33 @@ def portable_hash32(col: Column, seed: int = 0, use_xxhash: bool = False) -> Col
 def portable_hash32_sql(expr: str, seed: int = 0) -> str:
     """DuckDB SQL text equivalent of :func:`portable_hash32`."""
     return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 8) AS BIGINT)"
+
+
+def portable_hash32_family(col: Column, k: int) -> list[Column]:
+    """k independent 32-bit hash lanes at ¼ the md5 cost: one md5 per
+    group of 4 lanes, sliced into its four 32-bit hex words (the words of
+    a single md5 are independent). Lane j = word j%4 of md5(f"{j//4}:"+s).
+    MinHash's k-lane family only needs pairwise-independent-ish lanes, so
+    word-slicing is standard practice."""
+    lanes: list[Column] = []
+    for g in range((k + 3) // 4):
+        digest = F.md5(F.concat(F.lit(f"{g}:"), col))
+        for w in range(4):
+            if len(lanes) == k:
+                break
+            lanes.append(
+                F.conv(F.substring(digest, 1 + 8 * w, 8), 16, 10).cast("long")
+            )
+    return lanes
+
+
+def portable_hash32_family_sql(expr: str, k: int) -> list[str]:
+    """DuckDB SQL equivalents of :func:`portable_hash32_family`."""
+    lanes: list[str] = []
+    for g in range((k + 3) // 4):
+        digest = f"md5('{g}:' || {expr})"
+        for w in range(4):
+            if len(lanes) == k:
+                break
+            lanes.append(f"CAST('0x' || substr({digest}, {1 + 8 * w}, 8) AS BIGINT)")
+    return lanes

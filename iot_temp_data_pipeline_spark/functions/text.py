@@ -55,16 +55,19 @@ def punct_ratio(text: Column) -> Column:
     return F.when(total > 0, (total - nonpunct).cast("double") / total).otherwise(0.0)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct not applied).
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column (distinct not
+    applied). Built with sequence+transform (all JVM-side): for token
+    array t of size s (1-based), shingle i = concat_ws(' ', t[i], …,
+    t[i+n-1]) for i ∈ [1, s-n+1]. Docs shorter than n tokens yield an
+    empty array — guarded explicitly because Spark's ``sequence(1, 0)``
+    counts DOWN instead of returning empty.
 
-    Built with sequence+transform (all JVM-side): for token array t of
-    size s (1-based), shingle i = concat_ws(' ', t[i], …, t[i+n-1]) for
-    i ∈ [1, s-n+1]. Docs shorter than n tokens yield an empty array —
-    guarded explicitly because Spark's ``sequence(1, 0)`` counts DOWN
-    instead of returning empty.
+    PERF: pass a *materialized column reference* (``F.col``), not the
+    ``tokens(text)`` expression — an expression here is re-evaluated for
+    every lambda element (O(tokens²) per doc, ~3× slower end-to-end at
+    sf0.1); a bound column is split once per row.
     """
-    toks = tokens(text)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -72,3 +75,10 @@ def shingles(text: Column, n: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight from text. Convenience form for
+    small inputs/tests; hot paths should materialize ``tokens(text)``
+    into a column first and use :func:`shingles_of_tokens`."""
+    return shingles_of_tokens(tokens(text), n)

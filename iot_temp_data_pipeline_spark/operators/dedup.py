@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32
-from ..functions.text import shingles, tokens
+from ..functions.hashing import portable_hash32, portable_hash32_family
+from ..functions.text import shingles_of_tokens, tokens
 from ..sources.catalog import load_table
 
 MINHASH_K = 16
@@ -110,12 +110,20 @@ EXACT_DUP_SQL = """(
 
 # ---------------------------------------------------------- n-gram Jaccard
 
+def _tokenized(corpus: DataFrame) -> DataFrame:
+    """Materialize the token array ONCE per doc — shingle expressions
+    over a bound column evaluate the split once per row instead of once
+    per lambda element (see functions/text.shingles_of_tokens)."""
+    return corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
+
+
 def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = 1000) -> DataFrame:
     """(doc_id, shingle) with distinct word n-grams; shingles appearing in
     more than ``max_shingle_df`` docs are pruned (candidate-pair blowup
     control — see module docstring)."""
-    sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle")
+    sh = _tokenized(corpus).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("tk"), n))).alias("shingle"),
     )
     hot = (
         sh.groupBy("shingle")
@@ -127,8 +135,9 @@ def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = 1000) -> D
 
 
 def _shingle_counts(corpus: DataFrame, n: int = 3) -> DataFrame:
-    return corpus.select(
-        "doc_id", F.size(F.array_distinct(shingles(F.col("text"), n))).alias("n_shingles")
+    return _tokenized(corpus).select(
+        "doc_id",
+        F.size(F.array_distinct(shingles_of_tokens(F.col("tk"), n))).alias("n_shingles"),
     )
 
 
@@ -137,8 +146,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate pairs by shared shingle, scored with exact Jaccard =
     |A∩B| / (|A|+|B|−|A∩B|) — integer counts, so the score is
-    bit-identical in any engine."""
-    sh = doc_shingles(corpus, n, max_shingle_df)
+    bit-identical in any engine. The pruned shingle table feeds BOTH
+    sides of the self-join, so it is persisted once (at cluster scale:
+    checkpoint/exchange-reuse instead of recomputing the explode)."""
+    sh = doc_shingles(corpus, n, max_shingle_df).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -215,13 +226,15 @@ NGRAM_JACCARD_SQL = """(
 
 def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: mh_i = min over shingles of h_i(shingle),
-    h_i = portable 32-bit md5 hash with seed i. One explode + one grouped
-    aggregate; signature width k columns."""
-    sh = corpus.select("doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
-    aggs = [
-        F.min(portable_hash32(F.col("shingle"), seed=i)).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    where the k hash lanes are md5-word slices (4 lanes per md5 call —
+    portable_hash32_family). One explode + one grouped aggregate;
+    signature width k columns."""
+    sh = _tokenized(corpus).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("tk")))).alias("shingle"),
+    )
+    lanes = portable_hash32_family(F.col("shingle"), k)
+    aggs = [F.min(lane).alias(f"mh{i}") for i, lane in enumerate(lanes)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -279,11 +292,10 @@ def minhash_lsh_pairs(
 
 
 def _minhash_sql_exprs(k: int = MINHASH_K) -> str:
-    from ..functions.hashing import portable_hash32_sql
+    from ..functions.hashing import portable_hash32_family_sql
 
-    return ",\n        ".join(
-        f"MIN({portable_hash32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k)
-    )
+    lanes = portable_hash32_family_sql("shingle", k)
+    return ",\n        ".join(f"MIN({lane}) AS mh{i}" for i, lane in enumerate(lanes))
 
 
 def minhash_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS, min_est: float = 0.5) -> str:

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32, portable_hash32_sql
-from ..functions.text import BPE_TOKEN_PATTERN, STOPWORDS, shingles, tokens
+from ..functions.text import BPE_TOKEN_PATTERN, STOPWORDS, shingles_of_tokens, tokens
 
 FINGERPRINT_K = 8
 FINGERPRINT_SEED = 7
@@ -44,7 +44,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
     `lang` labels are synthetic and uncorrelated with the text — the
     point here is the deterministic pipeline, not benchmark accuracy.
     """
-    toks = tokens(F.col("text"))
+    # Materialize the token array once per row — every stat below reads
+    # the bound column instead of re-splitting the text.
+    docs = docs.withColumn("tk", tokens(F.col("text")))
+    toks = F.col("tk")
     n_tokens = F.size(toks).cast("long")
     char_sum = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
@@ -150,10 +153,17 @@ def bottomk_fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     sketch; equal-fingerprint overlap estimates containment). Output is
     exploded (doc_id, fp_rank, fp_hash) — array ordering pitfalls
     avoided."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-    ).select("doc_id", portable_hash32(F.col("shingle"), seed=FINGERPRINT_SEED).alias("fp_hash"))
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of_tokens(F.col("tk")))).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            portable_hash32(F.col("shingle"), seed=FINGERPRINT_SEED).alias("fp_hash"),
+        )
+    )
     distinct_hashes = sh.distinct()
     w = Window.partitionBy("doc_id").orderBy("fp_hash")
     return (

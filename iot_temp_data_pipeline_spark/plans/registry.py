@@ -33,6 +33,7 @@ from ..operators.marts import (
     overall_stats,
     pipeline_summary,
 )
+from ..checks import check_violations, check_violations_sql
 from ..operators.staging import stg_raw_temperature_readings
 from ..sources.readings import raw_readings
 from ..functions.stats import sql_exact_avg, sql_exact_stddev
@@ -234,6 +235,18 @@ def _staging(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_readings(spark, sf_dir), with_processing_timestamp=False
     )
     return shape(stg, STAGING_SPEC)
+
+
+DQ_CHECK_SPEC: ColSpec = [("check_name", ""), ("violations", "long")]
+
+
+def _dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt test suite (§5) as one query: every schema.yml check's
+    violation count over staging."""
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    return shape(check_violations(stg), DQ_CHECK_SPEC)
 
 
 def _valid_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +465,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ops_anomaly_count_per_device": QuerySpec(
         _ops_anomaly_counts, _oracle(OPS_ANOMALY_COUNT_SPEC, _OPS_ANOMALY_COUNT_SQL)
+    ),
+    "dq_check_violations": QuerySpec(
+        _dq_checks, _oracle(DQ_CHECK_SPEC, check_violations_sql("staged"))
     ),
 }
 

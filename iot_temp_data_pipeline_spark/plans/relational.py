@@ -404,6 +404,115 @@ TUMBLING_SQL = sql_select(
 )
 
 
+# ---------------------------------------------- sliding / session windows
+
+SLIDING_SPEC = [
+    ("window_start", ""),
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("sum_centi", "long"),
+]
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window: width 1 h, slide 30 min —
+    every event contributes to exactly two windows. Spark's `window()`
+    expands the row internally (no join); the oracle mirrors via
+    unnest of the two aligned bucket starts."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    df = (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_centi")
+    )
+    return shape(df, SLIDING_SPEC)
+
+
+SLIDING_SQL = sql_select(
+    SLIDING_SPEC,
+    """(
+    SELECT ws AS window_start, event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi
+    FROM (
+        SELECT event_type, value,
+            unnest([
+                time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+            ]) AS ws
+        FROM events
+    ) expanded
+    GROUP BY 1, 2
+) s""",
+)
+
+
+SESSION_SPEC = [
+    ("user_id", "long"),
+    ("session_start", ""),
+    ("session_end", ""),
+    ("n_events", "long"),
+    ("sum_centi", "long"),
+]
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap
+    (`session_window`): session_end = last event + gap. The oracle is
+    the classic gaps-and-islands rewrite — new session iff the gap to
+    the previous event is >= the gap duration (Spark merges sessions
+    only while the next event is strictly inside the previous window)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centi"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_centi",
+        )
+    )
+    return shape(agg, SESSION_SPEC)
+
+
+SESSION_SQL = sql_select(
+    SESSION_SPEC,
+    """(
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL '10 minutes' AS session_end,
+        COUNT(*) AS n_events,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi
+    FROM sess
+    GROUP BY user_id, sid
+) s""",
+)
+
+
 # ------------------------------------------------------------ JSON props
 
 JSON_SPEC = [
@@ -630,6 +739,8 @@ RELATIONAL: dict[str, QuerySpec] = {
         window_temperature_deltas, _with_prelude(WINDOW_SQL)
     ),
     "events_hourly_tumbling": QuerySpec(events_hourly_tumbling, TUMBLING_SQL),
+    "events_sliding_window": QuerySpec(events_sliding_window, SLIDING_SQL),
+    "events_session_windows": QuerySpec(events_session_windows, SESSION_SQL),
     "events_json_props": QuerySpec(events_json_props, JSON_SQL),
     "union_ops_counts": QuerySpec(union_ops_counts, _with_prelude(UNION_SQL)),
     "retention_filter": QuerySpec(retention_filter, _with_prelude(RETENTION_SQL)),

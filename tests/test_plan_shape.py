@@ -1,0 +1,72 @@
+"""Physical-plan assertions — the 100 TB design contract (SURVEY.md §4):
+stats joins must broadcast (never shuffle the big probe side), scans
+must prune columns and push filters, and hot paths must stay inside
+whole-stage codegen. These tests pin the plan shape so a regression
+that silently flips a broadcast join to sort-merge (or drops pushdown)
+fails CI even though results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_anomaly_enrichment_joins_broadcast(spark, sf_dir):
+    """J1-J4: all four stats joins broadcast; no SortMergeJoin anywhere
+    in the anomaly plan — at scale the probe side must not shuffle for
+    enrichment."""
+    plan = plan_of(REGISTRY["anomaly_scores_t2"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # J2-J4 equi joins
+    assert "BroadcastNestedLoopJoin" in plan  # J1 1-row cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_staging_scan_prunes_columns(spark, sf_dir):
+    """Column pruning reaches the parquet scan: the staging model never
+    reads events.props (a wide JSON string — reading it at 100 TB would
+    dominate scan cost)."""
+    plan = plan_of(REGISTRY["staging_readings"].spark(spark, sf_dir))
+    assert "props" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A filter on a scanned column appears in PushedFilters."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") > 100).select("event_id")
+    plan = plan_of(ev)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(user_id,100)" in plan
+
+
+def test_tpch_q1_pushdown_and_codegen(spark, sf_dir):
+    """Q1: shipdate predicate pushed to the lineitem scan; aggregation
+    runs inside whole-stage codegen."""
+    df = REGISTRY["tpch_q1_pricing_summary"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # AQE materializes the final plan (with codegen spans) only after
+    # execution.
+    df.collect()
+    final_plan = plan_of(df)
+    assert "Final Plan" in final_plan
+    # formatted mode marks codegen membership as "[codegen id : N]"
+    assert "[codegen id :" in final_plan
+
+
+def test_topk_uses_takeordered(spark, sf_dir):
+    """Top-k = TakeOrderedAndProject (driver-bounded k), never a global
+    sort of the full table."""
+    plan = plan_of(REGISTRY["topk_orders"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

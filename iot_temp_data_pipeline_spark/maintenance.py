@@ -1,0 +1,41 @@
+"""Table maintenance: the reference's cleanup/ANALYZE tasks
+(SURVEY.md §2.1 S11/S12, `airflow/dags/iot_temperature_dag.py:249-305`).
+
+- S11 retention: Postgres `DELETE WHERE ingestion_timestamp <
+  CURRENT_DATE - 90 days` → immutable-storage rewrite: filter + overwrite
+  (at scale: partition the table by date so the rewrite prunes to the
+  expiring partitions only, or use a Delta/Iceberg DELETE).
+- S12 stats refresh: `ANALYZE <table>` → `ANALYZE TABLE … COMPUTE
+  STATISTICS [FOR ALL COLUMNS]`, feeding Spark's CBO (row counts, sizes,
+  per-column NDV/min/max). AQE re-plans at runtime anyway, so this is
+  the batch-planning complement, exactly like Postgres's ANALYZE fed its
+  cost model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def apply_retention(
+    df: DataFrame, ts_col: str = "ingestion_timestamp", days: int = 90
+) -> DataFrame:
+    """S11: keep only rows younger than the retention window (the
+    rewrite-on-write form of the reference's DELETE)."""
+    return df.filter(F.col(ts_col) >= F.date_sub(F.current_date(), days))
+
+
+def materialize_and_analyze(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    all_columns: bool = True,
+) -> dict[str, str]:
+    """S12: persist a model as a catalog table and refresh optimizer
+    statistics; returns the collected table stats for inspection."""
+    df.write.mode("overwrite").saveAsTable(table)
+    suffix = " FOR ALL COLUMNS" if all_columns else ""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{suffix}")
+    described = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    return {r["col_name"]: str(r["data_type"]) for r in described if r["col_name"]}

@@ -26,6 +26,29 @@ def apply_retention(
     return df.filter(F.col(ts_col) >= F.date_sub(F.current_date(), days))
 
 
+def materialize_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """S9's index analog at join time: hash-bucketed table layout.
+
+    Two tables bucketed identically on the join key co-locate their
+    buckets, so the join runs with NO shuffle exchange on either side —
+    the Spark equivalent of the reference's B-tree-indexed mart join
+    access path (`models/marts/mart_temperature_readings.sql:4-12`), and
+    the standard trick for repeated large-×-large joins at 100 TB (pay
+    the shuffle once at write time, never again per query).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def materialize_and_analyze(
     spark: SparkSession,
     df: DataFrame,

@@ -65,6 +65,44 @@ def test_tpch_q1_pushdown_and_codegen(spark, sf_dir):
     assert "[codegen id :" in final_plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    the pay-once co-location layout for repeated big joins (S9 index
+    analog). A sort-merge join over bucketed scans is shuffle-free."""
+    from iot_temp_data_pipeline_spark.maintenance import materialize_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    try:
+        materialize_bucketed(
+            spark, orders, "orders_b", "o_orderkey", 4, sort_col="o_orderkey"
+        )
+        materialize_bucketed(
+            spark, lineitem, "lineitem_b", "l_orderkey", 4, sort_col="l_orderkey"
+        )
+        # disable broadcast so the join strategy itself is under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # the ONLY Exchange is the one feeding the final aggregation —
+        # neither join input shuffles
+        assert plan.count("Exchange") == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_topk_uses_takeordered(spark, sf_dir):
     """Top-k = TakeOrderedAndProject (driver-bounded k), never a global
     sort of the full table."""

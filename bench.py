@@ -29,6 +29,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
     "window_temperature_deltas",
     "events_hourly_tumbling",
     "ingest_kaggle_transform",

@@ -326,6 +326,7 @@ def embedding_near_pairs(
     reproduced exactly."""
     emb = _with_quantized(embedding_corpus(spark, sf_dir))
     assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    assigned = assigned.persist()  # feeds both sides of the self-join
     a = assigned.alias("a")
     b = assigned.alias("b")
     return (

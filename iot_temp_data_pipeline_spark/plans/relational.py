@@ -404,6 +404,174 @@ TUMBLING_SQL = sql_select(
 )
 
 
+# ------------------------------------------------------------------ TPC-H Q6
+
+Q6_SPEC = [("revenue", ""), ("n_lines", "long")]
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-aggregate, no grouping, no join.
+
+    Plan at scale: ALL three predicates push to the parquet scan
+    (row-group min/max pruning on shipdate), then a single partial+final
+    agg of one row — the cheapest possible full-table query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pi, di = _pi(), _di()
+    df = li.filter(
+        (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime.datetime(1997, 1, 1)))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.sum((pi * di).cast(_DEC)).cast("double") / 100000.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+    return shape(df, Q6_SPEC)
+
+
+Q6_SQL = sql_select(
+    Q6_SPEC,
+    f"""(
+    SELECT CAST(SUM({_SQL_PI} * {_SQL_DI}) AS DOUBLE) / 100000.0 AS revenue,
+        COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+) s""",
+)
+
+
+# ----------------------------------------------------------------- TPC-H Q10
+
+Q10_SPEC = [
+    ("c_custkey", "long"),
+    ("c_name", ""),
+    ("revenue", ""),
+    ("c_acctbal", ""),
+    ("n_name", ""),
+    ("c_mktsegment", ""),
+]
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (fact ⋈ orders, broadcast customer ⋈
+    broadcast nation), grouped revenue, top-20.
+
+    Plan at scale: lineitem filtered on returnflag (pushed), joined to
+    date-filtered orders on orderkey (the one big shuffle), then the
+    dimension sides broadcast; TakeOrderedAndProject caps the result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(1996, 4, 1)))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    pi, di = _pi(), _di()
+    df = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    return shape(df, Q10_SPEC)
+
+
+Q10_SQL = sql_select(
+    Q10_SPEC,
+    f"""(
+    SELECT c_custkey, c_name,
+        CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI})) AS DOUBLE) / 100000.0 AS revenue,
+        c_acctbal, n_name, c_mktsegment
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+) s""",
+)
+
+
+# ----------------------------------------------------------------- TPC-H Q18
+
+Q18_QTY_THRESHOLD = 150
+
+Q18_SPEC = [
+    ("c_custkey", "long"),
+    ("c_name", ""),
+    ("o_orderkey", "long"),
+    ("o_orderdate", ""),
+    ("o_totalprice", ""),
+    ("sum_qty", "long"),
+]
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a LEFT SEMI
+    join (the reference has no semi joins — this plus the ingestion
+    anti-join completes the semi/anti surface), then re-join + group.
+
+    Plan at scale: the big-orders key set is tiny after HAVING →
+    broadcast LEFT SEMI prunes orders/lineitem before the expensive
+    joins; quantity sums are exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    od_big = od.join(
+        F.broadcast(big_orders), od.o_orderkey == big_orders.l_orderkey, "left_semi"
+    )
+    df = (
+        li.join(od_big, li.l_orderkey == od_big.o_orderkey)
+        .join(F.broadcast(cu), od_big.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+    return shape(df, Q18_SPEC)
+
+
+Q18_SQL = sql_select(
+    Q18_SPEC,
+    f"""(
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+) s""",
+)
+
+
 # ---------------------------------------------- sliding / session windows
 
 SLIDING_SPEC = [
@@ -734,6 +902,11 @@ RELATIONAL: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL),
+    "tpch_q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "tpch_q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "tpch_q18_large_volume_customers": QuerySpec(
+        q18_large_volume_customers, Q18_SQL
+    ),
     "topk_orders": QuerySpec(topk_orders, TOPK_SQL),
     "window_temperature_deltas": QuerySpec(
         window_temperature_deltas, _with_prelude(WINDOW_SQL)

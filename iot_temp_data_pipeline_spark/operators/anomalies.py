@@ -7,10 +7,10 @@ Re-expresses `dbt_transform/models/intermediate/int_temperature_anomalies.sql`
   order by _dlt_id desc)` then rn=1 (sql:10-25). One shuffle on the
   composite key; AQE skew-splitting covers hot devices at scale.
 - A1-A4 stats: global / per-device / per-location / per-environment
-  avg+stddev+count with HAVING thresholds 5/10/5 (sql:28-74). All are
-  partial+final hash aggregates (map-side combine) over the SAME
-  shuffle-free child, so Spark computes them as four independent small
-  aggregations of a cached input.
+  avg+stddev+count with HAVING thresholds 5/10/5 (sql:28-74). The
+  reference scans its valid_readings CTE once per stats granularity;
+  here ONE GROUPING SETS aggregation (Expand → partial+final hash agg)
+  computes all four in a single pass over the cached input.
 - J1-J4 joins: the stats sides are tiny after aggregation (≤ #devices /
   #locations / 3 rows / 1 row) → all four are explicit ``broadcast()``
   hash joins; the 100 TB probe side never shuffles for enrichment
@@ -60,50 +60,76 @@ def int_temperature_anomalies(
 
     t = F.col("temperature_celsius")
 
+    # A1-A4 in ONE pass: the reference computes 4 stats CTEs as separate
+    # scans of valid_readings (sql:28-74); GROUPING SETS computes all
+    # four granularities in a single partial+final aggregation — at
+    # 100 TB that's 1 pass over the cached input instead of 4.
+    # grouping_id bit = 1 ⇔ that column is aggregated away, so with
+    # columns (device_id, location, environment_type):
+    #   (device_id) → 0b011=3, (location) → 0b101=5,
+    #   (environment_type) → 0b110=6, () global → 0b111=7.
+    stats = (
+        vr.groupingSets(
+            [["device_id"], ["location"], ["environment_type"], []],
+            "device_id",
+            "location",
+            "environment_type",
+        )
+        .agg(
+            # Postgres stddev ≡ stddev_samp; computed from exact integer
+            # sums for oracle bit-parity and numerical stability (stats.py)
+            exact_avg(t).alias("mean_temp"),
+            exact_stddev(t).alias("stddev_temp"),
+            F.count("*").alias("reading_count"),
+            F.min(t).alias("min_temp"),
+            F.max(t).alias("max_temp"),
+            F.grouping_id().alias("gid"),
+        )
+        .persist()
+    )
+
     # A1 global_stats (sql:28-34)
-    global_stats = vr.agg(
-        exact_avg(t).alias("global_mean_temp"),
-        # Postgres stddev ≡ stddev_samp; computed from exact integer sums
-        # for oracle bit-parity and 100 TB numerical stability (stats.py)
-        exact_stddev(t).alias("global_stddev_temp"),
-        F.count("*").alias("total_readings"),
+    global_stats = stats.filter(F.col("gid") == 7).select(
+        F.col("mean_temp").alias("global_mean_temp"),
+        F.col("stddev_temp").alias("global_stddev_temp"),
+        F.col("reading_count").alias("total_readings"),
     )
 
     # A2 device_stats + HAVING >= 5 (sql:37-48)
-    device_stats = (
-        vr.groupBy("device_id")
-        .agg(
-            exact_avg(t).alias("device_mean_temp"),
-            exact_stddev(t).alias("device_stddev_temp"),
-            F.count("*").alias("device_reading_count"),
-            F.min(t).alias("device_min_temp"),
-            F.max(t).alias("device_max_temp"),
-        )
-        .filter(F.col("device_reading_count") >= 5)
+    device_stats = stats.filter(
+        (F.col("gid") == 3) & (F.col("reading_count") >= 5)
+    ).select(
+        "device_id",
+        F.col("mean_temp").alias("device_mean_temp"),
+        F.col("stddev_temp").alias("device_stddev_temp"),
+        F.col("reading_count").alias("device_reading_count"),
+        F.col("min_temp").alias("device_min_temp"),
+        F.col("max_temp").alias("device_max_temp"),
     )
 
-    # A3 location_stats + HAVING >= 10 (sql:51-61)
-    location_stats = (
-        vr.filter(F.col("location").isNotNull())
-        .groupBy("location")
-        .agg(
-            exact_avg(t).alias("location_mean_temp"),
-            exact_stddev(t).alias("location_stddev_temp"),
-            F.count("*").alias("location_reading_count"),
-        )
-        .filter(F.col("location_reading_count") >= 10)
+    # A3 location_stats + HAVING >= 10 (sql:51-61); the reference's
+    # WHERE location IS NOT NULL pre-filter ≡ dropping the NULL group
+    location_stats = stats.filter(
+        (F.col("gid") == 5)
+        & F.col("location").isNotNull()
+        & (F.col("reading_count") >= 10)
+    ).select(
+        "location",
+        F.col("mean_temp").alias("location_mean_temp"),
+        F.col("stddev_temp").alias("location_stddev_temp"),
+        F.col("reading_count").alias("location_reading_count"),
     )
 
     # A4 environment_stats + HAVING >= 5 (sql:64-74)
-    environment_stats = (
-        vr.filter(F.col("environment_type").isNotNull())
-        .groupBy("environment_type")
-        .agg(
-            exact_avg(t).alias("environment_mean_temp"),
-            exact_stddev(t).alias("environment_stddev_temp"),
-            F.count("*").alias("environment_reading_count"),
-        )
-        .filter(F.col("environment_reading_count") >= 5)
+    environment_stats = stats.filter(
+        (F.col("gid") == 6)
+        & F.col("environment_type").isNotNull()
+        & (F.col("reading_count") >= 5)
+    ).select(
+        "environment_type",
+        F.col("mean_temp").alias("environment_mean_temp"),
+        F.col("stddev_temp").alias("environment_stddev_temp"),
+        F.col("reading_count").alias("environment_reading_count"),
     )
 
     # J1-J4 (sql:119-122): all stats sides are small — broadcast them so the

@@ -506,6 +506,55 @@ Q10_SQL = sql_select(
 )
 
 
+# ----------------------------------------------------------------- TPC-H Q14
+
+Q14_SPEC = [("promo_revenue_pct", ""), ("n_lines", "long")]
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ broadcast dimension (part) + conditional
+    aggregate ratio — covers the `part` table and the broadcast-dim +
+    CASE-sum pattern. Ratio formed from two exact integer sums, so the
+    division is the only float op."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 3, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime.datetime(1996, 4, 1)))
+    )
+    pt = load_table(spark, sf_dir, "part")
+    pi, di = _pi(), _di()
+    disc = (pi * (1000 - di)).cast(_DEC)
+    df = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(_DEC))).cast(
+                    "double"
+                )
+                * 100.0
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return shape(df, Q14_SPEC)
+
+
+Q14_SQL = sql_select(
+    Q14_SPEC,
+    f"""(
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {_SQL_PI} * (1000 - {_SQL_DI}) ELSE 0 END) AS DOUBLE)
+            * 100.0
+            / CAST(SUM({_SQL_PI} * (1000 - {_SQL_DI})) AS DOUBLE) AS promo_revenue_pct,
+        COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+) s""",
+)
+
+
 # ----------------------------------------------------------------- TPC-H Q18
 
 Q18_QTY_THRESHOLD = 150
@@ -904,6 +953,7 @@ RELATIONAL: dict[str, QuerySpec] = {
     "tpch_q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL),
     "tpch_q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
     "tpch_q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "tpch_q14_promo_effect": QuerySpec(q14_promo_effect, Q14_SQL),
     "tpch_q18_large_volume_customers": QuerySpec(
         q18_large_volume_customers, Q18_SQL
     ),

@@ -28,7 +28,7 @@ from ..sources.catalog import load_table
 from ..streaming.core import materialize_landing, run_available_now, workdir
 from ..streaming.dedup import streaming_dedup
 from ..streaming.ingest import streamed_kaggle_ingest
-from ..streaming.stateful import running_device_stats
+from ..streaming.stateful import latest_wins_dedup, running_device_stats
 from ..streaming.windows import tumbling_event_stats
 from .registry import QuerySpec, shape, sql_select
 from .relational import INGEST_SPEC, INGEST_SQL, _kaggle_like
@@ -176,6 +176,56 @@ WINDOW_ORACLE = sql_select(
 )
 
 
+# ------------------------------------------------- latest-wins dedup (W1)
+
+LATEST_SPEC = [
+    ("device_id", ""),
+    ("ts_micros", "long"),
+    ("n", "long"),
+    ("dlt_id", ""),
+    ("temp_centi", "long"),
+]
+
+
+def _streaming_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("latest")
+    materialize_landing(_dedup_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_DEDUP_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    out = latest_wins_dedup(stream)
+    run_available_now(out, f"{work}/sink", f"{work}/ckpt")
+    log = spark.read.parquet(f"{work}/sink")
+    w = Window.partitionBy("device_id", "ts_micros").orderBy(F.desc("n"))
+    final = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return shape(final, LATEST_SPEC)
+
+
+# arg_max(temp, dlt_id) = the payload of W1's ORDER BY dlt_id DESC winner
+LATEST_ORACLE = (
+    "WITH "
+    + _DEDUP_BASE_SQL.strip()
+    + sql_select(
+        LATEST_SPEC,
+        """(
+    SELECT device_id, ts_micros,
+        COUNT(*) AS n,
+        MAX(dlt_id) AS dlt_id,
+        arg_max(temp_centi, dlt_id) AS temp_centi
+    FROM landed
+    GROUP BY device_id, ts_micros
+) s""",
+    )
+)
+
+
 # ---------------------------------------------------------------- stateful
 
 STATEFUL_SPEC = [
@@ -240,6 +290,7 @@ STATEFUL_ORACLE = sql_select(
 STREAMING: dict[str, QuerySpec] = {
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
     "streaming_dedup_exact": QuerySpec(_streaming_dedup, DEDUP_ORACLE),
+    "streaming_dedup_latest_wins": QuerySpec(_streaming_latest_wins, LATEST_ORACLE),
     "streaming_tumbling_watermark": QuerySpec(_streaming_tumbling, WINDOW_ORACLE),
     "streaming_stateful_device_stats": QuerySpec(_streaming_stateful, STATEFUL_ORACLE),
 }

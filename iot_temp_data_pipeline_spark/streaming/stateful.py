@@ -71,3 +71,54 @@ def running_device_stats(sdf: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------- latest-wins dedup
+
+LATEST_STATE_SCHEMA = "n BIGINT, best_dlt STRING, best_temp BIGINT"
+LATEST_OUTPUT_SCHEMA = (
+    "device_id STRING, ts_micros BIGINT, n BIGINT, dlt_id STRING, temp_centi BIGINT"
+)
+
+
+def _update_latest(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, best_dlt, best_temp = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += int(len(pdf))
+        # lexicographic max dlt_id == W1's ORDER BY _dlt_id DESC winner
+        idx = pdf["dlt_id"].astype(str).idxmax()
+        dlt, temp = str(pdf["dlt_id"][idx]), int(pdf["temp_centi"][idx])
+        if best_dlt is None or dlt > best_dlt:
+            best_dlt, best_temp = dlt, temp
+    if n > 0:
+        state.update((n, best_dlt, best_temp))
+        yield pd.DataFrame(
+            {
+                "device_id": [key[0]],
+                "ts_micros": [int(key[1])],
+                "n": [n],
+                "dlt_id": [best_dlt],
+                "temp_centi": [best_temp],
+            }
+        )
+
+
+def latest_wins_dedup(sdf: DataFrame) -> DataFrame:
+    """The TRUE streaming analog of W1 (`int_temperature_anomalies.sql:
+    10-25`): keep the latest record (max ``dlt_id``) per
+    ``(device_id, ts_micros)`` key, incrementally across micro-batches.
+    Each batch emits the current winner + rows-seen count ``n``; since
+    ``n`` is strictly increasing per key, the final winner per key is
+    the max-``n`` emission — converging to the batch row_number dedup
+    no matter how the input was split."""
+    return sdf.groupBy("device_id", "ts_micros").applyInPandasWithState(
+        _update_latest,
+        LATEST_OUTPUT_SCHEMA,
+        LATEST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -9,8 +9,8 @@ Five strategies, all built on native expressions (no Python UDFs):
 - MinHash + LSH:  k portable hashes per shingle → per-doc min per hash
                   (signature) → band buckets → candidate pairs share a
                   bucket → signature-agreement estimate.
-- SimHash:        per-bit majority vote over token hashes → 32-bit
-                  fingerprint → byte-block buckets → Hamming ≤ d pairs.
+- SimHash:        per-bit majority vote over token hashes → 48-bit
+                  fingerprint → 12-bit-block buckets → Hamming ≤ d pairs.
 - embedding:      quantized-cosine near-pairs (operators/similarity.py).
 
 Scale design (100 TB stance):
@@ -35,14 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32, portable_hash32_family
+from ..functions.hashing import portable_hash32_family
 from ..functions.text import shingles_of_tokens, tokens
 from ..sources.catalog import load_table
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 32
-SIMHASH_SEED = 99
+SIMHASH_BITS = 48  # < 2^48 keeps fingerprints exact in signed 64-bit math
+SIMHASH_BLOCK_BITS = 12  # 4 LSH blocks × 12 bits
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,14 +339,23 @@ def minhash_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS, min_est: float =
 # ------------------------------------------------------------------ SimHash
 
 def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """32-bit SimHash: per-bit majority vote over (multiplicity-weighted)
-    token hashes. One explode + one grouped aggregate with 32 conditional
-    sums — entirely JVM-side."""
+    """SimHash fingerprint: per-bit majority vote over
+    (multiplicity-weighted) token hashes. One explode + one grouped
+    aggregate with ``bits`` conditional sums — entirely JVM-side.
+
+    48 bits (not 32): this corpus shares a small vocabulary, so token
+    distributions cluster and 32-bit fingerprints collide en masse
+    (3.8 M hamming≤6 pairs at sf0.1); 48 bits restores discrimination.
+    Bits stay below 2^48, so the fingerprint is exact signed-long/BIGINT
+    arithmetic in both engines. Bit b comes from 32-bit md5 lane b//32
+    (functions/hashing.portable_hash32_family)."""
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    h = portable_hash32(F.col("token"), seed=SIMHASH_SEED)
+    lanes = portable_hash32_family(F.col("token"), (bits + 31) // 32)
     votes = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(lanes[b // 32], b % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(bits)
     ]
@@ -359,9 +368,10 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Banded Hamming search: candidates share one of four 8-bit blocks
+    """Banded Hamming search: candidates share one of four 12-bit blocks
     (pigeonhole guarantees recall for hamming ≤ 3 with 4 blocks; larger
-    distances are best-effort, standard SimHash practice). Verified with
+    distances are best-effort, standard SimHash practice). 12-bit blocks
+    → 4096 buckets per band bounds candidate fan-out. Verified with
     bit_count(a XOR b)."""
     sh = simhash(corpus).persist()
     blocks = []
@@ -371,7 +381,9 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
                 "doc_id",
                 "simhash",
                 F.lit(j).alias("block_id"),
-                F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255)).alias("block_key"),
+                F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * j)
+                .bitwiseAND(F.lit((1 << SIMHASH_BLOCK_BITS) - 1))
+                .alias("block_key"),
             )
         )
     bt = blocks[0]
@@ -398,11 +410,11 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
-    from ..functions.hashing import portable_hash32_sql
+    from ..functions.hashing import portable_hash32_family_sql
 
-    h = portable_hash32_sql("token", seed=SIMHASH_SEED)
+    lanes = portable_hash32_family_sql("token", (bits + 31) // 32)
     votes = ",\n        ".join(
-        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        f"SUM(CASE WHEN ({lanes[b // 32]} >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
     )
     hash_expr = " + ".join(
@@ -424,15 +436,16 @@ doc_simhash AS (
 """
 
 
-SIMHASH_PAIRS_SQL = """(
+def _simhash_pairs_sql() -> str:
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, simhash, {j} AS block_id, "
+        f"(simhash >> {SIMHASH_BLOCK_BITS * j}) & {mask} AS block_key FROM doc_simhash"
+        for j in range(4)
+    )
+    return f"""(
     WITH block_table AS (
-        SELECT doc_id, simhash, 0 AS block_id, (simhash >> 0) & 255 AS block_key FROM doc_simhash
-        UNION ALL
-        SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM doc_simhash
-        UNION ALL
-        SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM doc_simhash
-        UNION ALL
-        SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM doc_simhash
+        {blocks}
     )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
@@ -441,3 +454,6 @@ SIMHASH_PAIRS_SQL = """(
         AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 ) s"""
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_sql()

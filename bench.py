@@ -49,6 +49,7 @@ HEADLINE = [
     "text_stats",
     "multimodal_media_metadata",
     "streaming_ingest_kaggle",
+    "training_corpus_prep",
 ]
 
 

@@ -7,6 +7,7 @@ byte-level features are recomputed declaratively in DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -178,6 +179,65 @@ LANG_CONFUSION_ORACLE = sql_select(LANG_CONFUSION_SPEC, ta.lang_confusion_sql())
 FINGERPRINT_ORACLE = sql_select(FINGERPRINT_SPEC, ta.bottomk_fingerprints_sql())
 
 
+# ------------------------------------------- composite training-data prep
+
+PREP_SPEC = [
+    ("doc_id", "long"),
+    ("lang", ""),
+    ("n_tokens", "long"),
+    ("n_bpe_tokens", "long"),
+    ("quality_score", ""),
+]
+
+
+def _training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-training-data prep over the duplicate-injected
+    corpus: (1) exact dedup keeps the min doc_id per md5(text); (2) near
+    dedup drops the higher doc_id of every Jaccard ≥ 0.6 pair; (3) only
+    quality_score ≥ 0.4 docs survive; output carries token counts. One
+    flow through hash-groupBy → semi join → anti join → filter — the
+    composition a 100 TB corpus cleaning job actually runs."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    stats = ta.text_stats(corpus)
+    keep = (
+        corpus.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        dd.ngram_jaccard_pairs(corpus)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = (
+        stats.join(keep, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= 0.4)
+    )
+    return shape(final, PREP_SPEC)
+
+
+PREP_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + sql_select(
+        PREP_SPEC,
+        f"""(
+    SELECT doc_id, lang, n_tokens, n_bpe_tokens, quality_score
+    FROM {ta.text_stats_sql("corpus")}
+    WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM corpus GROUP BY md5(text)
+    )
+    AND doc_id NOT IN (
+        SELECT DISTINCT doc_b FROM {dd.NGRAM_JACCARD_SQL}
+    )
+    AND quality_score >= 0.4
+) prep""",
+    )
+)
+
+
 # ---------------------------------------------------------- multimodal spec
 
 MEDIA_SPEC = [
@@ -211,4 +271,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "lang_id_confusion": QuerySpec(_lang_confusion, LANG_CONFUSION_ORACLE),
     "doc_fingerprints_bottomk": QuerySpec(_fingerprints, FINGERPRINT_ORACLE),
     "multimodal_media_metadata": QuerySpec(_media_metadata, MEDIA_ORACLE),
+    "training_corpus_prep": QuerySpec(_training_corpus_prep, PREP_ORACLE),
 }

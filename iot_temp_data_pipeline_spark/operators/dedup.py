@@ -41,6 +41,16 @@ from ..sources.catalog import load_table
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
+# Shingle document-frequency cap: a shingle in more than MAX_SHINGLE_DF
+# docs is pruned before the candidate self-join. An ABSOLUTE cap bounds
+# each shingle's candidate contribution at C(cap,2) pairs, so total
+# candidate work is linear in the number of distinct shingles (~corpus
+# size). The 10x scale probe showed cap=1000 going 27.9x superlinear
+# (mid-frequency shingles densify as the corpus grows); 200 keeps the
+# probe near-linear. Pairs sharing ONLY >cap shingles are missed - the
+# standard recall trade of df-pruned exact Jaccard; MinHash-LSH is the
+# unpruned scale path.
+MAX_SHINGLE_DF = 200
 SIMHASH_BITS = 48  # < 2^48 keeps fingerprints exact in signed 64-bit math
 SIMHASH_BLOCK_BITS = 12  # 4 LSH blocks × 12 bits
 
@@ -117,7 +127,7 @@ def _tokenized(corpus: DataFrame) -> DataFrame:
     return corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
 
 
-def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = 1000) -> DataFrame:
+def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """(doc_id, shingle) with distinct word n-grams; shingles appearing in
     more than ``max_shingle_df`` docs are pruned (candidate-pair blowup
     control — see module docstring)."""
@@ -142,7 +152,7 @@ def _shingle_counts(corpus: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, n: int = 3, min_jaccard: float = 0.6, max_shingle_df: int = 1000
+    corpus: DataFrame, n: int = 3, min_jaccard: float = 0.6, max_shingle_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
     """Candidate pairs by shared shingle, scored with exact Jaccard =
     |A∩B| / (|A|+|B|−|A∩B|) — integer counts, so the score is
@@ -181,7 +191,7 @@ def ngram_jaccard_pairs(
 
 
 # shared SQL: tokenization must equal functions/text.tokens (regex \s+ on lower)
-SHINGLES_SQL = """
+_SHINGLES_SQL_TEMPLATE = """
 doc_tokens AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
 ),
@@ -194,7 +204,7 @@ doc_shingles AS (
     FROM doc_tokens
 ),
 shingle_df AS (
-    SELECT shingle FROM doc_shingles GROUP BY shingle HAVING COUNT(*) > 1000
+    SELECT shingle FROM doc_shingles GROUP BY shingle HAVING COUNT(*) > {max_shingle_df}
 ),
 pruned_shingles AS (
     SELECT * FROM doc_shingles WHERE shingle NOT IN (SELECT shingle FROM shingle_df)
@@ -203,6 +213,8 @@ shingle_counts AS (
     SELECT doc_id, COUNT(*) AS n_shingles FROM doc_shingles GROUP BY doc_id
 )
 """
+
+SHINGLES_SQL = _SHINGLES_SQL_TEMPLATE.format(max_shingle_df=MAX_SHINGLE_DF)
 
 NGRAM_JACCARD_SQL = """(
     SELECT doc_a, doc_b, common_shingles,

@@ -23,12 +23,30 @@ is far below any meaningful similarity resolution.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 
 QUANT_SCALE = 1_000_000
+MIN_CENTROID_MOD = 37
+
+
+def adaptive_centroid_mod(n_vectors: int) -> int:
+    """Centroid count ~ sqrt(N): a FIXED selection rate makes the
+    centroid set grow linearly with the corpus, turning the O(N*C)
+    assignment pass quadratic (the 10x scale probe measured 11.4x).
+    mod = max(37, isqrt(N)) gives C = N/mod ~ sqrt(N), so assignment
+    work is O(N^1.5) - the classic IVF sizing rule."""
+    return max(MIN_CENTROID_MOD, math.isqrt(n_vectors))
+
+
+# SQL twin of the adaptive mod (FLOOR(SQRT) == isqrt in this range)
+ADAPTIVE_MOD_SQL = (
+    "(SELECT GREATEST(37, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM qnormed)"
+)
 
 
 def quantize(vec: Column) -> Column:
@@ -154,11 +172,17 @@ def knn_brute_force_sql(query_mod: int = 100, k: int = 5) -> str:
 # -------------------------------------------------------------------- IVF
 
 def ivf_cell_assignments(
-    emb: DataFrame, centroid_mod: int = 37
+    emb: DataFrame, centroid_mod: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse quantizer: centroids are the vectors with vec_id % centroid_mod
     == 0 (deterministic stand-in for k-means — the assignment/search
-    machinery is identical). Each vector joins its argmax-cosine centroid."""
+    machinery is identical). Each vector joins its argmax-cosine centroid.
+
+    centroid_mod=None sizes the centroid set adaptively to ~sqrt(N)
+    (adaptive_centroid_mod); the count() is a plan-time statistic, like
+    the CBO's row counts."""
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(emb.count())
     cent = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cell_id"),
         F.col("qvec").alias("c_qvec"),
@@ -187,7 +211,7 @@ def knn_ivf(
     spark: SparkSession,
     sf_dir: str,
     query_mod: int = 100,
-    centroid_mod: int = 37,
+    centroid_mod: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """IVF-flat search: queries probe only their own cell (n_probe=1)."""
@@ -221,13 +245,16 @@ def knn_ivf(
     )
 
 
-def knn_ivf_sql(query_mod: int = 100, centroid_mod: int = 37, k: int = 5) -> str:
+def knn_ivf_sql(
+    query_mod: int = 100, centroid_mod: int | None = None, k: int = 5
+) -> str:
     assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
     search_cos = sql_qcos("q.q_qvec", "n.qvec", "q.q_qnorm2", "n.qnorm2")
+    mod_sql = str(centroid_mod) if centroid_mod is not None else ADAPTIVE_MOD_SQL
     return f"""(
     WITH centroids AS (
         SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
-        WHERE vec_id % {centroid_mod} = 0
+        WHERE vec_id % {mod_sql} = 0
     ),
     cell_scored AS (
         SELECT b.vec_id, b.label, b.qvec, b.qnorm2, a.cell_id,
@@ -317,7 +344,7 @@ def embedding_near_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.98,
-    centroid_mod: int = 37,
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), blocked by IVF
     cell so the pairwise comparison is within-cell only — the O(N²/C)
@@ -347,13 +374,16 @@ def embedding_near_pairs(
     )
 
 
-def embedding_near_pairs_sql(threshold: float = 0.98, centroid_mod: int = 37) -> str:
+def embedding_near_pairs_sql(
+    threshold: float = 0.98, centroid_mod: int | None = None
+) -> str:
     assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
     pair_cos = sql_qcos("x.qvec", "y.qvec", "x.qnorm2", "y.qnorm2")
+    mod_sql = str(centroid_mod) if centroid_mod is not None else ADAPTIVE_MOD_SQL
     return f"""(
     WITH centroids AS (
         SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
-        WHERE vec_id % {centroid_mod} = 0
+        WHERE vec_id % {mod_sql} = 0
     ),
     cell_scored AS (
         SELECT b.vec_id, b.qvec, b.qnorm2, a.cell_id, {assign_cos} AS c_cos

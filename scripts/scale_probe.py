@@ -1,0 +1,116 @@
+"""Scaling probe: replicate the sf0.1 fixtures 10x (key-shifted, so
+cardinalities scale too — 10x devices, docs, orders) into a temp dir,
+then run headline queries at both scales and report the time ratio.
+
+A shuffle- or plan-pathology (quadratic candidate blowup, driver
+collect, broadcast overflow) shows up as a ratio >> 10; healthy
+operators land near or below 10 (fixed per-job overhead amortizes).
+
+Usage: python scripts/scale_probe.py [replication] [out.md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+from iot_temp_data_pipeline_spark.session import get_spark
+from iot_temp_data_pipeline_spark.sources.catalog import TABLES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+KEY_SHIFT = 10_000_000_000  # far above any fixture key
+
+# per-table key columns to shift per replica (dimension tables that the
+# queries treat as fixed-size lookup sides are replicated WITHOUT key
+# shifts only when unreferenced keys would break joins — instead we keep
+# dims at 1x, which matches how real warehouses scale: facts grow, dims don't)
+FACT_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = [
+    "staging_readings",
+    "dedup_valid_readings",
+    "anomaly_scores_t2",
+    "summary_by_device",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume_customers",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "knn_ivf_cosine",
+    "training_corpus_prep",
+]
+
+
+def build_scaled(spark, out_dir: str, replication: int) -> None:
+    for name in TABLES:
+        df = load_table(spark, BASE_SF, name)
+        if name in FACT_SHIFTS:
+            parts = []
+            for i in range(replication):
+                part = df
+                for key in FACT_SHIFTS[name]:
+                    part = part.withColumn(key, F.col(key) + F.lit(i * KEY_SHIFT))
+                parts.append(part)
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+        else:
+            scaled = df  # dims stay 1x
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def timed(spark, name: str, sf_dir: str) -> float:
+    def run():
+        REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run()  # JIT warm-up
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return dt
+
+
+def main() -> None:
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_md = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark(app_name="scale_probe")
+    scaled_dir = f"/tmp/spark_graft_scale_x{replication}"
+    if not os.path.exists(f"{scaled_dir}/lineitem.parquet"):
+        build_scaled(spark, scaled_dir, replication)
+
+    lines = [
+        f"| query | sf0.1 (s) | sf0.1 x{replication} (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        base = timed(spark, name, BASE_SF)
+        big = timed(spark, name, scaled_dir)
+        ratio = big / base if base > 0 else float("inf")
+        lines.append(f"| {name} | {base:.2f} | {big:.2f} | {ratio:.1f}x |")
+        print(lines[-1], flush=True)
+
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,16 @@ def build_scaled(spark, out_dir: str, replication: int) -> None:
                 part = df
                 for key in FACT_SHIFTS[name]:
                     part = part.withColumn(key, F.col(key) + F.lit(i * KEY_SHIFT))
+                if name == "documents" and i > 0:
+                    # Suffix every token with the replica index so replicas
+                    # are NOT near-duplicates of each other: a verbatim 10x
+                    # replication makes every doc have 9 true near-dups, so
+                    # pair OUTPUT grows quadratically no matter how good the
+                    # plan is — that measures dup density, not plan scaling.
+                    part = part.withColumn(
+                        "text",
+                        F.regexp_replace("text", r"(\S+)", rf"$1_{i}"),
+                    )
                 parts.append(part)
             scaled = parts[0]
             for p in parts[1:]:

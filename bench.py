@@ -38,7 +38,10 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "events_asof_last_click",
     "window_temperature_deltas",
     "events_hourly_tumbling",
     "ingest_kaggle_transform",

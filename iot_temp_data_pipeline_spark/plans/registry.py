@@ -473,10 +473,14 @@ REGISTRY: dict[str, QuerySpec] = {
 
 # Merged sub-registries (imported at the bottom to avoid cycles: they use
 # QuerySpec/shape/sql_select defined above).
+from ..operators.asof import ASOF_SQL, last_click_before_error  # noqa: E402
 from .extensions import EXTENSIONS  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
+from .subqueries import SUBQUERIES  # noqa: E402
 
 REGISTRY.update(RELATIONAL)
 REGISTRY.update(EXTENSIONS)
 REGISTRY.update(STREAMING)
+REGISTRY.update(SUBQUERIES)
+REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from ..sources.catalog import load_table
 from ..streaming.core import materialize_landing, run_available_now, workdir
 from ..streaming.dedup import streaming_dedup
+from ..streaming.joins import clicks_before_errors_stream, event_side, materialize_side, side_stream
 from ..streaming.ingest import streamed_kaggle_ingest
 from ..streaming.stateful import latest_wins_dedup, running_device_stats
 from ..streaming.windows import tumbling_event_stats
@@ -287,8 +288,53 @@ STATEFUL_ORACLE = sql_select(
 )
 
 
+# ------------------------------------------- stream-stream interval join
+
+JOIN_SPEC = [
+    ("error_event_id", "long"),
+    ("user_id", "long"),
+    ("error_ts_us", "long"),
+    ("click_event_id", "long"),
+    ("click_ts_us", "long"),
+    ("click_value_centi", "long"),
+]
+
+
+def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("ssjoin")
+    materialize_side(event_side(spark, sf_dir, "click"), f"{work}/clicks")
+    materialize_side(event_side(spark, sf_dir, "error"), f"{work}/errors")
+    clicks = side_stream(spark, f"{work}/clicks", "c_")
+    errors = side_stream(spark, f"{work}/errors", "e_")
+    joined = clicks_before_errors_stream(clicks, errors)
+    run_available_now(joined, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), JOIN_SPEC)
+
+
+# End state of the watermarked inner join == the batch interval join
+# (see streaming/joins.py docstring for why no partner is evicted early).
+SSJOIN_ORACLE = sql_select(
+    JOIN_SPEC,
+    """(
+    SELECT e.event_id AS error_event_id,
+        e.user_id AS user_id,
+        epoch_us(e.ts) AS error_ts_us,
+        c.event_id AS click_event_id,
+        epoch_us(c.ts) AS click_ts_us,
+        CAST(ROUND(c.value * 100) AS BIGINT) AS click_value_centi
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts <= e.ts
+     AND c.ts > e.ts - INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+) s""",
+)
+
+
 STREAMING: dict[str, QuerySpec] = {
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
+    "streaming_interval_join": QuerySpec(_streaming_interval_join, SSJOIN_ORACLE),
     "streaming_dedup_exact": QuerySpec(_streaming_dedup, DEDUP_ORACLE),
     "streaming_dedup_latest_wins": QuerySpec(_streaming_latest_wins, LATEST_ORACLE),
     "streaming_tumbling_watermark": QuerySpec(_streaming_tumbling, WINDOW_ORACLE),

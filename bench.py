@@ -43,6 +43,8 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "events_asof_last_click",
     "window_temperature_deltas",
+    "revenue_rollup",
+    "customer_order_windows",
     "events_hourly_tumbling",
     "ingest_kaggle_transform",
     "dedup_minhash_lsh",

@@ -1,0 +1,47 @@
+"""Plan-shape and error-bound assertions for the analytics surface
+(plans/analytics.py) — value parity is covered by the registry-wide
+oracle test; these pin the physical properties that matter at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.plans.analytics import (
+    approx_distinct_users,
+    customer_order_windows,
+    nation_priority_pivot,
+    revenue_rollup,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """Explicit-value pivot = conditional aggregation: ONE scan of
+    orders, one agg pair (partial+final) — not one job per priority."""
+    plan = _plan(nation_priority_pivot(spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # orders + customer, once each
+    assert "Expand" not in plan  # pivot must not expand rows
+
+
+def test_rollup_is_one_expand_pass(spark, sf_dir):
+    """ROLLUP = one Expand (3 grouping sets) over one scan — never a
+    union of per-level aggregations."""
+    plan = _plan(revenue_rollup(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_window_suite_single_sort(spark, sf_dir):
+    """All ten window functions share one window spec → exactly one
+    exchange and one sort (the running-sum ROWS frame reuses them)."""
+    plan = _plan(customer_order_windows(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 2  # one physical sort (+1 AQE variant slack)
+
+
+def test_hll_error_bound(spark, sf_dir):
+    rows = approx_distinct_users(spark, sf_dir).collect()
+    assert rows and all(r.hll_within_2pct for r in rows)

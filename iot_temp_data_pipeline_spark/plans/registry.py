@@ -474,6 +474,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # Merged sub-registries (imported at the bottom to avoid cycles: they use
 # QuerySpec/shape/sql_select defined above).
 from ..operators.asof import ASOF_SQL, last_click_before_error  # noqa: E402
+from ..operators.rangejoin import RANGEJOIN_SQL, clicks_in_error_windows  # noqa: E402
 from .analytics import ANALYTICS  # noqa: E402
 from .extensions import EXTENSIONS  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
@@ -486,3 +487,4 @@ REGISTRY.update(STREAMING)
 REGISTRY.update(SUBQUERIES)
 REGISTRY.update(ANALYTICS)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
+REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)

@@ -312,7 +312,57 @@ HLL_SQL = sql_select(
 )
 
 
+# ----------------------------------------- approx percentile (scale path)
+
+APCTL_SPEC = [
+    ("event_type", ""),
+    ("exact_median_centi", "f4"),
+    ("approx_within_5pct", ""),
+]
+
+
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs approximate median per event type. `percentile_approx`
+    (Greenwald-Khanna-style mergeable summary, accuracy=1000) is the
+    100 TB path — fixed memory, partial-aggregatable — while the exact
+    percentile needs all values per group. As with the HLL entry, the
+    estimate is engine-specific, so the oracle pins a relative-error
+    bound asserted TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    centi = F.round(F.col("value") * 100).cast("long")
+    df = (
+        ev.select("event_type", centi.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile("vc", F.lit(0.5)).alias("exact_median_centi"),
+            F.percentile_approx("vc", F.lit(0.5), F.lit(1000)).alias("approx"),
+        )
+        .withColumn(
+            "approx_within_5pct",
+            F.abs(F.col("approx") - F.col("exact_median_centi")) * 20
+            <= F.abs(F.col("exact_median_centi")),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, APCTL_SPEC)
+
+
+APCTL_SQL = sql_select(
+    APCTL_SPEC,
+    """(
+    SELECT event_type,
+        quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5)
+            AS exact_median_centi,
+        TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+) s""",
+)
+
+
 ANALYTICS: dict[str, QuerySpec] = {
+    "approx_percentile_check": QuerySpec(approx_percentile_check, APCTL_SQL),
     "revenue_rollup": QuerySpec(revenue_rollup, ROLLUP_SQL),
     "customer_order_windows": QuerySpec(customer_order_windows, WINSUITE_SQL),
     "part_setops": QuerySpec(part_setops, SETOPS_SQL),

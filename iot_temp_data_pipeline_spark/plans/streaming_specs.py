@@ -332,9 +332,66 @@ SSJOIN_ORACLE = sql_select(
 )
 
 
+# ------------------------------------------------ stream-static enrich
+
+ENRICH_SPEC = [
+    ("event_id", "long"),
+    ("user_id", "long"),
+    ("c_name", ""),
+    ("c_mktsegment", ""),
+    ("value_centi", "long"),
+]
+
+_ENRICH_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value_centi", T.LongType()),
+    ]
+)
+
+
+def _streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of events is enriched with
+    the customer dimension via a broadcast hash join — the standard
+    streaming enrichment pattern (dim re-resolved per batch, no state).
+    Stateless ⇒ split-invariant ⇒ the oracle is the batch join."""
+    ev = load_table(spark, sf_dir, "events")
+    landing_input = ev.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    work = workdir("enrich")
+    materialize_landing(landing_input, f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_ENRICH_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value_centi")
+    run_available_now(enriched, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), ENRICH_SPEC)
+
+
+ENRICH_ORACLE = sql_select(
+    ENRICH_SPEC,
+    """(
+    SELECT event_id, user_id, c_name, c_mktsegment,
+        CAST(ROUND(value * 100) AS BIGINT) AS value_centi
+    FROM events JOIN customer ON user_id = c_custkey
+) s""",
+)
+
+
 STREAMING: dict[str, QuerySpec] = {
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
     "streaming_interval_join": QuerySpec(_streaming_interval_join, SSJOIN_ORACLE),
+    "streaming_static_enrich": QuerySpec(_streaming_static_enrich, ENRICH_ORACLE),
     "streaming_dedup_exact": QuerySpec(_streaming_dedup, DEDUP_ORACLE),
     "streaming_dedup_latest_wins": QuerySpec(_streaming_latest_wins, LATEST_ORACLE),
     "streaming_tumbling_watermark": QuerySpec(_streaming_tumbling, WINDOW_ORACLE),

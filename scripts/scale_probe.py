@@ -52,6 +52,13 @@ QUERIES = [
     "text_stats",
     "knn_ivf_cosine",
     "training_corpus_prep",
+    "events_asof_last_click",
+    "clicks_in_error_windows",
+    "customer_order_windows",
+    "revenue_rollup",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

@@ -38,9 +38,12 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_type_profit",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q21_suppliers_who_kept_waiting",
     "events_asof_last_click",
     "window_temperature_deltas",
     "revenue_rollup",

@@ -1,0 +1,231 @@
+"""Oracle-checked registry queries for the extra source/sink formats
+(sources/formats.py): JSON-lines roundtrip, partitioned-ORC roundtrip
+with partition pruning, and the partition-pruned latest-wins upsert.
+
+Each query materializes real files in a scratch dir, drives the format
+through Spark, and reduces to an aggregate whose DuckDB oracle is
+computed directly from the original parquet — so the roundtrip (and
+the merge semantics) are what is being checked, not the aggregate.
+
+Timestamps cross the JSON boundary as epoch-microsecond longs (JSON has
+no timestamp type; string round-trips invite tz/format drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load_table
+from ..sources.formats import (
+    merge_upsert_partitioned,
+    read_jsonl,
+    read_orc,
+    write_jsonl,
+    write_orc_partitioned,
+)
+from ..streaming.core import workdir
+from .registry import QuerySpec, shape, sql_select
+
+_CENTI = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------- JSONL roundtrip
+
+JSONL_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("n_corrupt", "long"),
+]
+
+_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_centi", T.LongType()),
+    ]
+)
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines files → schema-explicit read → aggregate.
+    The corrupt-record column must stay all-NULL (count pinned 0 per
+    group), proving the PERMISSIVE path is wired without firing."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select(
+        F.col("event_id"),
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    work = workdir("jsonl")
+    write_jsonl(out, f"{work}/events_jsonl")
+    back = read_jsonl(spark, f"{work}/events_jsonl", _JSONL_SCHEMA)
+    df = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_centi").alias("sum_centi"),
+            F.count("_corrupt_json").alias("n_corrupt"),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, JSONL_SPEC)
+
+
+JSONL_SQL = sql_select(
+    JSONL_SPEC,
+    f"""(
+    SELECT event_type, COUNT(*) AS n, SUM({_CENTI}) AS sum_centi,
+           0 AS n_corrupt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+) s""",
+)
+
+
+# ----------------------------------------------------------- ORC roundtrip
+
+ORC_WINDOW = ("2024-01-10", "2024-01-14")
+
+ORC_SPEC = [
+    ("event_date", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+]
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC partitioned by event_date → read back with a 5-day
+    partition filter → per-day aggregate. The filter prunes at the
+    partition level (directory listing), not per-row — the same access
+    path the parquet marts rely on, proven for a second columnar
+    format."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    work = workdir("orc")
+    write_orc_partitioned(out, f"{work}/events_orc", "event_date")
+    back = read_orc(spark, f"{work}/events_orc").filter(
+        F.col("event_date").between(*ORC_WINDOW)
+    )
+    df = (
+        back.groupBy("event_date")
+        .agg(F.count("*").alias("n"), F.sum("value_centi").alias("sum_centi"))
+        .orderBy("event_date")
+    )
+    return shape(df, ORC_SPEC)
+
+
+ORC_SQL = sql_select(
+    ORC_SPEC,
+    f"""(
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS n,
+           SUM({_CENTI}) AS sum_centi
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{ORC_WINDOW[0]}' AND '{ORC_WINDOW[1]}'
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY event_date
+) s""",
+)
+
+
+# ------------------------------------------------------ partitioned upsert
+
+UPSERT_WINDOW = ("2024-01-05", "2024-01-09")
+UPSERT_BUMP = 1000
+INSERT_KEY_SHIFT = 1_000_000_000_000
+
+UPSERT_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+]
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned latest-wins MERGE: the base table (events
+    partitioned by day) takes an update set confined to a 5-day window
+    — every event_id % 7 row gets its value bumped, and event_id % 97
+    rows re-insert under a shifted key. Only the 5 touched daily
+    partitions are rewritten (sources/formats.py invariant: a key's
+    partition never changes). The aggregate over the merged table is
+    checked against an oracle that states MERGE semantics as
+    base-minus-updated-keys UNION ALL updates."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    work = workdir("upsert")
+    table_dir = f"{work}/events_table"
+    base.write.partitionBy("event_date").parquet(table_dir)
+
+    in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
+    updated = in_window.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value_centi", F.col("value_centi") + UPSERT_BUMP
+    )
+    inserted = in_window.filter(F.col("event_id") % 97 == 0).withColumn(
+        "event_id", F.col("event_id") + INSERT_KEY_SHIFT
+    )
+    updates = updated.unionByName(inserted)
+    merge_upsert_partitioned(
+        spark, table_dir, updates, key_cols=["event_id"], partition_col="event_date"
+    )
+    merged = spark.read.parquet(table_dir)
+    df = (
+        merged.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_centi").alias("sum_centi"))
+        .orderBy("event_type")
+    )
+    return shape(df, UPSERT_SPEC)
+
+
+UPSERT_SQL = sql_select(
+    UPSERT_SPEC,
+    f"""(
+    WITH base AS (
+        SELECT event_id, event_type, {_CENTI} AS value_centi,
+               strftime(ts, '%Y-%m-%d') AS event_date
+        FROM events
+    ),
+    upd AS (
+        SELECT event_id, event_type, value_centi + {UPSERT_BUMP} AS value_centi,
+               event_date
+        FROM base
+        WHERE event_id % 7 = 0
+          AND event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+        UNION ALL
+        SELECT event_id + {INSERT_KEY_SHIFT}, event_type, value_centi, event_date
+        FROM base
+        WHERE event_id % 97 = 0
+          AND event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+    ),
+    merged AS (
+        SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT event_type, COUNT(*) AS n, SUM(value_centi) AS sum_centi
+    FROM merged
+    GROUP BY event_type
+    ORDER BY event_type
+) s""",
+)
+
+
+FORMATS: dict[str, QuerySpec] = {
+    "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_SQL),
+    "orc_roundtrip": QuerySpec(orc_roundtrip, ORC_SQL),
+    "upsert_merge": QuerySpec(upsert_merge, UPSERT_SQL),
+}

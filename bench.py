@@ -61,10 +61,52 @@ HEADLINE = [
 ]
 
 
+def duckdb_baseline(sf_dir: str, sf: float | None) -> None:
+    """--duckdb: time the same headline queries' DuckDB oracles on the
+    same fixtures (warm parse, measured execution). This is the
+    single-node vectorized comparator BASELINE.md designates; Spark
+    carries ~0.3-0.5 s/query of fixed scheduling cost at these toy
+    scales that amortizes away at the target 100 TB, so read the two
+    JSON lines together, not per-query in isolation."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None or spec.oracle is None:
+            continue
+        con.sql(spec.oracle).fetchall()  # warm-up: parse + buffer pool
+        start = time.perf_counter()
+        con.sql(spec.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    if "--duckdb" in sys.argv:
+        duckdb_baseline(sf_dir, sf)
+        return
 
     spark = get_spark(app_name="bench")
 

@@ -469,3 +469,65 @@ def _simhash_pairs_sql() -> str:
 
 
 SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+# ------------------------------------------------- cluster canonicalization
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph via
+    iterative min-label propagation: every node starts labeled with its
+    own id; each round it takes the min of its label and its neighbors'
+    labels; at fixpoint the label is the component's min id. This is the
+    dedup pipeline's final step — pair lists don't dedup a corpus,
+    cluster ids do (pick one canonical doc per component).
+
+    Scale stance: each round is one shuffle join (edges ⋈ labels on the
+    neighbor key) + one aggregate — no driver-side graph state, and the
+    per-round `localCheckpoint` truncates the plan lineage so the DAG
+    doesn't grow with iterations (an iterative-algorithm requirement;
+    without it each round re-plans all previous rounds). Rounds needed =
+    component diameter; near-dup clusters are dense and shallow (a dup
+    cluster's diameter is rarely > 3-4). For adversarial long-chain
+    graphs, swap in the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which runs in
+    O(log n) rounds over the same primitives. Returns (doc_id,
+    cluster_id) for every node that appears in an edge.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("u", "nbr"), sym.v == F.col("nbr"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("old"), F.coalesce(F.col("nmin"), F.col("old"))
+                ).alias("label"),
+                "old",
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = new.select("u", "label")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

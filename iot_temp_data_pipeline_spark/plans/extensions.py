@@ -258,7 +258,55 @@ def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_ORACLE = sql_select(MEDIA_SPEC, mm.MEDIA_METADATA_SQL)
 
 
+# ------------------------------------------------ dedup cluster assignment
+
+CLUSTER_SPEC = [
+    ("doc_id", "long"),
+    ("cluster_id", "long"),
+    ("is_canonical", ""),
+]
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical doc per
+    cluster (min doc_id). The step that turns a pair list into an
+    actually-deduplicated corpus: keep rows where is_canonical."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    cc = dd.connected_components(pairs, "doc_a", "doc_b")
+    df = cc.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    ).orderBy("doc_id")
+    return shape(df, CLUSTER_SPEC)
+
+
+# The oracle computes the same components as a transitive closure
+# (WITH RECURSIVE reach), independently checking the Spark side's
+# iterative min-label propagation — two different algorithms, same
+# fixpoint.
+CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + ",\npairs AS (SELECT doc_a, doc_b FROM "
+    + dd.NGRAM_JACCARD_SQL
+    + "),\nedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    + " UNION SELECT doc_b, doc_a FROM pairs),\n"
+    + "reach(u, r) AS (SELECT DISTINCT u, u FROM edges"
+    + " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)\n"
+    + sql_select(
+        CLUSTER_SPEC,
+        """(
+    SELECT u AS doc_id, MIN(r) AS cluster_id, u = MIN(r) AS is_canonical
+    FROM reach GROUP BY u ORDER BY doc_id
+) s""",
+    )
+)
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "dedup_clusters_ngram": QuerySpec(_dedup_clusters, CLUSTERS_ORACLE),
     "dedup_exact": QuerySpec(_dedup_exact, EXACT_DUP_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, JACCARD_ORACLE),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, MINHASH_ORACLE),

@@ -45,3 +45,24 @@ def test_window_suite_single_sort(spark, sf_dir):
 def test_hll_error_bound(spark, sf_dir):
     rows = approx_distinct_users(spark, sf_dir).collect()
     assert rows and all(r.hll_within_2pct for r in rows)
+
+
+def test_connected_components_chain_and_pair(spark):
+    """Min-label propagation: a 5-node path (diameter 4 — forces
+    multiple rounds), an isolated pair, and a triangle all collapse to
+    their min id."""
+    from iot_temp_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

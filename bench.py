@@ -49,6 +49,8 @@ HEADLINE = [
     "revenue_rollup",
     "customer_order_windows",
     "events_hourly_tumbling",
+    "events_resample_hourly_ffill",
+    "value_trend_by_type",
     "ingest_kaggle_transform",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

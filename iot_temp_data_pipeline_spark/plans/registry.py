@@ -481,6 +481,7 @@ from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
 from .formats_specs import FORMATS  # noqa: E402
+from .timeseries import TIMESERIES  # noqa: E402
 from .tpch_extra import TPCH_EXTRA  # noqa: E402
 
 REGISTRY.update(RELATIONAL)
@@ -489,6 +490,7 @@ REGISTRY.update(STREAMING)
 REGISTRY.update(SUBQUERIES)
 REGISTRY.update(TPCH_EXTRA)
 REGISTRY.update(FORMATS)
+REGISTRY.update(TIMESERIES)
 REGISTRY.update(ANALYTICS)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)

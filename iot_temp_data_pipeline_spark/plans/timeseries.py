@@ -1,0 +1,212 @@
+"""Time-series analytics over the events stream table: grouped OLS
+trend/correlation from moment sums, and grid resampling with forward
+fill — the operations a hypertable/timeseries engine exposes natively
+(the reference's time handling stops at bucketed dimensions,
+`models/marts/mart_temperature_readings.sql:81-86`; these are their
+scale-native generalizations).
+
+Both are single-pass, partial-aggregatable designs:
+- trend: five integer moment sums per group (no window, no per-group
+  collect) combined into slope/intercept/r once per group.
+- resample: the hour grid is generated with `sequence()` (no driver
+  loop), the per-hour sample is an aggregate, and the forward fill is
+  a per-key ordered window (`last ignorenulls`) — partition-local sort,
+  never a global one.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import QuerySpec, shape, sql_select
+
+_DEC = "decimal(38,0)"
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+# ---------------------------------------------- grouped regression / corr
+
+TREND_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("slope_centi_per_day", "f4"),
+    ("intercept_centi", "f4"),
+    ("corr_xy", "f4"),
+]
+
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend + Pearson correlation of value vs time from
+    five exact-integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    formulation every distributed engine uses because it is
+    partial-aggregatable: one pass, one tiny shuffle. x = integer
+    minutes since 2024-01-01, y = centi-value; the sums stay exact
+    (int64 per row, decimal(38,0)/int128 accumulation), and the
+    double divisions happen once per group with mirrored expression
+    trees on both engines (native regr_slope/corr accumulate doubles
+    incrementally and would drift). Slope reported per day."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(_EPOCH)))
+        / F.lit(60_000_000)
+    ).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    g = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(_DEC)).alias("sx"),
+            F.sum(F.col("y").cast(_DEC)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(_DEC)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    df = (
+        g.select(
+            "event_type",
+            "n",
+            (slope * 1440.0).alias("slope_centi_per_day"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            ).alias("intercept_centi"),
+            (num / F.sqrt(den) / F.sqrt(deny)).alias("corr_xy"),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, TREND_SPEC)
+
+
+TREND_SQL = sql_select(
+    TREND_SPEC,
+    """(
+    WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM (
+            SELECT event_type,
+                   CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')
+                        AS BIGINT) // 60000000 AS x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS y
+            FROM events
+        ) t
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1440.0
+               AS slope_centi_per_day,
+           (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_centi,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+             / SQRT(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+    FROM m
+    ORDER BY event_type
+) s""",
+)
+
+
+# ------------------------------------------------- resample + forward fill
+
+GRID_START = datetime.datetime(2024, 1, 1)
+GRID_END = datetime.datetime(2024, 1, 30, 23)
+
+RESAMPLE_SPEC = [
+    ("event_type", ""),
+    ("hour", ""),
+    ("sampled_centi", "long"),
+    ("filled_centi", "long"),
+]
+
+
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the event stream onto an hourly grid per event type:
+    sample = MAX(centi-value) within the hour (deterministic under
+    timestamp ties), empty hours forward-fill from the last observed
+    hour; leading gaps before the first observation stay NULL.
+
+    Scale stance: the grid is `sequence()`-generated per key (no driver
+    loop, no collect) — grid size = keys x hours, independent of event
+    count; the hourly sample is one partial-aggregatable shuffle; the
+    fill window partitions by key and sorts only within partitions. At
+    100 TB the grid join stays a broadcast of hours x per-key rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("sampled_centi"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(GRID_START), F.lit(GRID_END), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("filled_centi", F.last("sampled_centi", ignorenulls=True).over(w))
+        .orderBy("event_type", "hour")
+    )
+    return shape(df, RESAMPLE_SPEC)
+
+
+RESAMPLE_SQL = sql_select(
+    RESAMPLE_SPEC,
+    """(
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               MAX(CAST(ROUND(value * 100) AS BIGINT)) AS sampled_centi
+        FROM events
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, h.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(
+                TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00',
+                INTERVAL 1 HOUR)) AS hour
+        ) h
+    )
+    SELECT g.event_type, g.hour, hv.sampled_centi,
+           LAST_VALUE(hv.sampled_centi IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_centi
+    FROM grid g
+    LEFT JOIN hourly hv ON g.event_type = hv.event_type AND g.hour = hv.hour
+    ORDER BY g.event_type, g.hour
+) s""",
+)
+
+
+TIMESERIES: dict[str, QuerySpec] = {
+    "value_trend_by_type": QuerySpec(value_trend_by_type, TREND_SQL),
+    "events_resample_hourly_ffill": QuerySpec(resample_hourly_ffill, RESAMPLE_SQL),
+}

@@ -106,3 +106,102 @@ MEDIA_METADATA_SQL = """(
             AS fake_height
     FROM documents
 ) s"""
+
+
+FRAME_COUNT = 4
+FRAME_BYTES = 16
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx long, frame_len long, frame_sha256 string"
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [], "frame_idx": [], "frame_len": [], "frame_sha256": []
+        }
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            data = bytes(content)
+            step = len(data) // FRAME_COUNT
+            for i in range(FRAME_COUNT):
+                frame = data[i * step : i * step + FRAME_BYTES]
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(frame))
+                out["frame_sha256"].append(hashlib.sha256(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def sample_video_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling for video payloads: N evenly-spaced fixed-size
+    "frames" per video (deterministic byte slices standing in for real
+    keyframe extraction — see decode_media stub note). Row-EXPANDING
+    mapInPandas: one input row → FRAME_COUNT output rows, the batch
+    shape real video pipelines need (pyav keyframe iteration yields the
+    same one→many contract). Payloads ≥ 64 bytes only, so every frame
+    offset is in range."""
+    vids = media.filter(
+        (F.col("media_type") == "video") & (F.length("content") >= 64)
+    ).select("media_id", "content")
+    return vids.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+# ASCII payloads ⇒ byte slices == char slices, so the oracle recomputes
+# the frames on VARCHAR (DuckDB lacks BLOB substring/sha256).
+FRAME_SAMPLE_SQL = f"""(
+    SELECT doc_id AS media_id, i AS frame_idx,
+        CAST(length(substring(text, 1 + i * (length(text) // {FRAME_COUNT}),
+                              {FRAME_BYTES})) AS BIGINT) AS frame_len,
+        sha256(substring(text, 1 + i * (length(text) // {FRAME_COUNT}),
+                         {FRAME_BYTES})) AS frame_sha256
+    FROM documents
+    CROSS JOIN (SELECT UNNEST(range({FRAME_COUNT})) AS i) frames
+    WHERE doc_id % 3 = 2 AND length(text) >= 64
+) s"""
+
+
+THUMB_BYTES = 256
+
+RESIZE_SCHEMA = (
+    "media_id long, orig_bytes long, resized_len long, resized_sha256 string"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        content = pdf["content"]
+        thumbs = content.map(lambda b: bytes(b)[:THUMB_BYTES])
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "orig_bytes": content.map(len).astype("int64"),
+                "resized_len": thumbs.map(len).astype("int64"),
+                "resized_sha256": thumbs.map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                ),
+            }
+        )
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Thumbnail pass for image payloads: bounded-size derived payload
+    per image (here the first THUMB_BYTES bytes — the real PIL
+    resize+re-encode sits behind the decode_media stub). The contract
+    under test: a second mapInPandas stage consuming the first one's
+    output schema, payload size bounded regardless of input size (what
+    makes the shuffle after a resize stage safe at 100 TB)."""
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "media_id", "content"
+    )
+    return imgs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+RESIZE_SQL = f"""(
+    SELECT doc_id AS media_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        CAST(length(substring(text, 1, {THUMB_BYTES})) AS BIGINT) AS resized_len,
+        sha256(substring(text, 1, {THUMB_BYTES})) AS resized_sha256
+    FROM documents
+    WHERE doc_id % 3 = 0
+) s"""

@@ -257,6 +257,36 @@ def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_ORACLE = sql_select(MEDIA_SPEC, mm.MEDIA_METADATA_SQL)
 
+FRAME_SPEC = [
+    ("media_id", "long"),
+    ("frame_idx", "long"),
+    ("frame_len", "long"),
+    ("frame_sha256", ""),
+]
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shape(mm.sample_video_frames(mm.synthesize_media(docs)), FRAME_SPEC)
+
+
+FRAME_ORACLE = sql_select(FRAME_SPEC, mm.FRAME_SAMPLE_SQL)
+
+RESIZE_SPEC = [
+    ("media_id", "long"),
+    ("orig_bytes", "long"),
+    ("resized_len", "long"),
+    ("resized_sha256", ""),
+]
+
+
+def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shape(mm.resize_images(mm.synthesize_media(docs)), RESIZE_SPEC)
+
+
+RESIZE_ORACLE = sql_select(RESIZE_SPEC, mm.RESIZE_SQL)
+
 
 # ------------------------------------------------ dedup cluster assignment
 
@@ -319,5 +349,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "lang_id_confusion": QuerySpec(_lang_confusion, LANG_CONFUSION_ORACLE),
     "doc_fingerprints_bottomk": QuerySpec(_fingerprints, FINGERPRINT_ORACLE),
     "multimodal_media_metadata": QuerySpec(_media_metadata, MEDIA_ORACLE),
+    "multimodal_frame_sample": QuerySpec(_frame_sample, FRAME_ORACLE),
+    "multimodal_resize_images": QuerySpec(_resize, RESIZE_ORACLE),
     "training_corpus_prep": QuerySpec(_training_corpus_prep, PREP_ORACLE),
 }

@@ -59,6 +59,12 @@ QUERIES = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "dedup_clusters_ngram",
+    "value_trend_by_type",
+    "events_resample_hourly_ffill",
 ]
 
 

@@ -265,6 +265,107 @@ PIVOT_SQL = sql_select(
 )
 
 
+# ------------------------------------------------------------------ unpivot
+
+UNPIVOT_SPEC = [
+    ("c_nationkey", "long"),
+    ("priority", ""),
+    ("revenue", "f2"),
+]
+
+
+def nation_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of the pivot: melt the 5 priority revenue columns
+    back to (nation, priority, revenue) rows with the native
+    `unpivot()` (Expand — one pass, rows x 5, no shuffle beyond the
+    pivot's own; NULL cells are dropped to mirror relational UNPIVOT
+    semantics)."""
+    wide = nation_priority_pivot(spark, sf_dir)
+    df = (
+        wide.unpivot(
+            ["c_nationkey"],
+            [clean for clean in _PRIORITIES.values()],
+            "priority",
+            "revenue",
+        )
+        .filter(F.col("revenue").isNotNull())
+        .orderBy("c_nationkey", "priority")
+    )
+    return shape(df, UNPIVOT_SPEC)
+
+
+_UNPIVOT_ARMS = " UNION ALL ".join(
+    f"SELECT c_nationkey, '{clean}' AS priority, {clean} AS revenue FROM wide"
+    for clean in _PRIORITIES.values()
+)
+
+UNPIVOT_SQL = sql_select(
+    UNPIVOT_SPEC,
+    f"""(
+    WITH wide AS (
+        SELECT c_nationkey,
+            {_PIVOT_COLS}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, priority, revenue
+    FROM ({_UNPIVOT_ARMS}) u
+    WHERE revenue IS NOT NULL
+    ORDER BY c_nationkey, priority
+) s""",
+)
+
+
+# --------------------------------------------------------------------- CUBE
+
+CUBE_SPEC = [
+    ("c_mktsegment", ""),
+    ("o_orderpriority", ""),
+    ("grouping_level", "long"),
+    ("n_orders", "long"),
+    ("revenue", "f2"),
+]
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (market segment, order priority): all four grouping
+    combinations — detail, two marginals, grand total — in ONE Expand
+    pass (rows x 4 before partial aggregation), vs four separate scans.
+    Complements the ROLLUP hierarchy query; GROUPING_ID separates
+    subtotal NULLs from data NULLs."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    df = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grouping_level"),
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("cents").cast(_DEC)).cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+    return shape(df, CUBE_SPEC)
+
+
+CUBE_SQL = sql_select(
+    CUBE_SPEC,
+    """(
+    SELECT c_mktsegment, o_orderpriority,
+        GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority)
+            AS grouping_level,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+) s""",
+)
+
+
 # ------------------------------------------------------- HLL approx distinct
 
 HLL_SPEC = [
@@ -364,6 +465,8 @@ APCTL_SQL = sql_select(
 ANALYTICS: dict[str, QuerySpec] = {
     "approx_percentile_check": QuerySpec(approx_percentile_check, APCTL_SQL),
     "revenue_rollup": QuerySpec(revenue_rollup, ROLLUP_SQL),
+    "revenue_cube": QuerySpec(revenue_cube, CUBE_SQL),
+    "nation_priority_unpivot": QuerySpec(nation_priority_unpivot, UNPIVOT_SQL),
     "customer_order_windows": QuerySpec(customer_order_windows, WINSUITE_SQL),
     "part_setops": QuerySpec(part_setops, SETOPS_SQL),
     "nation_priority_pivot": QuerySpec(nation_priority_pivot, PIVOT_SQL),

@@ -27,7 +27,13 @@ from pyspark.sql import types as T
 from ..sources.catalog import load_table
 from ..streaming.core import materialize_landing, run_available_now, workdir
 from ..streaming.dedup import streaming_dedup
-from ..streaming.joins import clicks_before_errors_stream, event_side, materialize_side, side_stream
+from ..streaming.joins import (
+    clicks_before_errors_outer_stream,
+    clicks_before_errors_stream,
+    event_side,
+    materialize_side,
+    side_stream,
+)
 from ..streaming.ingest import streamed_kaggle_ingest
 from ..streaming.stateful import latest_wins_dedup, running_device_stats
 from ..streaming.windows import tumbling_event_stats
@@ -388,7 +394,164 @@ ENRICH_ORACLE = sql_select(
 )
 
 
+# ------------------------------------------ stream-stream LEFT OUTER join
+
+OUTER_JOIN_SPEC = [
+    ("error_event_id", "long"),
+    ("user_id", "long"),
+    ("error_ts_us", "long"),
+    ("click_event_id", "long"),
+    ("click_ts_us", "long"),
+]
+
+
+def _streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = workdir("ssouter")
+    materialize_side(event_side(spark, sf_dir, "click"), f"{work}/clicks")
+    materialize_side(event_side(spark, sf_dir, "error"), f"{work}/errors")
+    clicks = side_stream(spark, f"{work}/clicks", "c_")
+    errors = side_stream(spark, f"{work}/errors", "e_")
+    joined = clicks_before_errors_outer_stream(clicks, errors)
+    run_available_now(joined, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), OUTER_JOIN_SPEC)
+
+
+# Matched rows emit as they form (same as the inner join); a NULL-click
+# row emits only once the global watermark passes the error's event time
+# (the unmatched verdict is then final). With availableNow the final
+# watermark is ms-floored max(ts) - delay over BOTH inputs, so the
+# oracle keeps unmatched errors only up to that horizon.
+OUTER_JOIN_ORACLE = sql_select(
+    OUTER_JOIN_SPEC,
+    """(
+    SELECT e.event_id AS error_event_id,
+        e.user_id AS user_id,
+        epoch_us(e.ts) AS error_ts_us,
+        c.event_id AS click_event_id,
+        epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts <= e.ts
+     AND c.ts > e.ts - INTERVAL 10 MINUTE
+    WHERE c.event_id IS NOT NULL
+       OR epoch_us(e.ts) <=
+          (epoch_ms((SELECT max(ts) FROM events
+                     WHERE event_type IN ('click', 'error'))) - 7200000) * 1000
+) s""",
+)
+
+
+# ---------------------------------------------- streaming session windows
+
+SSESSION_SPEC = [
+    ("user_id", "long"),
+    ("session_start", ""),
+    ("session_end", ""),
+    ("n_events", "long"),
+    ("sum_centi", "long"),
+]
+
+_SESS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("value_centi", T.LongType()),
+    ]
+)
+
+SESSION_GAP = "10 minutes"
+
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: per-user `session_window` with a
+    10-minute inactivity gap, watermarked, append mode. Sessions merge
+    in the state store while open and emit once the watermark passes
+    session_end (= last event + gap; any event that could still extend
+    the session would by then be late). The landing zone replays in
+    coarse event-time order (materialize_side's mtime stamping) so
+    cross-file sessions merge before finalization.
+
+    At scale: state = one entry per OPEN session per user, evicted at
+    the watermark — bounded by (active users x gap horizon), not by
+    stream length."""
+    ev = load_table(spark, sf_dir, "events")
+    side = ev.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.unix_micros("ts").alias("ts_micros"),
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    work = workdir("sessions")
+    materialize_side(side, f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_SESS_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(f"{work}/landing")
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_micros")))
+        .withWatermark("event_time", "2 hours")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("event_time", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_centi").alias("sum_centi"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_centi",
+        )
+    )
+    run_available_now(agg, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), SSESSION_SPEC)
+
+
+# Oracle: batch gaps-and-islands sessions (same rewrite as the batch
+# events_session_windows oracle), kept only when finalized — session_end
+# <= the final ms-floored watermark (max ts - 2 h).
+SSESSION_ORACLE = sql_select(
+    SSESSION_SPEC,
+    """(
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL '10 minutes' AS session_end,
+        COUNT(*) AS n_events,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING epoch_us(MAX(ts) + INTERVAL '10 minutes')
+        <= (epoch_ms((SELECT max(ts) FROM events)) - 7200000) * 1000
+) s""",
+)
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_session_windows": QuerySpec(_streaming_sessions, SSESSION_ORACLE),
+    "streaming_outer_interval_join": QuerySpec(
+        _streaming_outer_join, OUTER_JOIN_ORACLE
+    ),
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
     "streaming_interval_join": QuerySpec(_streaming_interval_join, SSJOIN_ORACLE),
     "streaming_static_enrich": QuerySpec(_streaming_static_enrich, ENRICH_ORACLE),

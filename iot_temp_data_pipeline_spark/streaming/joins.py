@@ -111,3 +111,27 @@ def event_side(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_micros"),
         F.round(F.col("value") * 100).cast("long").alias("value_centi"),
     )
+
+
+def clicks_before_errors_outer_stream(
+    clicks: DataFrame, errors: DataFrame
+) -> DataFrame:
+    """LEFT OUTER variant: every error emits — joined rows as matches
+    arrive, NULL-click rows once the watermark passes the error's
+    event time (no click with c_ts <= e_ts can still arrive, so the
+    unmatched verdict is final). State interplay: clicks are evicted
+    when the watermark passes c_ts + horizon; errors when it passes
+    e_ts — both bounded by the watermark delay, exactly as the inner
+    join, plus the deferred NULL emission."""
+    cond = (
+        (F.col("c_user_id") == F.col("e_user_id"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr(f"INTERVAL {JOIN_HORIZON}"))
+    )
+    return errors.join(clicks, cond, "leftOuter").select(
+        F.col("e_event_id").alias("error_event_id"),
+        F.col("e_user_id").alias("user_id"),
+        F.col("e_ts_micros").alias("error_ts_us"),
+        F.col("c_event_id").alias("click_event_id"),
+        F.col("c_ts_micros").alias("click_ts_us"),
+    )

@@ -418,9 +418,12 @@ def _streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Matched rows emit as they form (same as the inner join); a NULL-click
 # row emits only once the global watermark passes the error's event time
-# (the unmatched verdict is then final). With availableNow the final
-# watermark is ms-floored max(ts) - delay over BOTH inputs, so the
-# oracle keeps unmatched errors only up to that horizon.
+# (the unmatched verdict is then final). The GLOBAL watermark is the MIN
+# over the per-stream watermarks — each ms-floored (max ts - delay) —
+# so the oracle's horizon is LEAST(max click ts, max error ts) - 2 h,
+# NOT the max over the union (one stream ending early holds the whole
+# query's watermark back; caught by the sf0.001 fixture where the two
+# maxima diverge).
 OUTER_JOIN_ORACLE = sql_select(
     OUTER_JOIN_SPEC,
     """(
@@ -436,8 +439,10 @@ OUTER_JOIN_ORACLE = sql_select(
      AND c.ts > e.ts - INTERVAL 10 MINUTE
     WHERE c.event_id IS NOT NULL
        OR epoch_us(e.ts) <=
-          (epoch_ms((SELECT max(ts) FROM events
-                     WHERE event_type IN ('click', 'error'))) - 7200000) * 1000
+          (epoch_ms(LEAST(
+              (SELECT max(ts) FROM events WHERE event_type = 'click'),
+              (SELECT max(ts) FROM events WHERE event_type = 'error')
+           )) - 7200000) * 1000
 ) s""",
 )
 

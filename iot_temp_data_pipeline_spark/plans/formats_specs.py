@@ -229,3 +229,69 @@ FORMATS: dict[str, QuerySpec] = {
     "orc_roundtrip": QuerySpec(orc_roundtrip, ORC_SQL),
     "upsert_merge": QuerySpec(upsert_merge, UPSERT_SQL),
 }
+
+
+# ---------------------------------------------- custom Python data source
+
+CUSTOM_N_ROWS = 20000
+CUSTOM_LO, CUSTOM_HI = 2000, 18000
+
+CUSTOM_SPEC = [
+    ("device_id", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("min_centi", "long"),
+    ("max_centi", "long"),
+]
+
+
+def custom_source_device_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python DataSource (sources/pydatasource.py) with
+    an event_id range filter — pushed into the reader, which prunes
+    whole partitions at planning time — then aggregate per device. The
+    generator is a pure function of event_id, so the oracle regenerates
+    the identical dataset from range() in SQL; sf_dir is unused (the
+    source IS the data)."""
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", CUSTOM_N_ROWS)
+        .option("n_partitions", 8)
+        .load()
+        .filter(
+            (F.col("event_id") >= CUSTOM_LO) & (F.col("event_id") < CUSTOM_HI)
+        )
+    )
+    out = (
+        df.groupBy("device_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("temp_centi").alias("sum_centi"),
+            F.min("temp_centi").alias("min_centi"),
+            F.max("temp_centi").alias("max_centi"),
+        )
+        .orderBy("device_id")
+    )
+    return shape(out, CUSTOM_SPEC)
+
+
+CUSTOM_SQL = sql_select(
+    CUSTOM_SPEC,
+    f"""(
+    SELECT 'DEV_' || CAST(i % {50} AS VARCHAR) AS device_id,
+        COUNT(*) AS n,
+        SUM((i * {2654435761}) % {4001} - 2000) AS sum_centi,
+        MIN((i * {2654435761}) % {4001} - 2000) AS min_centi,
+        MAX((i * {2654435761}) % {4001} - 2000) AS max_centi
+    FROM (SELECT UNNEST(range({CUSTOM_LO}, {CUSTOM_HI})) AS i) t
+    GROUP BY 1
+    ORDER BY device_id
+) s""",
+)
+
+
+FORMATS["custom_source_device_stats"] = QuerySpec(
+    custom_source_device_stats, CUSTOM_SQL
+)

@@ -1,0 +1,132 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): a
+deterministic synthetic-events generator with partition planning and
+filter pushdown — the extensibility surface an engine exposes when a
+source isn't a file format (think: internal service, queue snapshot,
+synthetic load). The reference's only "source" is a CSV directory
+(SURVEY.md §2.1 S1); this shows the engine-native way to add one.
+
+Design for scale:
+- Generation is PER PARTITION on executors: each InputPartition carries
+  only its id-range (two ints of driver state); rows never touch the
+  driver.
+- `pushFilters` accepts event_id range predicates and PRUNES WHOLE
+  PARTITIONS at planning time — the Python-source analog of parquet
+  row-group pruning. Unsupported filters are returned to Spark to apply
+  post-scan, so pushdown is an optimization, never a semantics change.
+- Every generated value is a pure function of event_id (Knuth
+  multiplicative hash), so any SQL engine can regenerate the dataset
+  exactly — which is what the DuckDB oracle does via range().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+try:  # range-filter classes exist in Spark 4.1's datasource module
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    _RANGE_FILTERS = (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+except ImportError:  # pragma: no cover - older API surface
+    _RANGE_FILTERS = ()
+
+MIX = 2654435761  # Knuth multiplicative hash constant
+TEMP_MOD = 4001
+N_DEVICES = 50
+TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+TS_STEP_US = 30_000_000  # one reading / 30 s
+
+
+def temp_centi_of(event_id: int) -> int:
+    return (event_id * MIX) % TEMP_MOD - 2000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.lo = 0  # inclusive event_id bound after pushdown
+        self.hi = self.n_rows  # exclusive
+
+    def pushFilters(self, filters):
+        """Narrow [lo, hi) from event_id range predicates; yield back
+        everything we can't fully apply. EqualTo collapses the range to
+        one id. Filters on other columns are not handled (yielded)."""
+        for f in filters:
+            handled = False
+            if isinstance(f, EqualTo) and f.attribute == ("event_id",):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+                handled = True
+            elif _RANGE_FILTERS and isinstance(f, _RANGE_FILTERS):
+                if f.attribute == ("event_id",):
+                    v = int(f.value)
+                    if isinstance(f, _RANGE_FILTERS[0]):  # >
+                        self.lo = max(self.lo, v + 1)
+                    elif isinstance(f, _RANGE_FILTERS[1]):  # >=
+                        self.lo = max(self.lo, v)
+                    elif isinstance(f, _RANGE_FILTERS[2]):  # <
+                        self.hi = min(self.hi, v)
+                    else:  # <=
+                        self.hi = min(self.hi, v + 1)
+                    handled = True
+            if not handled:
+                yield f
+
+    def partitions(self):
+        """Equal id-range slices of [0, n_rows), pruned to the pushed
+        bounds — a partition entirely outside [lo, hi) never exists, so
+        a selective filter skips executor work, not just rows."""
+        step = max(1, self.n_rows // self.n_partitions)
+        parts = []
+        for s in range(0, self.n_rows, step):
+            e = min(s + step, self.n_rows)
+            s2, e2 = max(s, self.lo), min(e, self.hi)
+            if s2 < e2:
+                parts.append(_RangePartition(s2, e2))
+        return parts or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                f"DEV_{i % N_DEVICES}",
+                TS_BASE_US + i * TS_STEP_US,
+                temp_centi_of(i),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, device_id string, ts_micros long, temp_centi long"
+        )
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown is opt-in (runtime-settable conf);
+    # without it Spark refuses a reader that implements pushFilters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -73,3 +73,34 @@ def test_jsonl_corrupt_records_captured(spark):
     df = read_jsonl(spark, path, schema).cache()
     assert df.filter(F.col("_corrupt_json").isNotNull()).count() == 1
     assert df.filter(F.col("id").isNotNull()).count() == 2
+
+
+def test_custom_datasource_pushdown_prunes_partitions(spark):
+    from pyspark.sql.datasource import EqualTo
+
+    from iot_temp_data_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+        temp_centi_of,
+    )
+
+    r = SyntheticEventsReader({"n_rows": "1000", "n_partitions": "4"})
+    unsupported = list(r.pushFilters([EqualTo(("event_id",), 5)]))
+    assert unsupported == []  # fully handled
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [(5, 6)]
+    rows = list(r.read(parts[0]))
+    assert rows == [(5, "DEV_5", 1704067200000000 + 5 * 30_000_000, temp_centi_of(5))]
+
+
+def test_custom_datasource_scan_roundtrip(spark):
+    from iot_temp_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("n_partitions", 3)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.selectExpr("count(distinct device_id)").first()[0] == 50

@@ -295,3 +295,138 @@ CUSTOM_SQL = sql_select(
 FORMATS["custom_source_device_stats"] = QuerySpec(
     custom_source_device_stats, CUSTOM_SQL
 )
+
+
+# ------------------------------------------- schema evolution (mergeSchema)
+
+EVOLVE_SPEC = [
+    ("half", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("n_quality", "long"),
+    ("sum_quality", "long"),
+]
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 (days
+    1-15) lacks the `quality` column that generation 2 (days 16-30)
+    adds. `mergeSchema` unions the footers into one schema; v1 rows
+    surface NULL quality — the additive-column contract every long-
+    lived lake table relies on. (At 100 TB you pin the merged schema in
+    a catalog instead of re-merging footers per read; the read
+    semantics are identical.)"""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.to_date("ts").alias("d"),
+    )
+    work = workdir("evolve")
+    v1 = base.filter(F.col("d") < F.lit("2024-01-16")).drop("d")
+    v2 = (
+        base.filter(F.col("d") >= F.lit("2024-01-16"))
+        .withColumn("quality", F.col("value_centi") % 5)
+        .drop("d")
+    )
+    v1.write.parquet(f"{work}/gen1")
+    v2.write.parquet(f"{work}/gen2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{work}/gen1", f"{work}/gen2"
+    )
+    df = (
+        merged.withColumn(
+            "half", F.when(F.col("quality").isNull(), "gen1").otherwise("gen2")
+        )
+        .groupBy("half")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_centi").alias("sum_centi"),
+            F.count("quality").alias("n_quality"),
+            F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("sum_quality"),
+        )
+        .orderBy("half")
+    )
+    return shape(df, EVOLVE_SPEC)
+
+
+EVOLVE_SQL = sql_select(
+    EVOLVE_SPEC,
+    f"""(
+    SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                THEN 'gen1' ELSE 'gen2' END AS half,
+        COUNT(*) AS n,
+        SUM({_CENTI}) AS sum_centi,
+        SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_quality,
+        SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN {_CENTI} % 5 ELSE 0 END) AS sum_quality
+    FROM events
+    GROUP BY 1
+    ORDER BY half
+) s""",
+)
+
+
+FORMATS["schema_evolution_read"] = QuerySpec(schema_evolution_read, EVOLVE_SQL)
+
+
+# --------------------------------------------------------- SQL API parity
+
+SQLAPI_SPEC = [
+    ("r_name", ""),
+    ("n_orders", "long"),
+    ("revenue", "f2"),
+]
+
+
+def sql_api_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through its SQL front door: fixture tables
+    registered as temp views (sources/catalog.register_views), the
+    query authored as SQL text — Catalyst compiles it to the same plan
+    a DataFrame program gets (SURVEY.md §3.3's dual-API requirement).
+    Exact-cents revenue per region over the 4-table join."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        """
+        SELECT r_name,
+            COUNT(DISTINCT o_orderkey) AS n_orders,
+            CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (1000 - CAST(ROUND(l_discount * 1000) AS BIGINT))
+                          AS DECIMAL(38,0))) AS DOUBLE) / 100000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
+    return shape(df, SQLAPI_SPEC)
+
+
+SQLAPI_SQL = sql_select(
+    SQLAPI_SPEC,
+    """(
+    SELECT r_name,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (1000 - CAST(ROUND(l_discount * 1000) AS BIGINT)))
+             AS DOUBLE) / 100000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+) s""",
+)
+
+
+FORMATS["sql_api_regional_revenue"] = QuerySpec(
+    sql_api_regional_revenue, SQLAPI_SQL
+)

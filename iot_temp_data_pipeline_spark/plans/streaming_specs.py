@@ -394,6 +394,89 @@ ENRICH_ORACLE = sql_select(
 )
 
 
+# ------------------------------------------------- streaming CDC upsert
+
+CDC_SPEC = [
+    ("device_id", ""),
+    ("ts_micros", "long"),
+    ("temp_centi", "long"),
+    ("dlt_id", ""),
+]
+
+
+def _streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: each micro-batch reduces to its newest row
+    per (device_id, ts_micros) and foreachBatch-merges into a parquet
+    table partitioned by a device hash bucket, with version precedence
+    on dlt_id — so replayed or out-of-order batches can never clobber a
+    newer row (merge_upsert_partitioned's version_col path). This is
+    the standard CDC landing pattern: bounded per-batch work (only
+    touched partitions rewrite), exactly-once end state regardless of
+    batch boundaries.
+
+    End state == arg_max over the whole input per key, which is the
+    oracle (same latest-wins contract as W1, lexicographic on dlt_id on
+    both engines)."""
+    import os
+
+    from ..sources.formats import merge_upsert_partitioned
+
+    work = workdir("cdc")
+    materialize_landing(_dedup_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_DEDUP_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(f"{work}/landing")
+    )
+    table_dir = f"{work}/table"
+    w = Window.partitionBy("device_id", "ts_micros").orderBy(F.desc("dlt_id"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reduced = (
+            batch_df.withColumn("bucket", F.abs(F.hash("device_id")) % 8)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not os.path.isdir(table_dir):
+            reduced.write.partitionBy("bucket").parquet(table_dir)
+        else:
+            merge_upsert_partitioned(
+                spark,
+                table_dir,
+                reduced,
+                key_cols=["device_id", "ts_micros"],
+                partition_col="bucket",
+                version_col="dlt_id",
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return shape(spark.read.parquet(table_dir), CDC_SPEC)
+
+
+CDC_ORACLE = (
+    "WITH "
+    + _DEDUP_BASE_SQL.strip()
+    + sql_select(
+        CDC_SPEC,
+        """(
+    SELECT device_id, ts_micros,
+        arg_max(temp_centi, dlt_id) AS temp_centi,
+        MAX(dlt_id) AS dlt_id
+    FROM landed
+    GROUP BY device_id, ts_micros
+) s""",
+    )
+)
+
+
 # ------------------------------------------ stream-stream LEFT OUTER join
 
 OUTER_JOIN_SPEC = [
@@ -557,6 +640,7 @@ STREAMING: dict[str, QuerySpec] = {
     "streaming_outer_interval_join": QuerySpec(
         _streaming_outer_join, OUTER_JOIN_ORACLE
     ),
+    "streaming_cdc_upsert": QuerySpec(_streaming_cdc_upsert, CDC_ORACLE),
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
     "streaming_interval_join": QuerySpec(_streaming_interval_join, SSJOIN_ORACLE),
     "streaming_static_enrich": QuerySpec(_streaming_static_enrich, ENRICH_ORACLE),

@@ -62,6 +62,7 @@ def merge_upsert_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    version_col: str | None = None,
 ) -> list[str]:
     """Latest-wins MERGE of `updates` into the parquet table at
     `table_dir`, rewriting ONLY the partitions the update set touches.
@@ -78,6 +79,12 @@ def merge_upsert_partitioned(
     rewrites just those directories. Cost scales with the update set's
     partition footprint, not the table size. Returns the touched
     partition values (driver-side metadata only).
+
+    With ``version_col`` the merge is CDC-safe under out-of-order
+    delivery: instead of updates always winning, base ∪ updates is
+    reduced to the max-version row per key (ties broken toward the
+    update), so replaying an older change can never clobber a newer
+    row — the MERGE precedence real change-data-capture needs.
     """
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
@@ -85,10 +92,25 @@ def merge_upsert_partitioned(
     base = spark.read.parquet(table_dir).filter(
         F.col(partition_col).isin(touched)
     )
-    survivors = base.join(
-        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-    )
-    merged = survivors.unionByName(updates)
+    if version_col is None:
+        survivors = base.join(
+            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        from pyspark.sql import Window
+
+        allrows = base.withColumn("_src", F.lit(0)).unionByName(
+            updates.withColumn("_src", F.lit(1))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(version_col).desc(), F.col("_src").desc()
+        )
+        merged = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -196,8 +196,13 @@ def _training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup drops the higher doc_id of every Jaccard ≥ 0.6 pair; (3) only
     quality_score ≥ 0.4 docs survive; output carries token counts. One
     flow through hash-groupBy → semi join → anti join → filter — the
-    composition a 100 TB corpus cleaning job actually runs."""
-    corpus = dd.dedup_corpus(spark, sf_dir)
+    composition a 100 TB corpus cleaning job actually runs.
+
+    The corpus feeds three consumers (stats, exact-dedup keys, shingle
+    pairs); persisting it trades one materialization for three
+    re-derivations of the union+replica lineage (~17% at sf0.1; at
+    100 TB you'd checkpoint to storage instead, same principle)."""
+    corpus = dd.dedup_corpus(spark, sf_dir).persist()
     stats = ta.text_stats(corpus)
     keep = (
         corpus.groupBy(F.md5("text").alias("h"))

@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis): the distributed operators must
+agree with trivially-correct single-process reference implementations
+on arbitrary small inputs — the class of bug (boundary, tie, empty
+group, single element) that fixture-based tests miss.
+
+Examples are capped low because each one runs real Spark jobs; the
+point is randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.functions.skew import salted_aggregate
+from iot_temp_data_pipeline_spark.functions.stats import exact_avg, exact_stddev
+from iot_temp_data_pipeline_spark.operators.asof import asof_join
+from iot_temp_data_pipeline_spark.operators.dedup import connected_components
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 5),
+)
+def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, "k long, v long")
+    salted = salted_aggregate(
+        df,
+        "k",
+        n_salts,
+        partial_aggs={"s": F.sum("v"), "c": F.count("*"), "m": F.max("v")},
+        final_aggs={
+            "s": F.sum("s"),
+            "c": F.sum("c"),
+            "m": F.max("m"),
+        },
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("*").alias("c"), F.max("v").alias("m")
+    )
+    assert {tuple(r) for r in salted.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+
+def _ref_asof_backward(left, right):
+    out = {}
+    for lid, k, lts in left:
+        best = None
+        for rid, rk, rts in right:
+            if rk == k and rts <= lts:
+                if best is None or (rts, rid) > (best[2], best[0]):
+                    best = (rid, rk, rts)
+        out[lid] = best[0] if best else None
+    return out
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(100, 199), st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_asof_backward_matches_reference(spark, lrows, rrows):
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rrows, "rid long, k long, ts long")
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(
+            left, right, on=["k"], ts="ts", tie="rid", direction="backward"
+        ).collect()
+    }
+    assert got == _ref_asof_backward(lrows, rrows)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.integers(-10000, 10000).map(lambda c: c / 100.0),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_exact_stats_match_python_statistics(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        exact_avg(F.col("v")).alias("a"), exact_stddev(F.col("v")).alias("s")
+    ).first()
+    assert math.isclose(row["a"], statistics.fmean(values), abs_tol=1e-9)
+    assert math.isclose(row["s"], statistics.stdev(values), rel_tol=1e-9, abs_tol=1e-9)

@@ -60,6 +60,9 @@ HEADLINE = [
     "multimodal_media_metadata",
     "streaming_ingest_kaggle",
     "training_corpus_prep",
+    "dedup_clusters_ngram",
+    "upsert_merge",
+    "custom_source_device_stats",
 ]
 
 

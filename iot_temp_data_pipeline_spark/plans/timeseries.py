@@ -210,3 +210,78 @@ TIMESERIES: dict[str, QuerySpec] = {
     "value_trend_by_type": QuerySpec(value_trend_by_type, TREND_SQL),
     "events_resample_hourly_ffill": QuerySpec(resample_hourly_ffill, RESAMPLE_SQL),
 }
+
+
+# ------------------------------------------------------- SCD2 history build
+
+SCD2_SPEC = [
+    ("user_id", "long"),
+    ("state", ""),
+    ("valid_from_us", "long"),
+    ("valid_to_us", "long"),
+    ("is_current", ""),
+]
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a change stream: collapse
+    consecutive events with the same tracked state per user, then close
+    each run with the next change's timestamp — (valid_from, valid_to]
+    intervals, NULL valid_to marking the current row. This is dbt's
+    snapshot materialization (the reference's stack supports it but its
+    models never use it) built from two window passes.
+
+    Scale stance: both windows partition by user_id and sort within the
+    partition only — one shuffle total (the second window reuses the
+    first's partitioning); no self-join, no driver state. Ordering is
+    total via the (ts, event_id) tie-break, so runs are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_id", "ts", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = (
+        changes.withColumn("next_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "state",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros("next_ts").alias("valid_to_us"),
+            F.col("next_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+    return shape(df, SCD2_SPEC)
+
+
+SCD2_SQL = sql_select(
+    SCD2_SPEC,
+    """(
+    WITH changes AS (
+        SELECT user_id, event_id, ts, event_type AS state
+        FROM (
+            SELECT *, LAG(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS prev_state
+            FROM events
+        ) t
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+        epoch_us(ts) AS valid_from_us,
+        epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            AS valid_to_us,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+) s""",
+)
+
+
+TIMESERIES["scd2_user_history"] = QuerySpec(scd2_user_history, SCD2_SQL)

@@ -149,3 +149,49 @@ def test_exact_stats_match_python_statistics(spark, values):
     ).first()
     assert math.isclose(row["a"], statistics.fmean(values), abs_tol=1e-9)
     assert math.isclose(row["s"], statistics.stdev(values), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _ref_point_in_interval(points, intervals):
+    out = set()
+    for pid, pk, pts_ in points:
+        for iid, ik, s, e in intervals:
+            if pk == ik and s <= pts_ < e:
+                out.add((pid, iid))
+    return out
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(100, 199),
+            st.integers(0, 2),
+            st.integers(0, 90),
+            st.integers(1, 40),
+        ).map(lambda r: (r[0], r[1], r[2], r[2] + r[3])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    st.sampled_from([1, 7, 16]),
+)
+def test_range_join_matches_brute_force(spark, points, intervals, bucket_width):
+    from iot_temp_data_pipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    p = spark.createDataFrame(points, "pid long, k long, pts long")
+    i = spark.createDataFrame(intervals, "iid long, k long, s long, e long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            p, i, on=["k"], point_ts="pts", start="s", end="e", bucket_width=bucket_width
+        ).collect()
+    }
+    assert got == _ref_point_in_interval(points, intervals)

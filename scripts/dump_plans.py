@@ -1,0 +1,91 @@
+"""Regenerate PLANS.md: the formatted physical plans of representative
+queries, with the shape properties each one is expected to exhibit
+(and that tests/test_plan_shape.py pins). Usage:
+
+    python scripts/dump_plans.py [out.md]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+from iot_temp_data_pipeline_spark.session import get_spark
+
+SF = os.environ.get("SF", "/root/testdata/sf0.01")
+
+# query -> what to look for in the plan
+SHOWCASE = {
+    "anomaly_scores_t2": (
+        "All four stats enrichments are broadcast (3x BroadcastHashJoin + "
+        "1x BroadcastNestedLoopJoin for the 1-row global stats); the probe "
+        "side never shuffles for enrichment; the GROUPING SETS Expand "
+        "computes 4 stat granularities in one aggregation pass."
+    ),
+    "tpch_q9_product_type_profit": (
+        "Part (LIKE-filtered) and supplier⋈nation broadcast; the only "
+        "fact-fact exchange is lineitem⋈orders on orderkey; aggregation is "
+        "partial (map-side) then final — check the two HashAggregate "
+        "levels around the exchange."
+    ),
+    "tpch_q21_suppliers_who_kept_waiting": (
+        "The double-correlated EXISTS/NOT EXISTS is decorrelated to ONE "
+        "per-order aggregate joined back — no nested-loop join appears; "
+        "the per-order stats and probe rows share the orderkey exchange."
+    ),
+    "staging_readings": (
+        "Column pruning: ReadSchema omits events.props (wide JSON); the "
+        "whole staging expression chain runs inside one WholeStageCodegen "
+        "span over the scan."
+    ),
+    "tpch_q6_forecast_revenue": (
+        "All three predicates reach the parquet scan as PushedFilters; "
+        "the aggregate is a two-level partial/final over the pruned scan."
+    ),
+    "events_resample_hourly_ffill": (
+        "The grid generate (Expand via explode(sequence)) never touches "
+        "the fact table; the fill Window sorts only within event_type "
+        "partitions — no global Sort node outside the final presentation "
+        "OrderBy."
+    ),
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
+    spark = get_spark(app_name="plans", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    chunks = [
+        "# PLANS — physical-plan showcase\n\n"
+        "Regenerate with `python scripts/dump_plans.py`. Each section: the\n"
+        "plan property the query is designed around (pinned by\n"
+        "`tests/test_plan_shape.py` / `tests/test_tpch_extra.py` where\n"
+        "noted), then `explain('formatted')` output at sf0.01.\n"
+    ]
+    for name, blurb in SHOWCASE.items():
+        df = REGISTRY[name].spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the operator tree + the scan details; trim long field lists
+        lines = [
+            ln[:120]
+            for ln in plan.splitlines()
+            if not ln.startswith("Arguments:") or "PushedFilters" in ln or "ReadSchema" in ln
+        ]
+        chunks.append(
+            f"\n## {name}\n\n{blurb}\n\n```\n" + "\n".join(lines) + "\n```\n"
+        )
+    with open(out_path, "w") as f:
+        f.write("".join(chunks))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

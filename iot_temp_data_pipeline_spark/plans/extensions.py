@@ -358,3 +358,72 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "multimodal_resize_images": QuerySpec(_resize, RESIZE_ORACLE),
     "training_corpus_prep": QuerySpec(_training_corpus_prep, PREP_ORACLE),
 }
+
+
+# ------------------------------------------------------ ANN recall check
+
+RECALL_SPEC = [
+    ("n_queries", "long"),
+    ("mean_recall_at_5", "f4"),
+]
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against brute-force ground truth — the
+    quality metric an ANN deployment actually monitors. Both pipelines
+    are deterministic (quantized cosine, total tie-breaks), so recall
+    is a fixed number the oracle recomputes exactly by composing the
+    same two SQL pipelines; no pinned-bound weakening needed."""
+    bf = sim.knn_brute_force(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    df = (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("h")),
+            "query_id",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_recall_at_5"),
+        )
+    )
+    return shape(df, RECALL_SPEC)
+
+
+RECALL_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(
+        RECALL_SPEC,
+        f"""(
+    WITH bf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_brute_force_sql()}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_ivf_sql()}
+    ),
+    per_q AS (
+        SELECT bf.query_id, COUNT(*) AS k,
+            SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM bf
+        LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                     AND bf.neighbor_id = ivf.neighbor_id
+        GROUP BY bf.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
+    FROM per_q
+) s""",
+    )
+)
+
+
+EXTENSIONS["ann_recall_check"] = QuerySpec(_ann_recall, RECALL_ORACLE)

@@ -197,3 +197,41 @@ def bottomk_fingerprints_sql(source: str = "documents", k: int = FINGERPRINT_K) 
     ) ranked
     WHERE fp_rank <= {k}
 ) s"""
+
+
+# ------------------------------------------------------------ PII redaction
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Email/phone redaction — the scrub pass every LLM training corpus
+    runs before tokenization. Pure native regexp ops (count then
+    replace), one projection, no shuffle; patterns are RE2-safe so the
+    DuckDB oracle applies the identical regexes. Returns per-doc
+    redaction counts + the md5 of the redacted text (proving the
+    replacement itself, not just the counts, matches)."""
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+def redact_pii_sql(relation: str = "pii_docs") -> str:
+    return f"""(
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+            AS n_emails,
+        CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+            AS n_phones,
+        md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM {relation}
+) s"""

@@ -427,3 +427,59 @@ RECALL_ORACLE = (
 
 
 EXTENSIONS["ann_recall_check"] = QuerySpec(_ann_recall, RECALL_ORACLE)
+
+
+# --------------------------------------------------------- PII redaction
+
+PII_SPEC = [
+    ("doc_id", "long"),
+    ("n_emails", "long"),
+    ("n_phones", "long"),
+    ("redacted_hash", ""),
+]
+
+# The fixture corpus carries no natural PII, so deterministic synthetic
+# PII is injected first (every 5th doc an email, every 7th a phone) —
+# mirrored exactly in the oracle's pii_docs CTE.
+_PII_DOCS_SQL = """
+pii_docs AS (
+    SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' phone 555-123-4567' ELSE '' END
+            AS text
+    FROM documents
+)
+"""
+
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" phone 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return shape(ta.redact_pii(with_pii), PII_SPEC)
+
+
+PII_ORACLE = "WITH " + _PII_DOCS_SQL.strip() + sql_select(
+    PII_SPEC, ta.redact_pii_sql()
+)
+
+
+EXTENSIONS["pii_redaction"] = QuerySpec(_pii_redaction, PII_ORACLE)

@@ -215,3 +215,30 @@ def int_temperature_anomalies(
             ),
         )
     )
+
+
+def deduplicated_valid_readings_aggform(stg: DataFrame) -> DataFrame:
+    """W1 in aggregation form (the SURVEY §2.4 scale note made real):
+    `max_by(struct(payload), _dlt_id)` per (device_id,
+    reading_timestamp) replaces row_number + filter. Same semantics
+    (_dlt_id is unique, so the winner is identical), different physical
+    plan: partial+final aggregation (SortAggregate — struct max_by is
+    an imperative aggregate) whose map-side partial shrinks each
+    partition to ONE candidate per key BEFORE the exchange, where the
+    window form must shuffle every duplicate row and sort whole groups.
+    At 100 TB with hot keys that is the difference between a bounded
+    shuffle and a skewed sort. rn is a literal 1 so both forms share
+    the oracle (the registry checks them against the SAME DuckDB
+    query)."""
+    keys = ("device_id", "reading_timestamp")
+    payload = [c for c in stg.columns if c not in keys]
+    winner = stg.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.col("_dlt_id")).alias("w")
+    )
+    flat = winner.select(
+        *keys, *[F.col(f"w.{c}").alias(c) for c in payload]
+    )
+    return flat.filter(
+        (F.col("is_valid_record") == True)  # noqa: E712
+        & F.col("temperature_celsius").isNotNull()
+    ).withColumn("rn", F.lit(1).cast("long"))

@@ -23,7 +23,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.anomalies import deduplicated_valid_readings, int_temperature_anomalies
+from ..operators.anomalies import (
+    deduplicated_valid_readings,
+    deduplicated_valid_readings_aggform,
+    int_temperature_anomalies,
+)
 from ..operators.marts import (
     anomaly_analysis,
     device_level_stats,
@@ -256,6 +260,13 @@ def _valid_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(deduplicated_valid_readings(stg), VALID_SPEC)
 
 
+def _valid_readings_aggform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    return shape(deduplicated_valid_readings_aggform(stg), VALID_SPEC)
+
+
 def _anomalies(threshold: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stg = stg_raw_temperature_readings(
@@ -434,6 +445,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_valid_readings": QuerySpec(
         _valid_readings, _oracle(VALID_SPEC, "valid_readings")
+    ),
+    "dedup_valid_readings_aggform": QuerySpec(
+        _valid_readings_aggform, _oracle(VALID_SPEC, "valid_readings")
     ),
     "anomaly_scores": QuerySpec(
         _anomalies(REF_THRESHOLD),

@@ -108,3 +108,13 @@ def test_topk_uses_takeordered(spark, sf_dir):
     sort of the full table."""
     plan = plan_of(REGISTRY["topk_orders"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aggform_dedup_has_no_window_and_partial_agg(spark, sf_dir):
+    """The max_by dedup form must plan as partial+final aggregation
+    around one exchange (map-side combine before the shuffle), with no
+    Window node — the scale story it exists for."""
+    plan = plan_of(REGISTRY["dedup_valid_readings_aggform"].spark(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") >= 1

@@ -483,3 +483,60 @@ PII_ORACLE = "WITH " + _PII_DOCS_SQL.strip() + sql_select(
 
 
 EXTENSIONS["pii_redaction"] = QuerySpec(_pii_redaction, PII_ORACLE)
+
+
+# ------------------------------------------------------ bigram collocations
+
+BIGRAM_SPEC = [
+    ("bigram", ""),
+    ("n", "long"),
+]
+
+BIGRAM_TOP = 20
+
+
+def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts (collocation analysis): tokenize once,
+    pair each token with its successor via zip of two array slices, one
+    explode, one count aggregation, TakeOrderedAndProject for the
+    top-k. The shuffle carries (bigram, partial count) thanks to
+    map-side combine — never raw token pairs."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    d = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    df = (
+        pairs.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(BIGRAM_TOP)
+    )
+    return shape(df, BIGRAM_SPEC)
+
+
+BIGRAM_ORACLE = sql_select(
+    BIGRAM_SPEC,
+    f"""(
+    SELECT t.tk[s.i] || ' ' || t.tk[s.i + 1] AS bigram, COUNT(*) AS n
+    FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents) t
+    JOIN (SELECT UNNEST(generate_series(1, 10000)) AS i) s
+      ON s.i <= len(t.tk) - 1
+    WHERE len(t.tk) >= 2
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT {BIGRAM_TOP}
+) s""",
+)
+
+
+EXTENSIONS["top_bigrams"] = QuerySpec(_top_bigrams, BIGRAM_ORACLE)

@@ -62,3 +62,38 @@ def materialize_and_analyze(
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{suffix}")
     described = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
     return {r["col_name"]: str(r["data_type"]) for r in described if r["col_name"]}
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files. The file-count pathology is
+    the streaming/CDC sink's long-term failure mode (every micro-batch
+    appends small files; listing + per-file open costs grow linearly);
+    periodic compaction restores scan efficiency. Returns (files_before,
+    files_after).
+
+    At 100 TB this runs per partition directory (bounded work, like the
+    upsert); here the whole dir is one unit. `coalesce` avoids a
+    shuffle when reducing file count — the rewrite is scan + write."""
+    import glob
+    import math
+    import os
+
+    files = glob.glob(f"{table_dir}/*.parquet")
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(table_dir)
+    tmp = table_dir.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_target).write.parquet(tmp)
+    # atomic-ish swap (same filesystem): old dir replaced by compacted
+    bak = table_dir.rstrip("/") + "__compact_old"
+    os.rename(table_dir, bak)
+    os.rename(tmp, table_dir)
+    import shutil
+
+    shutil.rmtree(bak)
+    return len(files), len(glob.glob(f"{table_dir}/*.parquet"))

@@ -107,3 +107,61 @@ def test_foreach_batch_full_refresh(spark, sf_dir, tmp_path):
     expected = int_temperature_anomalies(stg_raw_temperature_readings(raw))
     assert mart.count() == expected.count()
     assert sorted(mart.columns) == sorted(expected.columns)
+
+
+def test_stateful_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: a key whose duplicate versions
+    arrive in SEPARATE runs (same checkpoint) must still converge to
+    the overall winner — the per-key counter n continues from the
+    recovered state store, not from zero."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from iot_temp_data_pipeline_spark.streaming.core import run_available_now
+    from iot_temp_data_pipeline_spark.streaming.stateful import latest_wins_dedup
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = T.StructType(
+        [
+            T.StructField("device_id", T.StringType()),
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("temp_centi", T.LongType()),
+            T.StructField("dlt_id", T.StringType()),
+        ]
+    )
+
+    def drop(name, rows):
+        with open(f"{landing}/{name}", "w") as f:
+            f.write("device_id,ts_micros,temp_centi,dlt_id\n")
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .csv(landing)
+        )
+        run_available_now(latest_wins_dedup(stream), sink, ckpt)
+
+    # run 1: version b (winner so far) and a second key
+    drop("f1.csv", [("D1", 100, 210, "b"), ("D2", 100, 300, "a")])
+    run()
+    # run 2 (recovered state): late lower version a, then higher c
+    drop("f2.csv", [("D1", 100, 205, "a"), ("D1", 100, 220, "c")])
+    run()
+
+    log = spark.read.parquet(sink)
+    w = Window.partitionBy("device_id", "ts_micros").orderBy(F.desc("n"))
+    final = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("device_id", "dlt_id", "temp_centi", "n")
+    )
+    got = {r["device_id"]: (r["dlt_id"], r["temp_centi"], r["n"]) for r in final.collect()}
+    # D1 saw 3 rows across two runs -> n=3 proves state recovery; winner c
+    assert got["D1"] == ("c", 220, 3)
+    assert got["D2"] == ("a", 300, 1)

@@ -30,6 +30,12 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamps in the fixtures are naive instants; DuckDB reads them
+    # naive. A non-UTC session tz would shift every year()/date_format()
+    # derivation on a caller-provided session, so pin it here at the
+    # access path (runtime-settable, like the nanos conf below) rather
+    # than trusting the session builder.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
         # default (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-settable

@@ -180,3 +180,26 @@ def assert_checks_pass(stg: DataFrame, names: list[str]) -> None:
     failing = {r["check_name"]: r["violations"] for r in rows if r["violations"] > 0}
     if failing:
         raise AssertionError(f"data-quality checks failed: {failing}")
+
+
+def with_observed_checks(stg: DataFrame):
+    """Attach the row checks as an `observe()` metric set: violation
+    counters accumulate DURING whatever job consumes the DataFrame —
+    zero extra passes, zero extra shuffles. This is the production
+    monitoring form of the dbt checks (check_violations is the audit
+    form): a pipeline writes its output once and reads its quality
+    counters off the Observation for free. At 100 TB an extra audit
+    scan is real money; observation is not. Returns (df, observation);
+    call ``observation.get`` after an action has run."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    df = stg.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        *[
+            F.sum(F.when(c.violation(), 1).otherwise(0)).cast("long").alias(c.name)
+            for c in ROW_CHECKS
+        ],
+    )
+    return df, obs

@@ -45,3 +45,32 @@ def test_all_checks_present(stg):
     rows = {r["check_name"] for r in check_violations(stg).collect()}
     assert set(MUST_PASS) <= rows
     assert "not_null_temperature_celsius" in rows
+
+
+def test_observed_checks_match_audit_counts(spark, sf_dir):
+    """The observe()-based counters (collected during a single write
+    job) must equal the audit aggregation's counts."""
+    from iot_temp_data_pipeline_spark.checks import (
+        check_violations,
+        with_observed_checks,
+    )
+    from iot_temp_data_pipeline_spark.operators.staging import (
+        stg_raw_temperature_readings,
+    )
+    from iot_temp_data_pipeline_spark.sources.readings import raw_readings
+
+    stg = stg_raw_temperature_readings(
+        raw_readings(spark, sf_dir), with_processing_timestamp=False
+    )
+    observed, obs = with_observed_checks(stg)
+    observed.write.format("noop").mode("overwrite").save()  # ONE pass
+    metrics = obs.get
+
+    audit = {
+        r["check_name"]: r["violations"]
+        for r in check_violations(stg).collect()
+        if r["check_name"] != "unique_record_id"  # not row-local
+    }
+    assert metrics["rows_seen"] == stg.count()
+    for name, violations in audit.items():
+        assert metrics[name] == violations

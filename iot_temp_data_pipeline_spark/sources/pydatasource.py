@@ -23,8 +23,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 try:  # range-filter classes exist in Spark 4.1's datasource module
@@ -130,3 +132,70 @@ def register(spark) -> None:
     # without it Spark refuses a reader that implements pushFilters.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ----------------------------------------------------------- writer side
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    """Per-partition JSONL writer with a two-phase commit: executors
+    write temp files and return commit messages; the driver's commit()
+    renames them into place atomically (abort() leaves nothing visible)
+    — the same task-commit protocol every Spark file sink implements,
+    here at the Python DataSource layer."""
+
+    def __init__(self, options):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("option 'path' is required")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(f"{self.out_dir}/_tmp", exist_ok=True)
+        path = f"{self.out_dir}/_tmp/part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(path, n)
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            os.rename(m.path, f"{self.out_dir}/part-{i:05d}.jsonl")
+        try:
+            os.rmdir(f"{self.out_dir}/_tmp")
+        except OSError:
+            pass
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(f"{self.out_dir}/_tmp", ignore_errors=True)
+
+
+class JsonlAuditDataSource(DataSource):
+    """Write-capable Python DataSource: df.write.format('jsonl_audit')
+    .option('path', dir).save()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlAuditWriter(self.options)
+
+
+def register_writer(spark) -> None:
+    spark.dataSource.register(JsonlAuditDataSource)

@@ -104,3 +104,22 @@ def test_custom_datasource_scan_roundtrip(spark):
     )
     assert df.count() == 500
     assert df.selectExpr("count(distinct device_id)").first()[0] == 50
+
+
+def test_custom_datasource_writer_two_phase_commit(spark, tmp_path):
+    import glob
+    import json
+
+    from iot_temp_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register_writer(spark)
+    out = str(tmp_path / "audit")
+    df = spark.range(100).selectExpr("id", "id % 3 AS v").repartition(4)
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+    files = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(files) == 4
+    assert len(rows) == 100
+    assert sum(r["id"] for r in rows) == 4950
+    # no temp litter after commit
+    assert glob.glob(f"{out}/_tmp/*") == []

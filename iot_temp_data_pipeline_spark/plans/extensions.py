@@ -540,3 +540,79 @@ BIGRAM_ORACLE = sql_select(
 
 
 EXTENSIONS["top_bigrams"] = QuerySpec(_top_bigrams, BIGRAM_ORACLE)
+
+
+# ---------------------------------------------------- stratified sampling
+
+STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0, "signup": 0.25}
+
+SAMPLE_SPEC = [
+    ("event_type", ""),
+    ("population", "long"),
+    ("expected", "long"),
+    ("within_5_sigma", ""),
+]
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing via `sampleBy` (per-stratum Bernoulli
+    sampling) — the subsampling step a training-data pipeline runs to
+    fix label skew. The draw is engine-specific (seeded per-partition
+    RNG), so like the HLL/percentile entries the oracle pins a
+    statistical bound: each stratum's sample size must fall within 5
+    binomial standard deviations of n*p (p=1.0 must be exact). Strata
+    not in the fraction map are dropped entirely — also pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.sampleBy("event_type", STRATA_FRACTIONS, seed=42)
+    pop = ev.groupBy("event_type").agg(F.count("*").alias("population"))
+    got = sampled.groupBy("event_type").agg(F.count("*").alias("sampled"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+    )
+    df = (
+        pop.join(got, "event_type", "left")
+        .withColumn("p", frac[F.col("event_type")])
+        .filter(F.col("p").isNotNull())
+        .withColumn("expected", F.round(F.col("population") * F.col("p")).cast("long"))
+        .withColumn(
+            "sigma",
+            F.sqrt(F.col("population") * F.col("p") * (1 - F.col("p"))),
+        )
+        .withColumn(
+            "within_5_sigma",
+            F.when(
+                F.col("p") == 1.0,
+                F.coalesce(F.col("sampled"), F.lit(0)) == F.col("population"),
+            ).otherwise(
+                F.abs(F.coalesce(F.col("sampled"), F.lit(0)) - F.col("population") * F.col("p"))
+                <= 5 * F.col("sigma")
+            ),
+        )
+        .select("event_type", "population", "expected", "within_5_sigma")
+        .orderBy("event_type")
+    )
+    return shape(df, SAMPLE_SPEC)
+
+
+_FRAC_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_FRACTIONS.items()
+)
+
+SAMPLE_ORACLE = sql_select(
+    SAMPLE_SPEC,
+    f"""(
+    SELECT event_type, COUNT(*) AS population,
+        CAST(ROUND(COUNT(*) * (CASE event_type {_FRAC_CASE} END)) AS BIGINT)
+            AS expected,
+        TRUE AS within_5_sigma
+    FROM events
+    WHERE event_type IN ({', '.join(repr(k) for k in STRATA_FRACTIONS)})
+    GROUP BY event_type
+    ORDER BY event_type
+) s""",
+)
+
+
+EXTENSIONS["stratified_sample_check"] = QuerySpec(
+    _stratified_sample, SAMPLE_ORACLE
+)

@@ -326,6 +326,184 @@ def knn_ivf_sql(
 ) s"""
 
 
+# ------------------------------------- random-hyperplane LSH (the other ANN)
+
+# IVF (above) partitions the corpus by nearest centroid; hyperplane LSH
+# partitions it by sign pattern against random hyperplanes. Both are
+# bucket-then-search: LSH needs no training pass (no centroid
+# assignment), handles inserts without re-clustering, and its recall
+# dial is (n_bits, n_tables) instead of n_probe. At 100 TB the bucket
+# table is written partitioned by (table_id, bucket): a query reads
+# n_tables buckets ~ n_tables/2^n_bits of the data.
+#
+# Hyperplane components are integers in [-HP_SCALE, HP_SCALE] derived
+# from md5 in PYTHON and inlined as literals into BOTH the Spark plan
+# and the oracle SQL — identical by construction, no float RNG to
+# reconcile. Integer dot products make every sign decision exact.
+
+LSH_N_TABLES = 4
+LSH_N_BITS = 6
+HP_SCALE = 1000
+EMB_DIM = 64  # fixture contract (TESTDATA embeddings), verified in tests
+
+
+def _hyperplane(table_id: int, plane: int, dim: int) -> list[int]:
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = int(
+            hashlib.md5(f"hp:{table_id}:{plane}:{d}".encode()).hexdigest()[:8], 16
+        )
+        comps.append(h % (2 * HP_SCALE + 1) - HP_SCALE)
+    return comps
+
+
+def _lsh_planes(dim: int, n_tables: int, n_bits: int) -> list[tuple[int, int, list[int]]]:
+    return [
+        (t, p, _hyperplane(t, p, dim))
+        for t in range(n_tables)
+        for p in range(n_bits)
+    ]
+
+
+def lsh_buckets(
+    spark: SparkSession,
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = LSH_N_TABLES,
+    n_bits: int = LSH_N_BITS,
+) -> DataFrame:
+    """(vec_id, table_id, bucket): bucket = Σ_p 2^p·[qvec·hp_{t,p} ≥ 0].
+    One broadcast of the (n_tables·n_bits)-row plane table, one
+    map-side-combined agg — no shuffle of the vectors themselves."""
+    planes = spark.createDataFrame(
+        _lsh_planes(dim, n_tables, n_bits),
+        "table_id int, plane int, hp array<bigint>",
+    )
+    dot = qdot(F.col("qvec"), F.col("hp"))
+    return (
+        emb.select("vec_id", "qvec")
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "table_id",
+            F.when(dot >= 0, F.expr("shiftleft(cast(1 as bigint), plane)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    n_tables: int = LSH_N_TABLES,
+    n_bits: int = LSH_N_BITS,
+) -> DataFrame:
+    """ANN top-k via hyperplane LSH: candidates = corpus vectors sharing
+    ≥1 (table, bucket) with the query, then exact quantized cosine +
+    rank over the candidate set only. Distinct-pair dedup collapses
+    multi-table collisions before the (expensive) scoring join."""
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings")).persist()
+    buckets = lsh_buckets(spark, emb, EMB_DIM, n_tables, n_bits)
+    qb = buckets.filter(F.col("vec_id") % query_mod == 0)
+    cand = (
+        qb.alias("q")
+        .join(
+            buckets.alias("c"),
+            (F.col("q.table_id") == F.col("c.table_id"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").alias("neighbor_label"),
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_lsh_sql(
+    dim: int = EMB_DIM,
+    query_mod: int = 100,
+    k: int = 5,
+    n_tables: int = LSH_N_TABLES,
+    n_bits: int = LSH_N_BITS,
+) -> str:
+    """DuckDB twin: same inlined hyperplane literals, same bucket/candidate
+    algebra, so misses at bucket boundaries reproduce exactly."""
+    rows = ",\n        ".join(
+        f"({t}, {p}, {comps})" for t, p, comps in _lsh_planes(dim, n_tables, n_bits)
+    )
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    WITH planes AS (
+        SELECT * FROM (VALUES
+        {rows}
+        ) AS t(table_id, plane, hp)
+    ),
+    buckets AS (
+        SELECT vec_id, table_id,
+            SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(hp)),
+                        i -> qvec[i] * hp[i])) >= 0
+                THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS bucket
+        FROM qnormed CROSS JOIN planes
+        GROUP BY vec_id, table_id
+    ),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.table_id = c.table_id AND q.bucket = c.bucket
+            AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {query_mod} = 0
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, b.label AS neighbor_label,
+            {cos} AS cosine
+        FROM cands cand
+        JOIN qnormed a ON a.vec_id = cand.query_id
+        JOIN qnormed b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
 # ------------------------------------------------- embedding near-dup pairs
 
 PERTURB_DELTA = 0.05  # added to dim 1 of every 5th vector's copy

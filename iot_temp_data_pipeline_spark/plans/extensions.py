@@ -119,6 +119,10 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(sim.knn_ivf(spark, sf_dir), KNN_IVF_SPEC)
 
 
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.knn_lsh(spark, sf_dir), KNN_BRUTE_SPEC)
+
+
 def _emb_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(sim.embedding_near_pairs(spark, sf_dir), EMB_NEAR_SPEC)
 
@@ -128,6 +132,9 @@ KNN_BRUTE_ORACLE = (
 )
 KNN_IVF_ORACLE = (
     "WITH " + sim.QUANT_SQL.strip() + sql_select(KNN_IVF_SPEC, sim.knn_ivf_sql())
+)
+KNN_LSH_ORACLE = (
+    "WITH " + sim.QUANT_SQL.strip() + sql_select(KNN_BRUTE_SPEC, sim.knn_lsh_sql())
 )
 EMB_NEAR_ORACLE = (
     "WITH "
@@ -349,6 +356,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(_dedup_simhash, SIMHASH_PAIRS_ORACLE),
     "knn_brute_force_cosine": QuerySpec(_knn_brute, KNN_BRUTE_ORACLE),
     "knn_ivf_cosine": QuerySpec(_knn_ivf, KNN_IVF_ORACLE),
+    "knn_lsh_cosine": QuerySpec(_knn_lsh, KNN_LSH_ORACLE),
     "dedup_embedding_cosine": QuerySpec(_emb_near, EMB_NEAR_ORACLE),
     "text_stats": QuerySpec(_text_stats, TEXT_STATS_ORACLE),
     "lang_id_confusion": QuerySpec(_lang_confusion, LANG_CONFUSION_ORACLE),

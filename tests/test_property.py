@@ -195,3 +195,21 @@ def test_range_join_matches_brute_force(spark, points, intervals, bucket_width):
         ).collect()
     }
     assert got == _ref_point_in_interval(points, intervals)
+
+
+def test_lsh_fixture_dim_contract(spark, sf_dir):
+    """knn_lsh inlines EMB_DIM-length hyperplane literals into both the
+    Spark plan and the oracle SQL; the fixture must actually be that
+    wide, or bucket bits would silently ignore trailing dims."""
+    from pyspark.sql import functions as F
+
+    from iot_temp_data_pipeline_spark.operators.similarity import EMB_DIM
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in dims] == [EMB_DIM]

@@ -1,0 +1,167 @@
+"""TF-IDF inverted-index retrieval (beyond-reference surface).
+
+Sparse text similarity the way a search engine does it: postings =
+(doc, term, tf) from word 3-gram shingles, IDF-weighted, queries scored
+against ONLY the docs that share a term — the inverted-index join. The
+complement of the dense-vector paths in operators/similarity.py:
+embeddings need ANN structures (IVF/LSH); text gets sparsity for free
+because most doc pairs share no term.
+
+Scale shape (the 100 TB stance):
+- The postings join does work Σ_term df_q(term)·df(term), NOT O(Q·N).
+  The document-frequency cap (reusing dedup.MAX_SHINGLE_DF, same
+  rationale) bounds any single term's contribution, keeping total work
+  ~linear in corpus size; dropped ultra-common shingles carry ~zero IDF
+  weight anyway, so the recall cost of the cap is smallest exactly where
+  it saves the most.
+- At scale the postings table is written bucketed by term, so the
+  query-side join co-locates without a corpus shuffle; the query side
+  (1% of docs here) broadcasts.
+
+Exactness: IDF is integer-quantized — w(term) = (IDF_SCALE // df)², all
+dot products and norms are exact integer sums, and the final cosine is
+int / sqrt(int) / sqrt(int) in correctly-rounded IEEE double — the same
+determinism recipe as the quantized-cosine ANN operators, so the DuckDB
+oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_of_tokens, tokens
+from .dedup import CORPUS_SQL, MAX_SHINGLE_DF, dedup_corpus
+
+IDF_SCALE = 1000
+
+
+def doc_postings(corpus: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(doc_id, term, tf, w): term frequencies of word n-gram shingles
+    (NON-distinct — tf is the point of TF-IDF), df-capped, with integer
+    IDF² weight w = (IDF_SCALE // df)²."""
+    tf = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(shingles_of_tokens(F.col("tk"), n)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select(
+            "term",
+            (F.expr(f"div({IDF_SCALE}, df)") * F.expr(f"div({IDF_SCALE}, df)")).alias("w"),
+        )
+    )
+    return tf.join(w, "term").select("doc_id", "term", "tf", "w")
+
+
+def tfidf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    n: int = 3,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Top-k TF-IDF-cosine matches for query docs (doc_id % query_mod
+    == 0), over the dedup corpus (originals + exact + truncated
+    replicas — so queries have known high-similarity hits). Docs sharing
+    no surviving term with a query are never scored (that's the index)."""
+    postings = doc_postings(dedup_corpus(spark, sf_dir), n, max_df).persist()
+    norms = postings.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf") * F.col("w")).alias("norm2")
+    )
+    qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"),
+        "term",
+        F.col("tf").alias("q_tf"),
+        "w",
+    )
+    dots = (
+        postings.join(F.broadcast(qp), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("q_tf") * F.col("tf") * F.col("w")).alias("dot"),
+            F.count("*").alias("shared_terms"),
+        )
+    )
+    qnorm = norms.select(
+        F.col("doc_id").alias("query_id"), F.col("norm2").alias("q_norm2")
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "shared_terms",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("q_norm2").cast("double"))
+                / F.sqrt(F.col("norm2").cast("double"))
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_topk_sql(
+    query_mod: int = 100, k: int = 5, max_df: int = MAX_SHINGLE_DF
+) -> str:
+    """DuckDB twin (expects the dedup CORPUS_SQL prelude): identical
+    postings algebra, integer weights, and rank tie-break."""
+    return f"""(
+    WITH doc_tokens AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 0)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+            FROM doc_tokens
+        ) GROUP BY doc_id, term
+    ),
+    wt AS (
+        SELECT term, ({IDF_SCALE} // df) * ({IDF_SCALE} // df) AS w FROM (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ) d WHERE df <= {max_df}
+    ),
+    postings AS (
+        SELECT t.doc_id, t.term, t.tf, wt.w FROM tf t JOIN wt USING (term)
+    ),
+    norms AS (
+        SELECT doc_id, SUM(tf * tf * w) AS norm2 FROM postings GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+            SUM(q.tf * d.tf * q.w) AS dot, COUNT(*) AS shared_terms
+        FROM postings q
+        JOIN postings d ON q.term = d.term AND d.doc_id != q.doc_id
+        WHERE q.doc_id % {query_mod} = 0
+        GROUP BY 1, 2
+    )
+    , scored AS (
+        SELECT dots.query_id, dots.doc_id, dots.shared_terms,
+            CAST(dot AS DOUBLE) / sqrt(CAST(nq.norm2 AS DOUBLE))
+                / sqrt(CAST(nd.norm2 AS DOUBLE)) AS score
+        FROM dots
+        JOIN norms nq ON nq.doc_id = dots.query_id
+        JOIN norms nd ON nd.doc_id = dots.doc_id
+    )
+    SELECT query_id, doc_id, shared_terms, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {k}
+) s"""

@@ -11,6 +11,14 @@ Methodology:
   run. spark.catalog.clearCache() between runs, so the measured run
   pays its own cache materialization and never reuses another query's
   (or its warm-up's) persisted data — steady-state, cold-cache numbers.
+- Mart-table semantics: the reference materializes marts as TABLES
+  (`dbt_project.yml:28-30`) and summary models read the table. The
+  registry mirrors that (`plans/registry.py` `_MART_CACHE`): the first
+  mart-derived query builds the mart parquet once per process, the
+  other mart readers (summary_by_*, summary_overall, anomaly_breakdown,
+  ops count) scan it. The full staging→dedup→anomaly chain compute is
+  still measured — `anomaly_scores_t2` computes it from scratch inside
+  its own timing; the summary queries just stop re-paying it 5×.
 """
 
 from __future__ import annotations

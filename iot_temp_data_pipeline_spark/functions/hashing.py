@@ -56,6 +56,43 @@ def portable_hash32_family(col: Column, k: int) -> list[Column]:
     return lanes
 
 
+def _affine_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the multiply-shift family, from a
+    fixed-seed 64-bit LCG (Knuth MMIX constants). a is odd and < 2^30 so
+    a*h + b stays well inside signed-64 for h < 2^32."""
+    pairs: list[tuple[int, int]] = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        a = ((x >> 34) | 1) & ((1 << 30) - 1)
+        b = x & 0xFFFFFFFF
+        pairs.append((a, b))
+    return pairs
+
+
+def affine_hash32_family(col: Column, k: int) -> list[Column]:
+    """k hash lanes at 1/k the md5 cost of :func:`portable_hash32_family`:
+    ONE md5 → base 32-bit h, then lane_i = (a_i·h + b_i) mod 2^32 — the
+    classic multiply-shift universal family MinHash implementations use.
+    All-integer arithmetic, so DuckDB (`affine_hash32_family_sql`)
+    reproduces every lane bit-for-bit. For k ≫ 4 this turns the dominant
+    per-shingle cost from k/4 md5 digests into one digest plus k fused
+    multiply-adds inside whole-stage codegen."""
+    base = portable_hash32(col)
+    return [
+        ((F.lit(a) * base + F.lit(b)) % F.lit(1 << 32))
+        for a, b in _affine_constants(k)
+    ]
+
+
+def affine_hash32_family_sql(expr: str, k: int) -> list[str]:
+    """DuckDB SQL twins of :func:`affine_hash32_family` (same constants)."""
+    h = portable_hash32_sql(expr)
+    return [
+        f"(({a} * {h} + {b}) % 4294967296)" for a, b in _affine_constants(k)
+    ]
+
+
 def portable_hash32_family_sql(expr: str, k: int) -> list[str]:
     """DuckDB SQL equivalents of :func:`portable_hash32_family`."""
     lanes: list[str] = []

@@ -170,9 +170,13 @@ def ngram_jaccard_pairs(
     counts = _shingle_counts(corpus, n)
     ca = counts.alias("ca")
     cb = counts.alias("cb")
+    # No broadcast hints here: `counts` has one row per document, so it
+    # grows with the corpus and would OOM a broadcast at 100 TB. AQE
+    # still converts to broadcast at runtime when the side is genuinely
+    # small; at scale these become shuffle joins on doc id — correct.
     jac = (
-        common.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -530,4 +534,95 @@ def connected_components(
     sym.unpersist()
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm): converges in O(log n) rounds
+    even on adversarial long-chain graphs, where plain min-label
+    propagation needs O(diameter) rounds. Same output contract as
+    :func:`connected_components` — (doc_id, cluster_id = component min)
+    for every node incident to an edge.
+
+    Each round is two shuffle-join + aggregate passes over the current
+    edge set; `localCheckpoint` truncates lineage per round. Convergence
+    is detected from an order-insensitive (count, xxhash64-sum) edge-set
+    digest — one tiny 1-row aggregate per round, no driver-side graph.
+    """
+    cur = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def digest(e: DataFrame) -> tuple:
+        row = (
+            e.select(F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"))
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("a", "b")).alias("h"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["h"])
+
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: every node's strictly-larger neighbors attach to
+        # the min of its closed neighborhood.
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient u > v; every node's smaller neighbors (and
+        # itself) attach to the min of its smaller neighborhood.
+        oriented = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = small
+        d = digest(cur)
+        if d == prev:
+            break
+        prev = d
+    connected_components_star.last_rounds = rounds  # test-observable
+    # Fixpoint: `cur` is a star forest oriented child > root.
+    stars = cur.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    roots = stars.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        stars.unionByName(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     )

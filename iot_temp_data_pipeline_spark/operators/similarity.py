@@ -117,7 +117,13 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for query vectors (vec_id % query_mod
     == 0), self-matches excluded. Deterministic cutoff: rank over
-    (score DESC, neighbor id)."""
+    (score DESC, neighbor id).
+
+    Broadcast bound: the query side is |corpus|/query_mod vectors and is
+    broadcast, so this operator assumes the QUERY SET fits in executor
+    memory (e.g. ≤ a few hundred MB of vectors). That is the contract of
+    brute-force ground truth — a corpus-sized query set must instead go
+    through the IVF/LSH paths, which shuffle-join on bucket keys."""
     emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -426,7 +432,11 @@ def knn_lsh(
         )
         .distinct()
     )
-    q = emb.select(
+    # Filter to the actual query set BEFORE broadcasting — broadcasting
+    # the full embedding table would carry query_mod× more data than the
+    # join can ever use (the broadcast bound is |corpus|/query_mod rows,
+    # same documented bound as knn_brute_force).
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),
         F.col("qnorm2").alias("q_qnorm2"),

@@ -74,11 +74,16 @@ def tfidf_topk(
     norms = postings.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf") * F.col("w")).alias("norm2")
     )
+    # NOTE: no `w` in the query projection — the joined term's `w` from
+    # postings is identical (w is a per-term value), and carrying both
+    # would make F.col("w") ambiguous after the equi-join on term.
+    # Broadcast bound: the query side is 1/query_mod of the corpus's
+    # postings; at corpus scale, raise query_mod (or drop the hint and
+    # let AQE decide) so the broadcast stays executor-memory-sized.
     qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"),
         "term",
         F.col("tf").alias("q_tf"),
-        "w",
     )
     dots = (
         postings.join(F.broadcast(qp), "term")
@@ -114,10 +119,12 @@ def tfidf_topk(
 
 
 def tfidf_topk_sql(
-    query_mod: int = 100, k: int = 5, max_df: int = MAX_SHINGLE_DF
+    query_mod: int = 100, k: int = 5, n: int = 3, max_df: int = MAX_SHINGLE_DF
 ) -> str:
     """DuckDB twin (expects the dedup CORPUS_SQL prelude): identical
-    postings algebra, integer weights, and rank tie-break."""
+    postings algebra, integer weights, and rank tie-break. ``n`` generates
+    the same word n-gram expression the Spark side uses."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(n))
     return f"""(
     WITH doc_tokens AS (
         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
@@ -125,8 +132,8 @@ def tfidf_topk_sql(
     tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM (
             SELECT doc_id, unnest(list_transform(
-                generate_series(1, greatest(len(tk) - 2, 0)),
-                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+                generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                i -> {gram})) AS term
             FROM doc_tokens
         ) GROUP BY doc_id, term
     ),

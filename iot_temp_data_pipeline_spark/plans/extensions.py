@@ -13,6 +13,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
+from ..operators.tfidf import tfidf_topk, tfidf_topk_sql
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -322,6 +323,19 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(df, CLUSTER_SPEC)
 
 
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixpoint as `dedup_clusters_ngram` via large-star/small-star
+    contraction — the O(log n)-round path for adversarial long-chain
+    graphs. Checked against the identical recursive-CTE oracle."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
+    df = cc.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    ).orderBy("doc_id")
+    return shape(df, CLUSTER_SPEC)
+
+
 # The oracle computes the same components as a transitive closure
 # (WITH RECURSIVE reach), independently checking the Spark side's
 # iterative min-label propagation — two different algorithms, same
@@ -347,8 +361,28 @@ CLUSTERS_ORACLE = (
 )
 
 
+# --------------------------------------------------------------- TF-IDF
+
+TFIDF_SPEC = [
+    ("query_id", "long"),
+    ("doc_id", "long"),
+    ("shared_terms", "long"),
+    ("score", ""),
+    ("rank", "long"),
+]
+
+
+def _tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(tfidf_topk(spark, sf_dir), TFIDF_SPEC)
+
+
+TFIDF_ORACLE = _CORPUS + sql_select(TFIDF_SPEC, tfidf_topk_sql())
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "tfidf_topk": QuerySpec(_tfidf_topk, TFIDF_ORACLE),
     "dedup_clusters_ngram": QuerySpec(_dedup_clusters, CLUSTERS_ORACLE),
+    "dedup_clusters_star": QuerySpec(_dedup_clusters_star, CLUSTERS_ORACLE),
     "dedup_exact": QuerySpec(_dedup_exact, EXACT_DUP_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, JACCARD_ORACLE),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, MINHASH_ORACLE),

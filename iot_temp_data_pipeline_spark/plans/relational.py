@@ -15,6 +15,7 @@ and every filter is a plain pushdown-able predicate.
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -941,6 +942,194 @@ INGEST_SQL = sql_select(
 )
 
 
+# --------------------------------------- file ingestion + audit (S1-S6, I10-I12)
+
+AUDIT_SPEC = [
+    ("file_name", ""),
+    ("status", ""),
+    ("rows_ingested", "long"),
+    ("distinct_record_ids", "long"),
+    ("devices", "long"),
+]
+
+_AUDIT_N_FILES = 3
+
+
+def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic CSV landing zone: the `_kaggle_like` rows split into
+    `part_<event_id % 3>.csv`, sorted by event_id, written byte-stably
+    with Python so file hashes are reproducible across calls (the
+    hash-skip check needs the same bytes every run)."""
+    import csv
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_audit_landing_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+    )
+    if os.path.isdir(out) and len(os.listdir(out)) == _AUDIT_N_FILES:
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        _kaggle_like(spark, sf_dir)
+        .select("event_id", "id", "room_id_id", "noted_date", "temp", "out_in")
+        .collect()  # landing-zone CONSTRUCTION harness, not the operator
+    )
+    rows.sort(key=lambda r: r["event_id"])
+    writers = {}
+    files = []
+    try:
+        for i in range(_AUDIT_N_FILES):
+            f = open(
+                os.path.join(out, f"part_{i}.csv"), "w", newline="", encoding="utf-8"
+            )
+            files.append(f)
+            w = csv.writer(f, lineterminator="\n")
+            w.writerow(["id", "room_id/id", "noted_date", "temp", "out/in"])
+            writers[i] = w
+        for r in rows:
+            writers[r["event_id"] % _AUDIT_N_FILES].writerow(
+                [
+                    "" if r["id"] is None else r["id"],
+                    "" if r["room_id_id"] is None else r["room_id_id"],
+                    r["noted_date"],
+                    r["temp"],
+                    r["out_in"],
+                ]
+            )
+    finally:
+        for f in files:
+            f.close()
+    return out
+
+
+def ingest_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6 + I10-I12 as one oracle-checked query: glob the landing
+    zone, SKIP part_0.csv via the SHA-256 processing log (S3 — the
+    reference's `_get_processed_files` dedup, `iot_temperature_pipeline
+    .py:33-39`, which is stubbed there and real here), ingest the rest,
+    and emit one audit row per file with per-file row counts, row-id
+    uniqueness (S5/I12: distinct `file_record_id` must equal rows), and
+    distinct synthesized devices (I2)."""
+    from ..sources.csv_ingest import ingest_directory, list_csv_files, sha256_file
+
+    landing = _audit_landing_dir(spark, sf_dir)
+    part0 = [p for p in list_csv_files(landing) if p.endswith("part_0.csv")]
+    processed = spark.createDataFrame(
+        [(sha256_file(p),) for p in part0], schema="file_hash string"
+    )
+    res = ingest_directory(spark, landing, processed_hashes=processed)
+    per_file = res.readings.groupBy("file_name").agg(
+        F.count("*").alias("rows_ingested"),
+        F.countDistinct("file_record_id").alias("distinct_record_ids"),
+        F.countDistinct("device_id").alias("devices"),
+    )
+    audit = (
+        res.audit_log.select("file_name", "status")
+        .join(per_file, "file_name", "left")
+        .na.fill(0)
+    )
+    skipped = spark.createDataFrame(
+        [(os.path.basename(p), "skipped", 0, 0, 0) for p in res.skipped_files],
+        schema="file_name string, status string, rows_ingested long, "
+        "distinct_record_ids long, devices long",
+    )
+    return shape(audit.unionByName(skipped), AUDIT_SPEC)
+
+
+# The oracle never sees the filesystem: it re-derives each file's
+# expected contents from `events` via the same event_id % 3 assignment
+# and the same parse/drop/device rules as INGEST_SQL.
+AUDIT_SQL = sql_select(
+    AUDIT_SPEC,
+    """(
+    SELECT 'part_0.csv' AS file_name, 'skipped' AS status,
+           0 AS rows_ingested, 0 AS distinct_record_ids, 0 AS devices
+    UNION ALL
+    SELECT 'part_' || CAST(event_id % 3 AS VARCHAR) || '.csv',
+           'processed',
+           COUNT(*) FILTER (WHERE event_id % 89 != 0),
+           COUNT(*) FILTER (WHERE event_id % 89 != 0),
+           COUNT(DISTINCT CASE WHEN event_id % 89 != 0 THEN
+               COALESCE(
+                   CASE WHEN event_id % 97 != 0 THEN
+                       -- id's last '_'-segment is 'bd'||md5[1:8]; I2 takes
+                       -- its first 8 chars -> 'bd'||md5[1:6], uppercased
+                       'IOT_TEMP_' || upper('bd' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                   END,
+                   'IOT_TEMP_UNKNOWN')
+           END)
+    FROM events
+    WHERE event_id % 3 != 0
+    GROUP BY event_id % 3
+) s""",
+)
+
+
+# ------------------------------------- synthetic sensor fields (I6-I9) contract
+
+SYNTH_SPEC = [
+    ("rows", "long"),
+    ("bounds_ok", ""),
+    ("sets_ok", ""),
+    ("humidity_temp_corr_neg", ""),
+    ("battery_mean_ok", ""),
+    ("signal_mean_ok", ""),
+    ("device_types", "long"),
+    ("firmware_versions", "long"),
+]
+
+
+def synthetic_fields_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-contract oracle for the I6-I9 synthetic generators
+    (`sources/csv_ingest.py` `with_synthetic_sensor_fields`): the values
+    are seeded-random (distribution-equivalent to the reference's numpy
+    draws, SURVEY §7.4.3), so the contract pins what IS deterministic —
+    clip bounds, categorical membership, the humidity↔temperature slope
+    sign, and wide (≫5σ) mean windows — as a 1-row all-TRUE check the
+    driver hash-compares exactly."""
+    from ..sources.csv_ingest import (
+        DEVICE_TYPES,
+        FIRMWARE_VERSIONS,
+        with_synthetic_sensor_fields,
+    )
+
+    base = kaggle_transform(_kaggle_like(spark, sf_dir)).filter(
+        F.col("timestamp").isNotNull()
+    )
+    syn = with_synthetic_sensor_fields(base)
+    df = syn.agg(
+        F.count("*").alias("rows"),
+        (
+            (F.min("humidity") >= 20.0) & (F.max("humidity") <= 95.0)
+            & (F.min("battery_level") >= 10.0) & (F.max("battery_level") <= 100.0)
+            & (F.min("signal_strength") >= -90.0) & (F.max("signal_strength") <= -20.0)
+        ).alias("bounds_ok"),
+        (
+            F.every(F.col("device_type").isin(DEVICE_TYPES))
+            & F.every(F.col("firmware_version").isin(FIRMWARE_VERSIONS))
+        ).alias("sets_ok"),
+        (F.corr("humidity", "temperature") < 0).alias("humidity_temp_corr_neg"),
+        F.avg("battery_level").between(78.0, 90.0).alias("battery_mean_ok"),
+        F.avg("signal_strength").between(-58.0, -42.0).alias("signal_mean_ok"),
+        F.countDistinct("device_type").alias("device_types"),
+        F.countDistinct("firmware_version").alias("firmware_versions"),
+    )
+    return shape(df, SYNTH_SPEC)
+
+
+SYNTH_SQL = sql_select(
+    SYNTH_SPEC,
+    """(
+    SELECT COUNT(*) FILTER (WHERE event_id % 89 != 0) AS rows,
+        true AS bounds_ok, true AS sets_ok, true AS humidity_temp_corr_neg,
+        true AS battery_mean_ok, true AS signal_mean_ok,
+        5 AS device_types, 5 AS firmware_versions
+    FROM events
+) s""",
+)
+
+
 # ------------------------------------------------------------------ registry
 
 def _with_prelude(sql: str) -> str:
@@ -968,4 +1157,6 @@ RELATIONAL: dict[str, QuerySpec] = {
     "union_ops_counts": QuerySpec(union_ops_counts, _with_prelude(UNION_SQL)),
     "retention_filter": QuerySpec(retention_filter, _with_prelude(RETENTION_SQL)),
     "ingest_kaggle_transform": QuerySpec(ingest_kaggle_transform, INGEST_SQL),
+    "ingest_audit_log": QuerySpec(ingest_audit_log, AUDIT_SQL),
+    "synthetic_fields_contract": QuerySpec(synthetic_fields_contract, SYNTH_SQL),
 }

@@ -118,10 +118,15 @@ def kaggle_transform(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFr
             ),
             F.lit("IOT_TEMP_UNKNOWN"),
         ).alias("device_id"),
-        # I3 timestamp parse with coerce-to-null (ANSI off → null on failure)
-        F.to_timestamp(F.col("noted_date"), "dd-MM-yyyy HH:mm").alias("timestamp"),
-        # I4 float cast
-        F.col("temp").cast("double").alias("temperature"),
+        # I3 timestamp parse with coerce-to-null. try_to_timestamp gives
+        # null-on-failure regardless of spark.sql.ansi.enabled — the session
+        # is owned by the caller, so the parse must be session-independent
+        # (reference: pd.to_datetime(..., errors='coerce'), py:157).
+        F.try_to_timestamp(F.col("noted_date"), F.lit("dd-MM-yyyy HH:mm")).alias(
+            "timestamp"
+        ),
+        # I4 float cast — try_cast: null-on-bad-value under ANSI too
+        F.col("temp").try_cast("double").alias("temperature"),
         # I5 location synthesis: strip "Room ", Admin→Office, suffix _in/_out
         F.concat_ws(
             "_",
@@ -218,8 +223,8 @@ def ingest_directory(
         elif {"device_id", "timestamp", "temperature", "location"} <= raw_cols:
             df = df.select(
                 "device_id",
-                F.to_timestamp("timestamp").alias("timestamp"),
-                F.col("temperature").cast("double"),
+                F.try_to_timestamp(F.col("timestamp")).alias("timestamp"),
+                F.col("temperature").try_cast("double").alias("temperature"),
                 "location",
             )
         else:

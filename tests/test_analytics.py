@@ -66,3 +66,43 @@ def test_connected_components_chain_and_pair(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_connected_components_star_long_chain(spark):
+    """Large-star/small-star contraction (Kiveris et al. SoCC'14): a
+    1000-node path — diameter 999, the adversarial case for min-label
+    propagation — must collapse to component-min 0 in O(log n) rounds,
+    not O(diameter)."""
+    from iot_temp_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(n + 1)}
+    assert connected_components_star.last_rounds <= 12  # ~log2(1000) + slack
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Both CC algorithms reach the same fixpoint on a mixed graph."""
+    from iot_temp_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    a = {(r["doc_id"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b

@@ -86,3 +86,20 @@ def test_synthetic_fields_bounds(spark, landing):
         assert -90.0 <= r["signal_strength"] <= -20.0
         assert r["device_type"] in {"DHT22", "DS18B20", "SHT30", "BME280", "TMP36"}
         assert r["firmware_version"] in {"v1.2.3", "v1.2.4", "v1.3.0", "v1.3.1", "v2.0.0"}
+
+
+def test_kaggle_transform_is_ansi_independent(spark, sf_dir):
+    """The driver owns the SparkSession and runs ANSI-on; the coerce-to-
+    null parse/cast semantics must not depend on session config
+    (regression for the round-1 CANNOT_PARSE_TIMESTAMP crash). The full
+    ANSI sweep is `SPARK_GRAFT_ANSI=true python -m pytest tests/`; this
+    pins the known-sensitive path in the default run."""
+    from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = REGISTRY["ingest_kaggle_transform"].spark(spark, sf_dir)
+        assert df.count() > 0  # would raise CANNOT_PARSE_TIMESTAMP before
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -1,0 +1,269 @@
+"""Corpus quality-filtering operators for LLM training-data pipelines
+(beyond-reference surface): repetition-based quality rules in the style
+of the published Gopher/MassiveText filters, eval-set decontamination by
+n-gram overlap, and per-domain cap sampling.
+
+Everything is native Spark SQL expressions (whole-stage codegen, zero
+Python in the hot path):
+
+- repetition rules: the duplicate-5-gram fraction is a pure per-row
+  array expression (no shuffle); the top-bigram fraction explodes
+  bigrams and aggregates per (doc, bigram) — map-side combine keyed by
+  doc_id, two narrow shuffles, linear in corpus size.
+- decontamination: distinct word-8-gram hashes of the frozen eval split
+  inner-joined against train-doc 8-gram hashes. Hash-partitioned equi-
+  join, linear; the eval side is small relative to the corpus but is NOT
+  broadcast-hinted — at 100 TB an eval suite can still be millions of
+  rows, so AQE decides (it will broadcast when genuinely small).
+- domain caps: one window rank per source over a deterministic portable
+  hash — the standard "cap any single domain" step before training-mix
+  weighting. Skewed domains are exactly the point: the rank window
+  shuffles on source, and a hot domain lands in one partition. At real
+  scale swap the full sort-rank for a two-phase sampled cutoff; at
+  fixture scale the window is the honest, exactly-reproducible form.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
+verifies every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32, portable_hash32_sql
+from ..functions.text import shingles_of_tokens, tokens
+
+# --- repetition-rule thresholds (Gopher-style, tuned so the word-soup
+# fixture corpus produces both passing and failing documents)
+MIN_TOKENS = 30
+MAX_TOKENS = 100_000
+WORDLEN_RANGE = (2.0, 10.0)
+MAX_DUP_5GRAM_FRAC = 0.05
+MAX_TOP_BIGRAM_FRAC = 0.08
+
+# --- decontamination
+CONTAM_NGRAM = 8
+EVAL_MOD = 13  # doc_id % 13 == 0 (original docs only) is the frozen eval split
+
+# --- domain caps
+DOMAIN_CAP = 15
+DOMAIN_SEED = 11
+
+
+def repetition_quality(docs: DataFrame) -> DataFrame:
+    """Per-document repetition/quality rules.
+
+    Emits the four rule inputs and the combined pass flag:
+    - n_tokens, mean_word_len: length/shape gates;
+    - dup_5gram_frac: 1 − distinct/total 5-gram positions — the
+      duplicate-paragraph analog at n-gram granularity (pure array
+      expression, computed inside the row);
+    - top_bigram_frac: token-coverage fraction of the single most
+      frequent word 2-gram (2·max_count / n_tokens) — the "most common
+      n-gram" rule from the Gopher filter family.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    # Bind the 5-gram array to a column so it is built once per row
+    # (an inline expression would be re-evaluated per reference).
+    with_g5 = base.withColumn("g5", shingles_of_tokens(F.col("tk"), 5))
+    g5 = F.col("g5")
+    per_doc = with_g5.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(F.col("tk"), lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("tk").cast("double")
+        ).alias("mean_word_len"),
+        F.when(F.size(g5) > 0,
+               1.0 - F.size(F.array_distinct(g5)).cast("double")
+               / F.size(g5).cast("double"))
+        .otherwise(0.0)
+        .alias("dup_5gram_frac"),
+    )
+    top_bigram = (
+        base.select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    lo_w, hi_w = WORDLEN_RANGE
+    joined = per_doc.join(top_bigram, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "dup_5gram_frac",
+        (
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
+            * 2.0
+            / F.col("n_tokens").cast("double")
+        ).alias("top_bigram_frac"),
+    )
+    passes = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_word_len") >= lo_w)
+        & (F.col("mean_word_len") <= hi_w)
+        & (F.col("dup_5gram_frac") <= MAX_DUP_5GRAM_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+    )
+    return joined.withColumn("passes_quality", passes)
+
+
+def repetition_quality_sql(source: str = "corpus") -> str:
+    lo_w, hi_w = WORDLEN_RANGE
+    return f"""(
+    WITH qtoks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM {source}
+    ),
+    qper AS (
+        SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+            CASE WHEN len(tk) >= 5 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                          generate_series(1, len(tk) - 4),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS DOUBLE)
+                    / CAST(len(tk) - 4 AS DOUBLE)
+            ELSE 0.0 END AS dup_5gram_frac
+        FROM qtoks
+    ),
+    qtop AS (
+        SELECT doc_id, MAX(cnt) AS top_bigram_cnt
+        FROM (
+            SELECT doc_id, bigram, COUNT(*) AS cnt
+            FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(tk) - 1, 0)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+                FROM qtoks
+            ) b
+            GROUP BY doc_id, bigram
+        ) c
+        GROUP BY doc_id
+    )
+    SELECT qper.doc_id, n_tokens, mean_word_len, dup_5gram_frac,
+        CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) * 2.0
+            / CAST(n_tokens AS DOUBLE) AS top_bigram_frac,
+        (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+         AND mean_word_len >= {lo_w} AND mean_word_len <= {hi_w}
+         AND dup_5gram_frac <= {MAX_DUP_5GRAM_FRAC}
+         AND CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) * 2.0
+             / CAST(n_tokens AS DOUBLE) <= {MAX_TOP_BIGRAM_FRAC})
+            AS passes_quality
+    FROM qper LEFT JOIN qtop ON qper.doc_id = qtop.doc_id
+) q"""
+
+
+def contaminated_docs(corpus: DataFrame) -> DataFrame:
+    """Train documents sharing ≥1 word-8-gram with the frozen eval split.
+
+    The eval split is the original documents with doc_id % EVAL_MOD == 0
+    (synthetic near/exact copies in the dedup corpus carry ids offset by
+    1M/2M, so copies of eval docs land in train and MUST be flagged —
+    that is precisely the leakage decontamination exists to catch).
+    Output: contaminated train docs with overlap counts.
+    """
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("tk"), CONTAM_NGRAM))
+        ).alias("gram"),
+    ).select("doc_id", portable_hash32(F.col("gram"), seed=3).alias("gh"))
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    eval_grams = grams.filter(is_eval).select("gh").distinct()
+    train = grams.filter(~is_eval)
+    n_grams = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train.join(eval_grams, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return hits.join(n_grams, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_ngrams",
+        (F.col("n_overlap").cast("double") / F.col("n_ngrams").cast("double")).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+def contaminated_docs_sql(source: str = "corpus") -> str:
+    h = portable_hash32_sql("gram", seed=3)
+    return f"""(
+    WITH cg AS (
+        SELECT doc_id, {h} AS gh
+        FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - {CONTAM_NGRAM - 1}, 0)),
+                i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(CONTAM_NGRAM))})))
+                AS gram
+            FROM (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM {source}
+            ) t
+        ) g
+    ),
+    ev AS (
+        SELECT DISTINCT gh FROM cg
+        WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000
+    ),
+    tr AS (
+        SELECT * FROM cg
+        WHERE NOT (doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000)
+    ),
+    ng AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
+    ov AS (
+        SELECT tr.doc_id, COUNT(*) AS n_overlap
+        FROM tr JOIN ev ON tr.gh = ev.gh
+        GROUP BY tr.doc_id
+    )
+    SELECT ov.doc_id, n_overlap, n_ngrams,
+        CAST(n_overlap AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+            AS contamination_frac
+    FROM ov JOIN ng ON ov.doc_id = ng.doc_id
+) c"""
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Keep at most ``cap`` documents per source domain, selected by a
+    deterministic hash order (reproducible uniform-without-replacement
+    sampling within each domain)."""
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            portable_hash32(F.col("doc_id").cast("string"), seed=DOMAIN_SEED),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank_in_source", rk.cast("long"))
+        .filter(F.col("rank_in_source") <= cap)
+    )
+
+
+def domain_cap_sql(source: str = "documents", cap: int = DOMAIN_CAP) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=DOMAIN_SEED)
+    return f"""(
+    SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+    FROM (
+        SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id)
+                AS rank_in_source
+        FROM {source}
+    ) r
+    WHERE rank_in_source <= {cap}
+) d"""

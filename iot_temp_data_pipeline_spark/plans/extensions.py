@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import quality as qa
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.tfidf import tfidf_topk, tfidf_topk_sql
@@ -658,3 +659,52 @@ SAMPLE_ORACLE = sql_select(
 EXTENSIONS["stratified_sample_check"] = QuerySpec(
     _stratified_sample, SAMPLE_ORACLE
 )
+
+
+# ------------------------------------------------ corpus quality filtering
+
+QUALITY_SPEC = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("mean_word_len", "f4"),
+    ("dup_5gram_frac", "f4"),
+    ("top_bigram_frac", "f4"),
+    ("passes_quality", ""),
+]
+
+CONTAM_SPEC = [
+    ("doc_id", "long"),
+    ("n_overlap", "long"),
+    ("n_ngrams", "long"),
+    ("contamination_frac", "f4"),
+]
+
+DOMAIN_CAP_SPEC = [
+    ("doc_id", "long"),
+    ("source", ""),
+    ("rank_in_source", "long"),
+]
+
+
+def _repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.repetition_quality(load_table(spark, sf_dir, "documents")),
+        QUALITY_SPEC,
+    )
+
+
+def _contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(qa.contaminated_docs(dd.dedup_corpus(spark, sf_dir)), CONTAM_SPEC)
+
+
+def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(qa.domain_cap(load_table(spark, sf_dir, "documents")), DOMAIN_CAP_SPEC)
+
+
+QUALITY_ORACLE = sql_select(QUALITY_SPEC, qa.repetition_quality_sql("documents"))
+CONTAM_ORACLE = _CORPUS + sql_select(CONTAM_SPEC, qa.contaminated_docs_sql("corpus"))
+DOMAIN_CAP_ORACLE = sql_select(DOMAIN_CAP_SPEC, qa.domain_cap_sql("documents"))
+
+EXTENSIONS["quality_repetition_rules"] = QuerySpec(_repetition_quality, QUALITY_ORACLE)
+EXTENSIONS["decontaminate_ngram_overlap"] = QuerySpec(_contaminated_docs, CONTAM_ORACLE)
+EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)

@@ -37,16 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # than trusting the session builder.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        # default (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-settable
-        # legacy conf, so this works on any caller-provided session) and
-        # convert to a microsecond timestamp with integer arithmetic — `div`
-        # keeps full precision where a double division would not (ns since
-        # 2024 ≈ 1.7e18 > 2^53). Fixture nanos are all exact microseconds.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (older fixture
+        # generations) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # (current), which Spark 4 reads as TIMESTAMP_NTZ. Normalize both
+        # to plain TIMESTAMP so downstream epoch functions (unix_micros,
+        # window, unix_timestamp) type-check identically either way:
+        # - NANOS: Spark rejects by default (PARQUET_TYPE_ILLEGAL); read
+        #   as long (runtime-settable legacy conf) and convert with
+        #   integer `div` (double division loses precision: ns since
+        #   2024 ≈ 1.7e18 > 2^53).
+        # - NTZ: cast under the UTC session tz pinned above — wall-clock
+        #   preserved, matching DuckDB's naive-timestamp reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import clustering as km
 from ..operators import quality as qa
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
@@ -705,6 +706,20 @@ QUALITY_ORACLE = sql_select(QUALITY_SPEC, qa.repetition_quality_sql("documents")
 CONTAM_ORACLE = _CORPUS + sql_select(CONTAM_SPEC, qa.contaminated_docs_sql("corpus"))
 DOMAIN_CAP_ORACLE = sql_select(DOMAIN_CAP_SPEC, qa.domain_cap_sql("documents"))
 
+KMEANS_SPEC = [
+    ("cluster_id", "long"),
+    ("n_vecs", "long"),
+    ("inertia", "f4"),
+]
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(km.kmeans_clusters(spark, sf_dir), KMEANS_SPEC)
+
+
+KMEANS_ORACLE = sql_select(KMEANS_SPEC, km.kmeans_sql())
+
+EXTENSIONS["kmeans_embedding_clusters"] = QuerySpec(_kmeans, KMEANS_ORACLE)
 EXTENSIONS["quality_repetition_rules"] = QuerySpec(_repetition_quality, QUALITY_ORACLE)
 EXTENSIONS["decontaminate_ngram_overlap"] = QuerySpec(_contaminated_docs, CONTAM_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)

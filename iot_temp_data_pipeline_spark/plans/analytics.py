@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import exact_long_sum
+
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -54,7 +56,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("grouping_level"),
             F.count("*").alias("n_orders"),
-            (F.sum(F.col("cents").cast(_DEC)).cast("double") / 100.0).alias(
+            (exact_long_sum(F.col("cents")).cast("double") / 100.0).alias(
                 "revenue"
             ),
         )
@@ -238,7 +240,7 @@ def nation_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "o_orderpriority", cents.alias("cents"))
         .groupBy("c_nationkey")
         .pivot("o_orderpriority", list(_PRIORITIES))
-        .agg(F.sum(F.col("cents").cast(_DEC)))
+        .agg(exact_long_sum(F.col("cents")))
     )
     for raw, clean in _PRIORITIES.items():
         df = df.withColumn(
@@ -343,7 +345,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("grouping_level"),
             F.count("*").alias("n_orders"),
-            (F.sum(F.col("cents").cast(_DEC)).cast("double") / 100.0).alias(
+            (exact_long_sum(F.col("cents")).cast("double") / 100.0).alias(
                 "revenue"
             ),
         )

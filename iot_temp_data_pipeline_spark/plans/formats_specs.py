@@ -169,7 +169,13 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = workdir("upsert")
     table_dir = f"{work}/events_table"
-    base.write.partitionBy("event_date").parquet(table_dir)
+    # Co-locate each date's rows before the partitioned write: without
+    # this every shuffle partition emits a file into every date dir
+    # (32 tasks × 30 dates ≈ 1000 tiny files); with it the table is one
+    # file per partition — the layout a 100 TB table needs anyway.
+    base.repartition(F.col("event_date")).write.partitionBy(
+        "event_date"
+    ).parquet(table_dir)
 
     in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
     updated = in_window.filter(F.col("event_id") % 7 == 0).withColumn(

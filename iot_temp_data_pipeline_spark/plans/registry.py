@@ -309,8 +309,11 @@ def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), ACTIVE_THRESHOLD)
     path = _MART_CACHE.get(key)
     if path is None:
+        scratch = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        )
         path = os.path.join(
-            tempfile.gettempdir(),
+            scratch,
             f"spark_mart_{os.getpid()}_{abs(hash(key)) % 10**10}.parquet",
         )
         _mart_df_compute(spark, sf_dir).write.mode("overwrite").parquet(path)

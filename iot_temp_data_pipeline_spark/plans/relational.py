@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.stats import exact_avg, sql_exact_avg
+from ..functions.stats import exact_avg, exact_long_sum, sql_exact_avg
 from ..operators.anomalies import deduplicated_valid_readings
 from ..operators.staging import stg_raw_temperature_readings
 from ..sources.catalog import load_table
@@ -80,12 +80,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sum_qty"),
-            (F.sum(pi.cast(_DEC)).cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+            (exact_long_sum(pi).cast("double") / 100.0).alias("sum_base_price"),
+            (exact_long_sum(pi * (1000 - di)).cast("double") / 100000.0).alias(
                 "sum_disc_price"
             ),
             (
-                F.sum((pi * (1000 - di) * (1000 + ti)).cast(_DEC)).cast("double")
+                exact_long_sum(pi * (1000 - di) * (1000 + ti)).cast("double")
                 / 100000000.0
             ).alias("sum_charge"),
             exact_avg(F.col("l_quantity"), 1).alias("avg_qty"),
@@ -155,7 +155,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+            (exact_long_sum(pi * (1000 - di)).cast("double") / 100000.0).alias(
                 "revenue"
             )
         )
@@ -218,7 +218,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
         .agg(
-            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+            (exact_long_sum(pi * (1000 - di)).cast("double") / 100000.0).alias(
                 "revenue"
             )
         )
@@ -384,7 +384,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("unique_users"),
-            (F.sum(vi.cast(_DEC)).cast("double") / 100.0).alias("sum_value"),
+            (exact_long_sum(vi).cast("double") / 100.0).alias("sum_value"),
             exact_avg(F.col("value"), 100).alias("avg_value"),
         )
     )
@@ -424,7 +424,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        (F.sum((pi * di).cast(_DEC)).cast("double") / 100000.0).alias("revenue"),
+        (exact_long_sum(pi * di).cast("double") / 100000.0).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
     return shape(df, Q6_SPEC)
@@ -477,7 +477,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(
-            (F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0).alias(
+            (exact_long_sum(pi * (1000 - di)).cast("double") / 100000.0).alias(
                 "revenue"
             )
         )
@@ -523,16 +523,16 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = load_table(spark, sf_dir, "part")
     pi, di = _pi(), _di()
-    disc = (pi * (1000 - di)).cast(_DEC)
+    disc = pi * (1000 - di)
     df = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .agg(
             (
-                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(_DEC))).cast(
+                exact_long_sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))).cast(
                     "double"
                 )
                 * 100.0
-                / F.sum(disc).cast("double")
+                / exact_long_sum(disc).cast("double")
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_lines"),
         )
@@ -963,8 +963,11 @@ def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     import csv
     import tempfile
 
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch,
         f"spark_audit_landing_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
     )
     if os.path.isdir(out) and len(os.listdir(out)) == _AUDIT_N_FILES:

@@ -22,6 +22,8 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.stats import exact_long_sum
+
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -169,7 +171,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(F.broadcast(per_part), li_b.l_partkey == F.col("agg_partkey"))
         .filter(F.col("qty") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
         .agg(
-            (F.sum(F.col("pi").cast(_DEC)).cast("double") / 100.0 / 7.0).alias(
+            (exact_long_sum(F.col("pi")).cast("double") / 100.0 / 7.0).alias(
                 "avg_yearly"
             )
         )
@@ -239,7 +241,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(band1 | band2 | band3)
         .agg(
             (
-                F.sum((pi * (1000 - di)).cast(_DEC)).cast("double") / 100000.0
+                exact_long_sum(pi * (1000 - di)).cast("double") / 100000.0
             ).alias("revenue")
         )
     )

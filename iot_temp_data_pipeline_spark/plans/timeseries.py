@@ -21,6 +21,8 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import exact_long_sum
+
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -60,11 +62,11 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("x").cast(_DEC)).alias("sx"),
-            F.sum(F.col("y").cast(_DEC)).alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast(_DEC)).alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("syy"),
+            exact_long_sum(F.col("x")).alias("sx"),
+            exact_long_sum(F.col("y")).alias("sy"),
+            exact_long_sum(F.col("x") * F.col("y")).alias("sxy"),
+            exact_long_sum(F.col("x") * F.col("x")).alias("sxx"),
+            exact_long_sum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

@@ -24,6 +24,8 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.stats import exact_long_sum
+
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -189,7 +191,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == Q7_NATIONS[1]) & (F.col("cust_nation") == Q7_NATIONS[0]))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg((F.sum(_rev_e5().cast(_DEC)).cast("double") / 100000.0).alias("revenue"))
+        .agg((exact_long_sum(_rev_e5()).cast("double") / 100000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
     return shape(df, Q7_SPEC)
@@ -269,12 +271,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         vol.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(
+            exact_long_sum(
                 F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(
                     F.lit(0)
-                ).cast(_DEC)
+                )
             ).alias("num"),
-            F.sum(F.col("vol").cast(_DEC)).alias("den"),
+            exact_long_sum(F.col("vol")).alias("den"),
         )
         .select(
             "o_year",
@@ -357,7 +359,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(F.col("profit_e5").cast(_DEC)).cast("double") / 100000.0).alias(
+            (exact_long_sum(F.col("profit_e5")).cast("double") / 100000.0).alias(
                 "sum_profit"
             )
         )
@@ -416,7 +418,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(_pi().cast(_DEC)).alias("value_cents"))
+        .agg(exact_long_sum(_pi()).alias("value_cents"))
     )
     total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     df = (
@@ -535,7 +537,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("pi", _pi())
         .withColumn("di", _di())
         .groupBy("l_suppkey")
-        .agg(F.sum(_rev_e5().cast(_DEC)).alias("rev_e5"))
+        .agg(exact_long_sum(_rev_e5()).alias("rev_e5"))
     )
     best = rev.agg(F.max("rev_e5").alias("max_e5"))
     df = (

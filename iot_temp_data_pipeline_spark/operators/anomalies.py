@@ -85,18 +85,8 @@ def int_temperature_anomalies(
             F.max(t).alias("max_temp"),
             F.grouping_id().alias("gid"),
         )
+        .persist()
     )
-
-    # The four J1-J4 join sides below are all broadcast — which already
-    # means every stats row passes through the driver. Collecting ONCE
-    # and re-issuing the rows as a local relation makes the four
-    # broadcast builds free (no cluster job each) instead of four
-    # re-reads of a persisted aggregate — same driver-memory bound the
-    # broadcasts impose anyway. Values round-trip exactly (doubles are
-    # carried, never re-parsed). At a cardinality where stats stopped
-    # fitting the driver, the broadcasts would have to become shuffle
-    # joins and this collect would go with them.
-    stats = stats.sparkSession.createDataFrame(stats.collect(), stats.schema)
 
     # A1 global_stats (sql:28-34)
     global_stats = stats.filter(F.col("gid") == 7).select(

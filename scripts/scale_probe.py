@@ -6,7 +6,7 @@ A shuffle- or plan-pathology (quadratic candidate blowup, driver
 collect, broadcast overflow) shows up as a ratio >> 10; healthy
 operators land near or below 10 (fixed per-job overhead amortizes).
 
-Usage: python scripts/scale_probe.py [replication] [out.md]
+Usage: python scripts/scale_probe.py [replication] [out.md] [only,names]
 """
 
 from __future__ import annotations
@@ -65,6 +65,12 @@ QUERIES = [
     "dedup_clusters_ngram",
     "value_trend_by_type",
     "events_resample_hourly_ffill",
+    "quality_repetition_rules",
+    "decontaminate_ngram_overlap",
+    "domain_cap_sample",
+    "kmeans_embedding_clusters",
+    "tfidf_topk",
+    "knn_lsh_cosine",
 ]
 
 
@@ -114,6 +120,10 @@ def timed(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
+    queries = QUERIES
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        queries = [q for q in QUERIES if q in only]
     spark = get_spark(app_name="scale_probe")
     scaled_dir = f"/tmp/spark_graft_scale_x{replication}"
     if not os.path.exists(f"{scaled_dir}/lineitem.parquet"):
@@ -123,7 +133,7 @@ def main() -> None:
         f"| query | sf0.1 (s) | sf0.1 x{replication} (s) | ratio |",
         "|---|---|---|---|",
     ]
-    for name in QUERIES:
+    for name in queries:
         base = timed(spark, name, BASE_SF)
         big = timed(spark, name, scaled_dir)
         ratio = big / base if base > 0 else float("inf")

@@ -1,0 +1,93 @@
+"""Behavioral tests for the corpus-quality operators (operators/quality.py)
+and k-means clustering (operators/clustering.py) — semantics the
+oracle-parity hash check can't express: threshold behavior on crafted
+inputs, invariants (partition/cap bounds), and convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.operators import clustering as km
+from iot_temp_data_pipeline_spark.operators import quality as qa
+from iot_temp_data_pipeline_spark.operators.dedup import dedup_corpus
+from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_repetition_rules_flag_degenerate_docs(spark):
+    normal = " ".join(f"w{i}" for i in range(60))
+    looping = "spam ham " * 40  # one bigram dominates; 5-grams repeat
+    short = "too short"
+    df = qa.repetition_quality(
+        _docs(spark, [(1, normal, "s"), (2, looping.strip(), "s"), (3, short, "s")])
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got[1]["passes_quality"] is True
+    assert got[1]["dup_5gram_frac"] == 0.0
+    # the looping doc fails on BOTH repetition rules
+    assert got[2]["passes_quality"] is False
+    assert got[2]["dup_5gram_frac"] > 0.9
+    assert got[2]["top_bigram_frac"] > 0.5
+    # the short doc fails the length gate
+    assert got[3]["passes_quality"] is False
+
+
+def test_contamination_flags_eval_copies(spark, sf_dir):
+    out = qa.contaminated_docs(dedup_corpus(spark, sf_dir))
+    rows = out.collect()
+    assert rows, "duplicate-injected corpus must contain eval leakage"
+    by_id = {r["doc_id"]: r for r in rows}
+    # every exact copy (doc_id + 1M) of an eval doc (id % 13 == 0, i.e.
+    # id % 91 == 0 among the %7 copies) must be flagged at frac 1.0
+    docs = load_table(spark, sf_dir, "documents")
+    eval_copy_ids = [
+        r["doc_id"] + 1_000_000
+        for r in docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 == 0)
+        ).collect()
+    ]
+    assert eval_copy_ids
+    for cid in eval_copy_ids:
+        assert cid in by_id, f"exact eval copy {cid} not flagged"
+        assert by_id[cid]["contamination_frac"] == 1.0
+    # eval docs themselves are never in the output (they are not train)
+    assert all(
+        not (r["doc_id"] % 13 == 0 and r["doc_id"] < 1_000_000) for r in rows
+    )
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = qa.domain_cap(docs, cap=7)
+    per_source = (
+        capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    assert per_source
+    assert all(r["n"] <= 7 for r in per_source)
+    # sources with >= 7 docs are capped exactly at 7
+    pop = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for r in per_source:
+        assert r["n"] == min(7, pop[r["source"]])
+    # deterministic: same selection on a second run
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in qa.domain_cap(docs, cap=7).collect())
+    assert a == b
+
+
+def test_kmeans_partitions_corpus_and_converges(spark, sf_dir):
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    final = km.kmeans_clusters(spark, sf_dir)
+    rows = final.collect()
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+    assert 1 <= len(rows) <= km.KMEANS_K
+    inertia_2 = sum(r["inertia"] for r in rows)
+    # Lloyd's monotonicity: total inertia after 2 iterations is no worse
+    # than after 0 (seed centroids only)
+    inertia_0 = sum(
+        r["inertia"] for r in km.kmeans_clusters(spark, sf_dir, iters=0).collect()
+    )
+    assert inertia_2 <= inertia_0 + 1e-9

@@ -580,7 +580,12 @@ def connected_components_star(
             .distinct()
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.xxhash64("a", "b")).alias("h"),
+                # decimal sum: a long sum of full-range 64-bit hashes
+                # overflows (benign wraparound as a digest, but an
+                # ARITHMETIC_OVERFLOW error under an ANSI session — the
+                # driver runs ANSI-on). One decimal column in a 1-row
+                # aggregate, cost-free.
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
             )
             .collect()[0]
         )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import clustering as km
+from ..operators import packing as pk
 from ..operators import quality as qa
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
@@ -705,6 +706,41 @@ def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ORACLE = sql_select(QUALITY_SPEC, qa.repetition_quality_sql("documents"))
 CONTAM_ORACLE = _CORPUS + sql_select(CONTAM_SPEC, qa.contaminated_docs_sql("corpus"))
 DOMAIN_CAP_ORACLE = sql_select(DOMAIN_CAP_SPEC, qa.domain_cap_sql("documents"))
+
+PACK_SPEC = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("bin_id", "long"),
+    ("offset_in_bin", "long"),
+]
+
+LANG_WEIGHT_SPEC = [
+    ("lang", ""),
+    ("n_docs", "long"),
+    ("natural_share", "f4"),
+    ("resampled_share", "f4"),
+    ("doc_weight", "f4"),
+]
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(pk.pack_sequences(load_table(spark, sf_dir, "documents")), PACK_SPEC)
+
+
+def _lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.language_sampling_weights(load_table(spark, sf_dir, "documents")),
+        LANG_WEIGHT_SPEC,
+    )
+
+
+PACK_ORACLE = sql_select(PACK_SPEC, pk.pack_sequences_sql("documents"))
+LANG_WEIGHT_ORACLE = sql_select(
+    LANG_WEIGHT_SPEC, pk.language_sampling_weights_sql("documents")
+)
+
+EXTENSIONS["pack_sequences_grid"] = QuerySpec(_pack_sequences, PACK_ORACLE)
+EXTENSIONS["lang_sampling_weights"] = QuerySpec(_lang_weights, LANG_WEIGHT_ORACLE)
 
 KMEANS_SPEC = [
     ("cluster_id", "long"),

@@ -91,3 +91,38 @@ def test_kmeans_partitions_corpus_and_converges(spark, sf_dir):
         r["inertia"] for r in km.kmeans_clusters(spark, sf_dir, iters=0).collect()
     )
     assert inertia_2 <= inertia_0 + 1e-9
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pk.pack_sequences(docs).collect()
+    assert len(out) == docs.count()
+    ctx = pk.CONTEXT_LEN
+    for r in out:
+        assert 0 < r["n_tokens"] <= ctx
+        assert 0 <= r["offset_in_bin"] < ctx
+    # every doc fits its bin with at most one boundary crossing of slack
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rows in by_bin.values():
+        # at most one re-anchored (offset 0 crossing) doc beyond capacity
+        assert sum(x["n_tokens"] for x in rows) <= 2 * ctx
+    # bins are contiguous from 0
+    bins = sorted(by_bin)
+    assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_lang_weights_upweight_low_resource(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pk.language_sampling_weights(docs).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["resampled_share"] for r in rows) - 1.0) < 1e-9
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["doc_weight"] > 1.0 > largest["doc_weight"]

@@ -128,10 +128,10 @@ def kmeans_clusters(
     the final assignment: size and inertia (sum of squared distances to
     the centroid, in original embedding units)."""
     q = _qframe(spark, sf_dir)
-    dim = len(q.select("qx").first()["qx"])
+    seeds = q.orderBy("vec_id").limit(k).collect()
+    dim = len(seeds[0]["qx"])
     if dim != _DIM:
         raise ValueError(f"expected dim {_DIM}, fixture has {dim}")
-    seeds = q.orderBy("vec_id").limit(k).collect()
     state: State = [([int(v) for v in r["qx"]], 1) for r in seeds]
     for _ in range(iters):
         state = _update_state(q, state)

@@ -204,11 +204,20 @@ def ivf_cell_assignments(
             F.col("qvec"), F.col("c_qvec"), F.col("qnorm2"), F.col("c_qnorm2")
         ).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id"))
+    # argmax via max_by over a (c_cos, -cell_id) struct — lexicographic
+    # struct ordering reproduces "highest cosine, ties to lowest cell".
+    # Unlike the row_number window (full sort of C rows per vector),
+    # max_by partial-aggregates map-side: the shuffle carries one row
+    # per vector, not C — the difference between O(N·C) and O(N)
+    # shuffled bytes at scale.
+    best = F.max_by(
+        F.struct("cell_id", "label", "qvec", "qnorm2"),
+        F.struct(F.col("c_cos"), -F.col("cell_id")),
+    ).alias("b")
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "c_cos")
+        scored.groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", "b.label", "b.qvec", "b.qnorm2", "b.cell_id")
     )
     return assigned, cent
 

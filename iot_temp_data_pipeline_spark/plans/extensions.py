@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import chunking as ck
 from ..operators import clustering as km
 from ..operators import packing as pk
 from ..operators import quality as qa
@@ -706,6 +707,25 @@ def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ORACLE = sql_select(QUALITY_SPEC, qa.repetition_quality_sql("documents"))
 CONTAM_ORACLE = _CORPUS + sql_select(CONTAM_SPEC, qa.contaminated_docs_sql("corpus"))
 DOMAIN_CAP_ORACLE = sql_select(DOMAIN_CAP_SPEC, qa.domain_cap_sql("documents"))
+
+CHUNK_SPEC = [
+    ("doc_id", "long"),
+    ("chunk_idx", "long"),
+    ("start_tok", "long"),
+    ("n_tokens", "long"),
+    ("chunk_hash", ""),
+]
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ck.chunk_documents(load_table(spark, sf_dir, "documents")), CHUNK_SPEC
+    )
+
+
+CHUNK_ORACLE = sql_select(CHUNK_SPEC, ck.chunk_documents_sql("documents"))
+
+EXTENSIONS["chunk_documents_cdc"] = QuerySpec(_chunk_documents, CHUNK_ORACLE)
 
 PACK_SPEC = [
     ("doc_id", "long"),

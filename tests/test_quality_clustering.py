@@ -126,3 +126,50 @@ def test_lang_weights_upweight_low_resource(spark, sf_dir):
     largest = max(rows, key=lambda r: r["n_docs"])
     if smallest["n_docs"] < largest["n_docs"]:
         assert smallest["doc_weight"] > 1.0 > largest["doc_weight"]
+
+
+def test_cdc_chunks_stable_under_head_truncation(spark, sf_dir):
+    """Content-defined boundaries re-synchronize after an edit: a doc's
+    head-truncated copy (dedup_corpus +2M replicas drop the first 5
+    tokens) must share every chunk hash from the first common cut point
+    on — the property fixed-size windows lack."""
+    from iot_temp_data_pipeline_spark.operators import chunking as ck
+
+    corpus = dedup_corpus(spark, sf_dir)
+    chunks = ck.chunk_documents(corpus)
+    orig = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_hash"]
+        for r in chunks.filter(F.col("doc_id") < 1_000_000).collect()
+    }
+    trunc_rows = chunks.filter(F.col("doc_id") >= 2_000_000).collect()
+    assert trunc_rows
+    by_doc = {}
+    for r in trunc_rows:
+        by_doc.setdefault(r["doc_id"] - 2_000_000, []).append(r)
+    resynced = 0
+    for base_id, rows in by_doc.items():
+        orig_hashes = {h for (d, _), h in orig.items() if d == base_id}
+        shared = sum(1 for r in rows if r["chunk_hash"] in orig_hashes)
+        # all chunks after the first (possibly split) one must re-sync
+        if len(rows) > 1 and shared >= len(rows) - 1:
+            resynced += 1
+    assert resynced >= 0.9 * sum(1 for rows in by_doc.values() if len(rows) > 1)
+
+
+def test_chunk_bounds_and_coverage(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import chunking as ck
+    from iot_temp_data_pipeline_spark.functions.text import tokens as tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = ck.chunk_documents(docs)
+    rows = chunks.collect()
+    assert all(1 <= r["n_tokens"] <= ck.MAX_CHUNK for r in rows)
+    # chunks tile each doc exactly: sum of lengths == token count
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tok(F.col("text"))).alias("n")).collect()
+    }
+    assert per_doc == truth

@@ -20,7 +20,7 @@ hashes, functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32, portable_hash32_sql
@@ -110,6 +110,71 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
         ).alias("chunk_hash"),
     )
     return exploded.filter(F.col("n_tokens") > 0)
+
+
+MAX_CHUNK_DF = 200  # hot-chunk prune cap (same rationale as MAX_SHINGLE_DF)
+MIN_COMMON_CHUNKS = 2
+
+
+def chunk_overlap_pairs(
+    docs: DataFrame,
+    max_chunk_df: int = MAX_CHUNK_DF,
+    min_common: int = MIN_COMMON_CHUNKS,
+) -> DataFrame:
+    """Near-duplicate pairs by shared content-defined chunks — the
+    storage-dedup view of similarity: docs sharing ≥ ``min_common``
+    chunk hashes overlap in actual content runs, robust to head/tail
+    edits (unlike fixed windows). Same scale shape as the shingle
+    self-join: hot chunks (> max_chunk_df docs) are pruned with a count
+    window over the join's own shuffle, bounding candidate fan-out."""
+    ch = (
+        chunk_documents(docs)
+        .select("doc_id", "chunk_hash")
+        .distinct()
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("chunk_hash"))
+        )
+        .filter(F.col("df") <= max_chunk_df)
+        .drop("df")
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common_chunks"))
+        .filter(F.col("common_chunks") >= min_common)
+    )
+
+
+def chunk_overlap_pairs_sql(
+    source: str = "corpus",
+    max_chunk_df: int = MAX_CHUNK_DF,
+    min_common: int = MIN_COMMON_CHUNKS,
+) -> str:
+    return f"""(
+    WITH och AS (
+        SELECT DISTINCT doc_id, chunk_hash
+        FROM {chunk_documents_sql(source)}
+    ),
+    opr AS (
+        SELECT doc_id, chunk_hash FROM (
+            SELECT doc_id, chunk_hash,
+                COUNT(*) OVER (PARTITION BY chunk_hash) AS df
+            FROM och
+        ) t WHERE df <= {max_chunk_df}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_chunks
+    FROM opr a JOIN opr b
+      ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_common}
+) ov"""
 
 
 def chunk_documents_sql(source: str = "documents") -> str:

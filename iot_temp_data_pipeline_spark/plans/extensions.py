@@ -727,6 +727,25 @@ CHUNK_ORACLE = sql_select(CHUNK_SPEC, ck.chunk_documents_sql("documents"))
 
 EXTENSIONS["chunk_documents_cdc"] = QuerySpec(_chunk_documents, CHUNK_ORACLE)
 
+CHUNK_OVERLAP_SPEC = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("common_chunks", "long"),
+]
+
+
+def _chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ck.chunk_overlap_pairs(dd.dedup_corpus(spark, sf_dir)), CHUNK_OVERLAP_SPEC
+    )
+
+
+CHUNK_OVERLAP_ORACLE = _CORPUS + sql_select(
+    CHUNK_OVERLAP_SPEC, ck.chunk_overlap_pairs_sql("corpus")
+)
+
+EXTENSIONS["dedup_chunk_overlap"] = QuerySpec(_chunk_overlap, CHUNK_OVERLAP_ORACLE)
+
 PACK_SPEC = [
     ("doc_id", "long"),
     ("n_tokens", "long"),

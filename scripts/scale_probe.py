@@ -71,6 +71,9 @@ QUERIES = [
     "kmeans_embedding_clusters",
     "tfidf_topk",
     "knn_lsh_cosine",
+    "chunk_documents_cdc",
+    "dedup_chunk_overlap",
+    "pack_sequences_grid",
 ]
 
 

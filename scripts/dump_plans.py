@@ -53,6 +53,23 @@ SHOWCASE = {
         "partitions — no global Sort node outside the final presentation "
         "OrderBy."
     ),
+    "chunk_documents_cdc": (
+        "Entirely map-side: one Generate (explode of the per-row chunk "
+        "array) over one WholeStageCodegen projection span — NO Exchange "
+        "anywhere in the plan; chunking parallelizes per input split."
+    ),
+    "knn_ivf_cosine": (
+        "Cell assignment is BroadcastNestedLoopJoin (centroids broadcast) "
+        "followed by a partial/final max_by HashAggregate pair — the "
+        "shuffle carries one row per vector (argmax pre-reduced map-side), "
+        "not one per (vector, centroid)."
+    ),
+    "quality_repetition_rules": (
+        "The dup-5-gram fraction computes inside the per-row projection "
+        "(no shuffle); only the top-bigram mode aggregates, with "
+        "partial/final HashAggregate pairs keyed by doc_id — map-side "
+        "combine before both exchanges."
+    ),
 }
 
 

@@ -118,3 +118,19 @@ def test_aggform_dedup_has_no_window_and_partial_agg(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") >= 1
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Content-defined chunking is a pure map plan: one Generate
+    (chunk-array explode) over the scan, ZERO exchanges — the property
+    that makes it embarrassingly parallel at any corpus size."""
+    plan = plan_of(REGISTRY["chunk_documents_cdc"].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_ivf_assignment_preaggregates_mapside(spark, sf_dir):
+    """The IVF argmax must reduce map-side (partial/final HashAggregate
+    around the exchange), never sort C rows per vector through a window."""
+    plan = plan_of(REGISTRY["knn_ivf_cosine"].spark(spark, sf_dir))
+    assert "partial_max_by" in plan

@@ -213,3 +213,65 @@ def test_lsh_fixture_dim_contract(spark, sf_dir):
         .collect()
     )
     assert [r["d"] for r in dims] == [EMB_DIM]
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=200),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cdc_chunks_tile_every_document(spark, token_lists):
+    """Chunks tile each doc exactly (lengths sum to token count, starts
+    are the running prefix, every chunk within the MAX_CHUNK bound) for
+    ARBITRARY token content — including hash-pathological repeats."""
+    from iot_temp_data_pipeline_spark.operators import chunking as ck
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        ck.chunk_documents(docs).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(rows):
+        doc_id, text = toks
+        n = len(text.split(" "))
+        chunks = by_doc[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c["n_tokens"] <= ck.MAX_CHUNK for c in chunks)
+        assert sum(c["n_tokens"] for c in chunks) == n
+        pos = 1
+        for c in chunks:
+            assert c["start_tok"] == pos
+            pos += c["n_tokens"]
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(1, 700), min_size=1, max_size=30),
+    st.integers(8, 64),
+)
+def test_grid_packing_invariants(spark, lens, ctx):
+    """Grid packing invariants hold for arbitrary doc lengths and
+    context sizes: clipped lengths, offsets inside the bin, per-bin
+    load bounded by ctx + one re-anchored doc."""
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    rows = [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pk.pack_sequences(docs, context_len=ctx).collect()
+    assert len(out) == len(lens)
+    by_bin: dict[int, int] = {}
+    for r in out:
+        assert 0 < r["n_tokens"] <= ctx
+        assert 0 <= r["offset_in_bin"] < ctx
+        by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= 2 * ctx for v in by_bin.values())

@@ -255,6 +255,47 @@ def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
     )
 
 
+def domain_cap_threshold(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Scale path for domain capping: instead of ranking every document
+    inside its domain (a per-domain sort whose hot domains serialize
+    into single partitions), keep a doc iff its uniform hash falls under
+    the domain's acceptance threshold cap/n_docs — one tiny per-domain
+    aggregate broadcast back, then a stateless filter. No sort, no
+    window, no skew: the filter is embarrassingly parallel and a hot
+    domain costs the same per row as a cold one.
+
+    The trade (standard for threshold sampling): kept counts are
+    cap ± binomial noise rather than exactly cap. Deterministic and
+    exactly reproducible (the hash is the portable md5-derived one), so
+    the oracle pins every kept doc_id, not just the counts.
+
+    Output: kept (doc_id, source, n_source) rows.
+    """
+    h = portable_hash32(F.col("doc_id").cast("string"), seed=DOMAIN_SEED)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    # acceptance: h/2^32 < cap/n  ⇔  h * n < cap * 2^32 (exact int64:
+    # h < 2^32, n ≤ corpus size — product < 2^63 up to ~5e8 rows per
+    # domain; beyond that pre-scale n)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .filter(h * F.col("n_source") < F.lit(cap) * F.lit(1 << 32))
+        .select("doc_id", "source", "n_source")
+    )
+
+
+def domain_cap_threshold_sql(source: str = "documents", cap: int = DOMAIN_CAP) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=DOMAIN_SEED)
+    return f"""(
+    WITH dcounts AS (
+        SELECT source, COUNT(*) AS n_source FROM {source} GROUP BY source
+    )
+    SELECT d.doc_id, d.source, c.n_source
+    FROM {source} d JOIN dcounts c ON d.source = c.source
+    WHERE ({h}) * c.n_source < {cap} * 4294967296
+) dt"""
+
+
 def domain_cap_sql(source: str = "documents", cap: int = DOMAIN_CAP) -> str:
     h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=DOMAIN_SEED)
     return f"""(

@@ -798,3 +798,25 @@ EXTENSIONS["kmeans_embedding_clusters"] = QuerySpec(_kmeans, KMEANS_ORACLE)
 EXTENSIONS["quality_repetition_rules"] = QuerySpec(_repetition_quality, QUALITY_ORACLE)
 EXTENSIONS["decontaminate_ngram_overlap"] = QuerySpec(_contaminated_docs, CONTAM_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
+
+DOMAIN_CAP_T_SPEC = [
+    ("doc_id", "long"),
+    ("source", ""),
+    ("n_source", "long"),
+]
+
+
+def _domain_cap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.domain_cap_threshold(load_table(spark, sf_dir, "documents")),
+        DOMAIN_CAP_T_SPEC,
+    )
+
+
+DOMAIN_CAP_T_ORACLE = sql_select(
+    DOMAIN_CAP_T_SPEC, qa.domain_cap_threshold_sql("documents")
+)
+
+EXTENSIONS["domain_cap_threshold"] = QuerySpec(
+    _domain_cap_threshold, DOMAIN_CAP_T_ORACLE
+)

@@ -5,14 +5,16 @@ JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...
 Methodology:
 - Each query is fully materialized via the noop sink (no driver collect,
   no disk write — measures scan+compute+shuffle only).
-- Each query runs three times: two unmeasured warm-ups (whole-stage-
+- Each query runs four times: two unmeasured warm-ups (whole-stage-
   codegen JIT compilation — a one-time cost amortized away in any
   long-lived deployment, 3-8x the steady-state time locally, and C2
   compilation of the generated code only kicks in on re-execution),
-  then the measured run. spark.catalog.clearCache() between runs, so
-  the measured run pays its own cache materialization and never reuses
-  another query's (or its warm-ups') persisted data — steady-state,
-  cold-cache numbers.
+  then two measured runs reported as their MIN (best-of-N, the
+  standard noise floor estimator — single-sample wall clock on a
+  shared box swings ±20%). spark.catalog.clearCache() between runs,
+  so each measured run pays its own cache materialization and never
+  reuses another query's (or its warm-ups') persisted data —
+  steady-state, cold-cache numbers.
 - Mart-table semantics: the reference materializes marts as TABLES
   (`dbt_project.yml:28-30`) and summary models read the table. The
   registry mirrors that (`plans/registry.py` `_MART_CACHE`): the first
@@ -98,9 +100,12 @@ def duckdb_baseline(sf_dir: str, sf: float | None) -> None:
         if spec is None or spec.oracle is None:
             continue
         con.sql(spec.oracle).fetchall()  # warm-up: parse + buffer pool
-        start = time.perf_counter()
-        con.sql(spec.oracle).fetchall()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):  # measured: min of two, mirroring the Spark side
+            start = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
     print(
         json.dumps(
             {
@@ -137,10 +142,13 @@ def main() -> None:
         for _ in range(2):  # warm-ups: JIT/codegen compile (see module doc)
             run(name)
             spark.catalog.clearCache()
-        start = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):  # measured: min of two (see module doc)
+            start = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - start)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import chunking as ck
+from ..operators import graph as gr
 from ..operators import clustering as km
 from ..operators import packing as pk
 from ..operators import quality as qa
@@ -726,6 +727,29 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_ORACLE = sql_select(CHUNK_SPEC, ck.chunk_documents_sql("documents"))
 
 EXTENSIONS["chunk_documents_cdc"] = QuerySpec(_chunk_documents, CHUNK_ORACLE)
+
+PAGERANK_SPEC = [
+    ("doc_id", "long"),
+    ("degree", "long"),
+    ("rank_e6", "long"),
+]
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dd.ngram_jaccard_pairs(dd.dedup_corpus(spark, sf_dir))
+    return shape(gr.pagerank_int(edges), PAGERANK_SPEC)
+
+
+PAGERANK_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + ",\n"
+    + f"jpairs AS (SELECT * FROM {dd.NGRAM_JACCARD_SQL})\n"
+    + sql_select(PAGERANK_SPEC, gr.pagerank_int_sql("jpairs"))
+)
+
+EXTENSIONS["pagerank_dedup_graph"] = QuerySpec(_pagerank, PAGERANK_ORACLE)
 
 CHUNK_OVERLAP_SPEC = [
     ("doc_a", "long"),

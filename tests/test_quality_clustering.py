@@ -173,3 +173,23 @@ def test_chunk_bounds_and_coverage(spark, sf_dir):
         for r in docs.select("doc_id", F.size(tok(F.col("text"))).alias("n")).collect()
     }
     assert per_doc == truth
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from iot_temp_data_pipeline_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in gr.pagerank_int(edges).collect()}
+    hub, leaves = rows[0], [rows[i] for i in range(1, 9)]
+    assert hub["degree"] == 8
+    assert all(l["degree"] == 1 for l in leaves)
+    assert all(hub["rank_e6"] > l["rank_e6"] for l in leaves)
+    # leaves are symmetric — identical ranks
+    assert len({l["rank_e6"] for l in leaves}) == 1
+    # total mass stays below the undamped total (truncation + damping
+    # only ever remove mass) and above the base floor
+    total = sum(r["rank_e6"] for r in rows.values())
+    n = len(rows)
+    assert n * gr.RANK_SCALE * 15 // 100 < total <= n * gr.RANK_SCALE

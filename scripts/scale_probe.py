@@ -74,6 +74,8 @@ QUERIES = [
     "chunk_documents_cdc",
     "dedup_chunk_overlap",
     "pack_sequences_grid",
+    "pagerank_dedup_graph",
+    "domain_cap_threshold",
 ]
 
 

@@ -464,7 +464,103 @@ APCTL_SQL = sql_select(
 )
 
 
+# ------------------------------------------------------- funnel analysis
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_MIN = 1440  # next stage must follow within 24 h
+
+FUNNEL_SPEC = [
+    ("stage", ""),
+    ("stage_idx", "long"),
+    ("n_users", "long"),
+]
+
+
+def funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users counted at stage k iff their
+    FIRST stage-k event strictly follows their entry into stage k-1
+    within a 24-hour conversion window — the sequential-milestone
+    semantics (a purchase before any click does not convert, and a
+    purchase hours later does not count as converting from it). One conditional aggregate per stage keyed by
+    user_id; each pass is a partial-aggregatable min, and the per-user
+    milestone frame is ~|users| rows joined with the (pre-filtered)
+    event scan — no windows, no self-join explosion at scale.
+
+    The reference has no funnel surface; this extends the events
+    analytics family (SURVEY.md §2 extension block).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage0 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    frames = [stage0]
+    prev = stage0
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=1):
+        nxt = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(f"t{i - 1}"))
+                & (
+                    F.col("ts")
+                    <= F.col(f"t{i - 1}") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        frames.append(nxt)
+        prev = nxt
+    rows = [
+        f.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(i).cast("long").alias("stage_idx"),
+            "n_users",
+        )
+        for i, (stage, f) in enumerate(zip(FUNNEL_STAGES, frames))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return shape(out.orderBy("stage_idx"), FUNNEL_SPEC)
+
+
+FUNNEL_SQL = sql_select(
+    FUNNEL_SPEC,
+    f"""(
+    WITH f0 AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    f1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN f0 ON e.user_id = f0.user_id
+        WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > f0.t0
+          AND e.ts <= f0.t0 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    ),
+    f2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN f1 ON e.user_id = f1.user_id
+        WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > f1.t1
+          AND e.ts <= f1.t1 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    )
+    SELECT '{FUNNEL_STAGES[0]}' AS stage, 0 AS stage_idx,
+           (SELECT COUNT(*) FROM f0) AS n_users
+    UNION ALL
+    SELECT '{FUNNEL_STAGES[1]}', 1, (SELECT COUNT(*) FROM f1)
+    UNION ALL
+    SELECT '{FUNNEL_STAGES[2]}', 2, (SELECT COUNT(*) FROM f2)
+    ORDER BY stage_idx
+) fu""",
+)
+
+
 ANALYTICS: dict[str, QuerySpec] = {
+    "funnel_ordered_stages": QuerySpec(funnel_ordered, FUNNEL_SQL),
     "approx_percentile_check": QuerySpec(approx_percentile_check, APCTL_SQL),
     "revenue_rollup": QuerySpec(revenue_rollup, ROLLUP_SQL),
     "revenue_cube": QuerySpec(revenue_cube, CUBE_SQL),

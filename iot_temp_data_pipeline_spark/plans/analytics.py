@@ -570,3 +570,89 @@ ANALYTICS: dict[str, QuerySpec] = {
     "nation_priority_pivot": QuerySpec(nation_priority_pivot, PIVOT_SQL),
     "approx_distinct_users": QuerySpec(approx_distinct_users, HLL_SQL),
 }
+
+
+# ----------------------------------------------------- column profiling
+
+PROFILE_SPEC = [
+    ("col_name", ""),
+    ("n_rows", "long"),
+    ("n_nulls", "long"),
+    ("n_distinct", "long"),
+    ("min_repr", ""),
+    ("max_repr", ""),
+]
+
+# (name, value-expr producing a cross-engine-stable VARCHAR repr)
+_PROFILE_COLS = (
+    ("event_id", "CAST(event_id AS VARCHAR)"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type"),
+    ("ts", "strftime(ts, '%Y-%m-%d %H:%M:%S')"),
+    # doubles never stringify raw (engine-dependent formatting):
+    # profile the exact centi-int representation instead
+    ("value_centi", "CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)"),
+)
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the events table — row count,
+    null count, exact distinct count, min/max — ONE scan for all
+    columns (the aggregates compute side by side in a single
+    aggregation; the wide 1-row result melts to one row per column
+    with stack()). String reprs are normalized per column so both
+    engines print identically (timestamps via a fixed format, doubles
+    via their exact centi-integer).
+
+    At 100 TB exact countDistinct per column is the expensive choice —
+    the approx_distinct_users query carries the HLL alternative; a
+    profiler would flip to approx per column. Exact here because the
+    oracle proves the melt plumbing bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").cast("string").alias("value_centi"),
+    )
+    aggs = []
+    for name, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(name).alias(f"{name}_nn"),
+            F.countDistinct(name).alias(f"{name}_nd"),
+            F.min(name).alias(f"{name}_mn"),
+            F.max(name).alias(f"{name}_mx"),
+        ]
+    wide = b.agg(F.count("*").alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}_nn, {name}_nd, {name}_mn, {name}_mx"
+        for name, _ in _PROFILE_COLS
+    )
+    df = wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, nn, n_distinct, min_repr, max_repr)",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+    )
+    return shape(df, PROFILE_SPEC)
+
+
+_PROFILE_SQL_BRANCHES = "\n    UNION ALL\n".join(
+    f"""    SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT({expr}) AS n_nulls,
+        COUNT(DISTINCT {expr}) AS n_distinct,
+        MIN({expr}) AS min_repr, MAX({expr}) AS max_repr
+    FROM events"""
+    for name, expr in _PROFILE_COLS
+)
+
+PROFILE_SQL = sql_select(PROFILE_SPEC, f"(\n{_PROFILE_SQL_BRANCHES}\n) prof")
+
+ANALYTICS["profile_events_columns"] = QuerySpec(profile_events, PROFILE_SQL)

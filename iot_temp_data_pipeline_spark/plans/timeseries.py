@@ -379,3 +379,79 @@ CAGG_SQL = sql_select(
 )
 
 TIMESERIES["continuous_daily_rollup"] = QuerySpec(continuous_daily_rollup, CAGG_SQL)
+
+
+# ------------------------------------------- time-RANGE moving aggregate
+
+MOVAVG_SPEC = [
+    ("event_id", "long"),
+    ("event_type", ""),
+    ("ts_s", "long"),
+    ("n_7d", "long"),
+    ("sum_centi_7d", "long"),
+    ("avg_7d", ""),
+]
+
+MOVAVG_WINDOW_S = 7 * 86400  # trailing 7 days, inclusive
+
+
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day moving aggregate per event type — a RANGE frame
+    over event-time seconds (`rangeBetween`), the window feature the
+    ROWS-frame suite can't express: each row aggregates every event of
+    its type in [ts−7d, ts] regardless of row count. One shuffle on
+    event_type + one sort; the frame slides without re-scanning (the
+    engine maintains it incrementally). avg is unrounded — exact
+    integer sum/count through identical division on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        # integer div, not double-div + cast: double division rounds
+        # differently than DuckDB's cast on half-second values
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s")
+        .rangeBetween(-MOVAVG_WINDOW_S, 0)
+    )
+    return shape(
+        base.select(
+            "event_id",
+            "event_type",
+            "ts_s",
+            F.count("*").over(w).alias("n_7d"),
+            F.sum("centi").over(w).alias("sum_centi_7d"),
+            (
+                F.sum("centi").over(w).cast("double")
+                / 100.0
+                / F.count("*").over(w).cast("double")
+            ).alias("avg_7d"),
+        ),
+        MOVAVG_SPEC,
+    )
+
+
+MOVAVG_SQL = sql_select(
+    MOVAVG_SPEC,
+    f"""(
+    SELECT event_id, event_type, ts_s,
+        COUNT(*) OVER w AS n_7d,
+        SUM(centi) OVER w AS sum_centi_7d,
+        CAST(SUM(centi) OVER w AS DOUBLE) / 100.0
+            / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_7d
+    FROM (
+        SELECT event_id, event_type,
+            epoch_us(ts) // 1000000 AS ts_s,
+            CAST(ROUND(value * 100) AS BIGINT) AS centi
+        FROM events
+    ) b
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+                 RANGE BETWEEN {MOVAVG_WINDOW_S} PRECEDING AND CURRENT ROW)
+) mv""",
+)
+
+TIMESERIES["events_moving_avg_7d"] = QuerySpec(moving_avg_7d, MOVAVG_SQL)

@@ -1,0 +1,139 @@
+"""Misra-Gries heavy-hitters sketch (beyond-reference surface): the
+fixed-memory frequent-items counter every streaming/profiling stack
+carries alongside HLL (distinct) and quantile sketches.
+
+This is the repo's showcase of a CUSTOM AGGREGATION implemented on the
+Arrow-batched Python path (`mapInPandas`): Spark has no built-in
+frequent-items sketch with error guarantees, and Misra-Gries is not
+expressible as column algebra — each batch folds into k counters with
+data-dependent evictions. The implementation keeps the Spark contract
+honest:
+
+- one `mapInPandas` pass emits each PARTITION's k-counter summary
+  (≤ k rows per partition — constant memory, mergeable, the map-side
+  combine shape);
+- summaries merge with a plain groupBy SUM (Misra-Gries summaries are
+  mergeable by counter addition; the error bounds add);
+- the guarantee checked: for every TRUE top-n item, the sketch holds a
+  counter, and its underestimate is within the deterministic MG bound
+  Σ_p (N_p / k) (per-partition deficit sum).
+
+The sketch estimate itself depends on partition layout, so the oracle
+pins the GUARANTEE, not the estimate: true top-n items (exact counts,
+reproducible in SQL) each carry sketch_found / within_bound flags that
+must be TRUE — same statistical-contract pattern as the HLL and
+stratified-sampling entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+MG_COUNTERS = 1024
+MG_TOPN = 10
+
+
+def _mg_partition_summaries(k: int):
+    """Weighted (batched) Misra-Gries fold: per Arrow batch, counts
+    merge vectorized (value_counts); whenever more than k counters are
+    live, subtract the smallest value that evicts down to ≤ k from ALL
+    live counters and drop the non-positive ones. Each such round
+    removes its δ from ≥ k+1 items' mass, so the per-partition
+    underestimate keeps the classic MG bound ≤ N_p/(k+1) while the fold
+    stays pandas-vectorized (no per-item Python loop)."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        n_seen = 0
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            n_seen += int(vc.sum())
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                # δ = (len-k)-th smallest value ⇒ ≥ len-k evictions
+                delta = int(counters.nsmallest(len(counters) - k).iloc[-1])
+                counters = counters - delta
+                counters = counters[counters > 0]
+        yield pd.DataFrame(
+            {
+                "item": list(counters.index) + ["\x00deficit"],
+                "mg_count": [int(v) for v in counters.values] + [n_seen],
+            }
+        )
+
+    return fold
+
+
+def mg_heavy_hitters(docs: DataFrame, k: int = MG_COUNTERS, topn: int = MG_TOPN) -> DataFrame:
+    """Bigram heavy hitters over the corpus with the MG bound checked
+    against exact counts. Returns the true top-``topn`` bigrams with
+    (bigram, true_count, sketch_found, within_bound)."""
+    tk = tokens(F.col("text"))
+    d = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    items = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("item")
+    )
+    summaries = items.mapInPandas(
+        _mg_partition_summaries(k), schema="item string, mg_count long"
+    )
+    merged = summaries.groupBy("item").agg(F.sum("mg_count").alias("mg_count"))
+    # the reserved deficit row carries Σ N_p; MG underestimates by at
+    # most N_p/k per partition, and partition count ≤ 2·k rows each, so
+    # bound with the conservative Σ N_p / k (deficit_total / k).
+    deficit_total = merged.filter(F.col("item") == "\x00deficit").select(
+        F.col("mg_count").alias("deficit")
+    )
+    sketch = merged.filter(F.col("item") != "\x00deficit")
+    exact_top = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "item")
+        .limit(topn)
+    )
+    return (
+        exact_top.join(sketch, "item", "left")
+        .crossJoin(F.broadcast(deficit_total))
+        .select(
+            F.col("item").alias("bigram"),
+            "true_count",
+            F.col("mg_count").isNotNull().alias("sketch_found"),
+            (
+                F.col("mg_count").isNotNull()
+                & (F.col("true_count") - F.coalesce(F.col("mg_count"), F.lit(0))
+                   <= F.col("deficit") / F.lit(k))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def mg_heavy_hitters_sql(source: str = "documents", topn: int = MG_TOPN) -> str:
+    """Oracle: exact top-n bigrams with both guarantee flags pinned TRUE
+    (any true top-n bigram at this corpus size clears count > N/k, so MG
+    must track it and the underestimate must sit within the bound)."""
+    return f"""(
+    SELECT t.tk[s.i] || ' ' || t.tk[s.i + 1] AS bigram,
+        COUNT(*) AS true_count,
+        TRUE AS sketch_found,
+        TRUE AS within_bound
+    FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+          FROM {source}) t
+    JOIN (SELECT UNNEST(generate_series(1, 10000)) AS i) s
+      ON s.i <= len(t.tk) - 1
+    WHERE len(t.tk) >= 2
+    GROUP BY 1
+    ORDER BY true_count DESC, bigram
+    LIMIT {topn}
+) mg"""

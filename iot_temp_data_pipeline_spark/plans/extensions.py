@@ -16,6 +16,7 @@ from ..operators import graph as gr
 from ..operators import clustering as km
 from ..operators import packing as pk
 from ..operators import quality as qa
+from ..operators import sketches as sk
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.tfidf import tfidf_topk, tfidf_topk_sql
@@ -727,6 +728,24 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_ORACLE = sql_select(CHUNK_SPEC, ck.chunk_documents_sql("documents"))
 
 EXTENSIONS["chunk_documents_cdc"] = QuerySpec(_chunk_documents, CHUNK_ORACLE)
+
+MG_SPEC = [
+    ("bigram", ""),
+    ("true_count", "long"),
+    ("sketch_found", ""),
+    ("within_bound", ""),
+]
+
+
+def _mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        sk.mg_heavy_hitters(load_table(spark, sf_dir, "documents")), MG_SPEC
+    )
+
+
+MG_ORACLE = sql_select(MG_SPEC, sk.mg_heavy_hitters_sql("documents"))
+
+EXTENSIONS["mg_heavy_hitters_check"] = QuerySpec(_mg_heavy_hitters, MG_ORACLE)
 
 PAGERANK_SPEC = [
     ("doc_id", "long"),

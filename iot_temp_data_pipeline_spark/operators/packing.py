@@ -21,53 +21,82 @@ ALPHA = 0.5  # temperature exponent for language re-sampling
 
 
 def pack_sequences(docs: DataFrame, context_len: int = CONTEXT_LEN) -> DataFrame:
-    """Grid sequence packing: documents (ordered by doc_id —
-    deterministic, reproducible batches) are laid head-to-tail on a
-    token line; the line is cut into a fixed ``context_len`` grid, and
-    each document is assigned to the grid cell it ENDS in (docs are
-    clipped to context_len, so a doc spans at most two cells). Documents
-    fully inside a cell keep their line offset; boundary-crossing docs
-    re-anchor at offset 0 of their end cell.
+    """Grid sequence packing, concat-and-chunk layout: documents
+    (ordered by doc_id — deterministic, reproducible batches) are laid
+    head-to-tail on a token line; the line is cut into a fixed
+    ``context_len`` grid, and each document is emitted as one row per
+    grid cell it touches (docs are clipped to context_len, so a doc
+    spans at most two cells → at most two segments). This is the
+    standard pretraining packing: bins are exactly full (every bin but
+    the last carries precisely ``context_len`` tokens), segment offsets
+    within a bin are disjoint by construction, and a consumer can
+    assemble each context window directly from (bin_id, offset_in_bin,
+    seg_len) with zero padding and zero overlap.
 
-    This is the parallel-friendly variant of greedy next-fit packing:
-    true next-fit is a sequential scan (each break depends on all prior
-    breaks — not expressible as a window function), while the grid
-    assignment depends only on the global prefix sum, so it is ONE
-    ordered-window pass and embarrassingly parallel. The trade is
-    bounded slack: at most one crossing doc per cell re-anchors, leaving
-    ≤ clip-length waste per bin — the same per-bin padding budget a
-    next-fit loader tolerates. At 100 TB you'd key the window by
-    dataloader shard (doc_id range) and pack shards independently; the
-    plan is identical with a partitioned window.
+    True greedy next-fit packing is a sequential scan (each break
+    depends on all prior breaks — not expressible as a window
+    function); the grid layout depends only on the global prefix sum,
+    so it is ONE ordered-window pass and embarrassingly parallel. At
+    100 TB you'd key the window by dataloader shard (doc_id range) and
+    pack shards independently; the plan is identical with a
+    partitioned window.
 
-    Output: (doc_id, n_tokens [clipped], bin_id, offset_in_bin).
+    All bin arithmetic uses exact integer division (SQL ``div``, the
+    DuckDB twin's ``//``): the global token-line prefix sum grows
+    unboundedly with corpus size, and double division drifts past
+    ~2^53.
+
+    Output: (doc_id, n_tokens [clipped], seg_idx, bin_id,
+    offset_in_bin, seg_len); seg_idx ∈ {0, 1} orders a split doc's
+    segments (token ``offset_in_bin + i`` of segment 1 continues token
+    ``seg_len_0 + i`` of the doc).
     """
     n_raw = token_count(F.col("text"))
     toks = F.least(n_raw, F.lit(context_len)).alias("n_tokens")
     d = docs.select("doc_id", toks)
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    first_grid = (pre / context_len).cast("long")
-    last_grid = ((pre + F.col("n_tokens") - 1) / context_len).cast("long")
-    crosses = first_grid != last_grid
-    # grid packing: a crossing doc is assigned to the grid cell it ends
-    # in; offset_in_bin is position within its cell on the virtual line
-    bin_id = F.when(crosses, last_grid).otherwise(first_grid)
-    offset = F.when(crosses, F.lit(0)).otherwise(pre - first_grid * context_len)
-    return d.select(
+    d = d.select(
         "doc_id",
         "n_tokens",
-        bin_id.alias("bin_id"),
-        offset.cast("long").alias("offset_in_bin"),
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("pre"),
+    )
+    first_grid = F.expr(f"pre div {context_len}")
+    last_grid = F.expr(f"(pre + n_tokens - 1) div {context_len}")
+    head_len = (first_grid + 1) * context_len - F.col("pre")  # tokens in start cell
+    seg0 = F.struct(
+        F.lit(0).cast("long").alias("seg_idx"),
+        first_grid.alias("bin_id"),
+        (F.col("pre") - first_grid * context_len).alias("offset_in_bin"),
+        F.least(F.col("n_tokens"), head_len).alias("seg_len"),
+    )
+    seg1 = F.struct(
+        F.lit(1).cast("long").alias("seg_idx"),
+        last_grid.alias("bin_id"),
+        F.lit(0).cast("long").alias("offset_in_bin"),
+        (F.col("pre") + F.col("n_tokens") - last_grid * context_len).alias("seg_len"),
+    )
+    segs = F.when(first_grid != last_grid, F.array(seg0, seg1)).otherwise(
+        F.array(seg0)
+    )
+    return d.select(
+        "doc_id", "n_tokens", F.explode(segs).alias("seg")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("seg.seg_idx").alias("seg_idx"),
+        F.col("seg.bin_id").alias("bin_id"),
+        F.col("seg.offset_in_bin").alias("offset_in_bin"),
+        F.col("seg.seg_len").alias("seg_len"),
     )
 
 
 def pack_sequences_sql(source: str = "documents", context_len: int = CONTEXT_LEN) -> str:
+    c = context_len
     return f"""(
     WITH pd AS (
         SELECT doc_id,
             LEAST(len(regexp_split_to_array(lower(text), '\\s+')),
-                  {context_len}) AS n_tokens
+                  {c}) AS n_tokens
         FROM {source}
     ),
     pp AS (
@@ -75,18 +104,26 @@ def pack_sequences_sql(source: str = "documents", context_len: int = CONTEXT_LEN
             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         FROM pd
+    ),
+    pg AS (
+        SELECT doc_id, n_tokens, pre,
+            pre // {c} AS first_grid,
+            (pre + n_tokens - 1) // {c} AS last_grid
+        FROM pp
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        CAST(CASE WHEN pre // {context_len}
-                       <> (pre + n_tokens - 1) // {context_len}
-                  THEN (pre + n_tokens - 1) // {context_len}
-                  ELSE pre // {context_len} END AS BIGINT) AS bin_id,
-        CAST(CASE WHEN pre // {context_len}
-                       <> (pre + n_tokens - 1) // {context_len}
-                  THEN 0
-                  ELSE pre - (pre // {context_len}) * {context_len}
-             END AS BIGINT) AS offset_in_bin
-    FROM pp
+        CAST(0 AS BIGINT) AS seg_idx,
+        CAST(first_grid AS BIGINT) AS bin_id,
+        CAST(pre - first_grid * {c} AS BIGINT) AS offset_in_bin,
+        CAST(LEAST(n_tokens, (first_grid + 1) * {c} - pre) AS BIGINT) AS seg_len
+    FROM pg
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT),
+        CAST(1 AS BIGINT),
+        CAST(last_grid AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST(pre + n_tokens - last_grid * {c} AS BIGINT)
+    FROM pg WHERE first_grid <> last_grid
 ) pk"""
 
 

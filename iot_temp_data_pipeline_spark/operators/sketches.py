@@ -130,7 +130,9 @@ def mg_heavy_hitters_sql(source: str = "documents", topn: int = MG_TOPN) -> str:
         TRUE AS within_bound
     FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
           FROM {source}) t
-    JOIN (SELECT UNNEST(generate_series(1, 10000)) AS i) s
+    JOIN (SELECT UNNEST(generate_series(1,
+              (SELECT MAX(len(regexp_split_to_array(lower(text), '\\s+')))
+               FROM {source}))) AS i) s
       ON s.i <= len(t.tk) - 1
     WHERE len(t.tk) >= 2
     GROUP BY 1

@@ -306,6 +306,28 @@ def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESIZE_ORACLE = sql_select(RESIZE_SPEC, mm.RESIZE_SQL)
 
+DECODE_SPEC = [
+    ("media_id", "long"),
+    ("container", ""),
+    ("width", "long"),
+    ("height", "long"),
+    ("bit_depth", "long"),
+    ("channels", "long"),
+    ("sample_rate", "long"),
+    ("n_samples", "long"),
+    ("payload_bytes", "long"),
+]
+
+
+def _decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shape(
+        mm.decode_media_headers(mm.synthesize_binary_media(docs)), DECODE_SPEC
+    )
+
+
+DECODE_ORACLE = sql_select(DECODE_SPEC, mm.DECODE_HEADERS_SQL)
+
 
 # ------------------------------------------------ dedup cluster assignment
 
@@ -404,6 +426,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "multimodal_media_metadata": QuerySpec(_media_metadata, MEDIA_ORACLE),
     "multimodal_frame_sample": QuerySpec(_frame_sample, FRAME_ORACLE),
     "multimodal_resize_images": QuerySpec(_resize, RESIZE_ORACLE),
+    "multimodal_decode_headers": QuerySpec(_decode_headers, DECODE_ORACLE),
     "training_corpus_prep": QuerySpec(_training_corpus_prep, PREP_ORACLE),
 }
 
@@ -792,8 +815,10 @@ EXTENSIONS["dedup_chunk_overlap"] = QuerySpec(_chunk_overlap, CHUNK_OVERLAP_ORAC
 PACK_SPEC = [
     ("doc_id", "long"),
     ("n_tokens", "long"),
+    ("seg_idx", "long"),
     ("bin_id", "long"),
     ("offset_in_bin", "long"),
+    ("seg_len", "long"),
 ]
 
 LANG_WEIGHT_SPEC = [

@@ -17,10 +17,23 @@ accumulates on the driver.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+atexit.register(_cleanup_scratch)
 
 
 def workdir(prefix: str) -> str:
@@ -32,11 +45,17 @@ def workdir(prefix: str) -> str:
     wall-clock. On a production cluster this corresponds to pointing
     scratch/checkpoint at node-local SSD instead of a slow root volume
     (durable checkpoints belong on the DFS — overridable via
-    SPARK_GRAFT_SCRATCH)."""
+    SPARK_GRAFT_SCRATCH).
+
+    Every dir handed out is removed at interpreter exit — tmpfs scratch
+    is RAM-backed, so leaked dirs would otherwise accumulate shared
+    memory across repeated runs on a long-lived host."""
     root = os.environ.get("SPARK_GRAFT_SCRATCH")
     if root is None and os.path.isdir("/dev/shm"):
         root = "/dev/shm"
-    return tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_", dir=root)
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_", dir=root)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def materialize_landing(df: DataFrame, landing_dir: str, n_files: int = 4) -> None:

@@ -261,17 +261,28 @@ def test_cdc_chunks_tile_every_document(spark, token_lists):
 )
 def test_grid_packing_invariants(spark, lens, ctx):
     """Grid packing invariants hold for arbitrary doc lengths and
-    context sizes: clipped lengths, offsets inside the bin, per-bin
-    load bounded by ctx + one re-anchored doc."""
+    context sizes: clipped lengths, disjoint in-bin segments, every
+    bin except the last exactly full."""
     from iot_temp_data_pipeline_spark.operators import packing as pk
 
     rows = [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(lens)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = pk.pack_sequences(docs, context_len=ctx).collect()
-    assert len(out) == len(lens)
-    by_bin: dict[int, int] = {}
+    assert len(lens) <= len(out) <= 2 * len(lens)
+    total = sum(min(n, ctx) for n in lens)
+    by_bin: dict[int, list] = {}
     for r in out:
         assert 0 < r["n_tokens"] <= ctx
         assert 0 <= r["offset_in_bin"] < ctx
-        by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["n_tokens"]
-    assert all(v <= 2 * ctx for v in by_bin.values())
+        assert 0 < r["seg_len"] <= r["n_tokens"]
+        assert r["offset_in_bin"] + r["seg_len"] <= ctx
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    assert sum(x["seg_len"] for rows_ in by_bin.values() for x in rows_) == total
+    last_bin = max(by_bin)
+    for b, rows_ in by_bin.items():
+        rows_.sort(key=lambda x: x["offset_in_bin"])
+        pos = 0
+        for x in rows_:
+            assert x["offset_in_bin"] == pos
+            pos += x["seg_len"]
+        assert pos == ctx or b == last_bin

@@ -98,18 +98,39 @@ def test_pack_sequences_invariants(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     out = pk.pack_sequences(docs).collect()
-    assert len(out) == docs.count()
+    n_docs = docs.count()
+    # one segment per doc plus one extra for each boundary-crossing doc
+    assert n_docs <= len(out) <= 2 * n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
     ctx = pk.CONTEXT_LEN
+    by_bin = {}
     for r in out:
         assert 0 < r["n_tokens"] <= ctx
         assert 0 <= r["offset_in_bin"] < ctx
-    # every doc fits its bin with at most one boundary crossing of slack
-    by_bin = {}
-    for r in out:
+        assert 0 < r["seg_len"] <= r["n_tokens"]
+        assert r["offset_in_bin"] + r["seg_len"] <= ctx
         by_bin.setdefault(r["bin_id"], []).append(r)
-    for rows in by_bin.values():
-        # at most one re-anchored (offset 0 crossing) doc beyond capacity
-        assert sum(x["n_tokens"] for x in rows) <= 2 * ctx
+    # segments within a bin are disjoint and bins are exactly full
+    # (every bin except the last carries precisely ctx tokens)
+    last_bin = max(by_bin)
+    for b, rows in by_bin.items():
+        rows.sort(key=lambda x: x["offset_in_bin"])
+        pos = 0
+        for x in rows:
+            assert x["offset_in_bin"] == pos
+            pos += x["seg_len"]
+        assert pos == ctx or b == last_bin
+    # a split doc's segments are consistent
+    segs = {}
+    for r in out:
+        segs.setdefault(r["doc_id"], []).append(r)
+    for rows in segs.values():
+        rows.sort(key=lambda x: x["seg_idx"])
+        assert [x["seg_idx"] for x in rows] == list(range(len(rows)))
+        assert sum(x["seg_len"] for x in rows) == rows[0]["n_tokens"]
+        if len(rows) == 2:
+            assert rows[1]["offset_in_bin"] == 0
+            assert rows[1]["bin_id"] == rows[0]["bin_id"] + 1
     # bins are contiguous from 0
     bins = sorted(by_bin)
     assert bins[0] == 0 and bins == list(range(len(bins)))

@@ -12,11 +12,17 @@ in both engines — so every iteration is bit-reproducible anywhere.
 Truncation loses ≤ deg units of mass per node per round (bounded,
 deterministic); scores are reported in RANK_SCALE units.
 
-Execution shape: per iteration one groupBy(dst) SUM over the edge list
-(map-side combined) joined back to the node table — the standard
-distributed PageRank step; ``localCheckpoint`` truncates lineage. At
-100 TB the edge list is hash-partitioned by dst and the node table
-co-partitioned, so each round is one co-located shuffle.
+Execution shape: the symmetrized edge list is hash-partitioned by
+``u`` ONCE (with per-source degree folded in) and persisted; every
+iteration then reuses that exchange, so a round is exactly one shuffle
+(the groupBy(dst) contribution sum, map-side combined) — the rank
+table arrives pre-partitioned on ``u`` from the previous round's
+aggregation, and in a symmetric graph every node receives inflow, so
+no join-back against the node table is needed at all.
+``localCheckpoint`` truncates lineage while preserving partitioning.
+At 100 TB this is the scale-correct plan: edge-list partitioning is
+paid once, per-iteration cost is a single co-located shuffle of
+node-sized contributions.
 """
 
 from __future__ import annotations
@@ -45,41 +51,49 @@ def pagerank_int(
 
     Returns (doc_id, degree, rank_e6) where rank_e6 is the damped rank
     after ``iters`` rounds in RANK_SCALE units (init = RANK_SCALE each).
+
+    Edges are canonicalized (u < v) and set-deduplicated BEFORE
+    symmetrizing, so inputs containing both (a,b) and (b,a) count each
+    undirected edge once — matching the SQL twin's UNION set semantics
+    regardless of input orientation.
     """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    canon = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    # one partitioning of the edge list, reused by every iteration
     sym = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+        canon.unionByName(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .persist()
     )
-    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
-    nodes = deg.withColumn(
-        "rank", F.lit(RANK_SCALE).cast("long")
+    # fold out-degree into the edge table once: both sides of this join
+    # are already hash-partitioned on u, so no exchange is introduced
+    edeg = sym.join(deg, "u").persist()
+    ranks = deg.select(
+        "u", F.lit(RANK_SCALE).cast("long").alias("rank")
     ).localCheckpoint()
     base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # (1-d)·scale, exact
     for _ in range(iters):
-        contrib = (
-            sym.join(nodes, "u")
+        # ranks is partitioned on u (groupBy output / initial deg), edeg is
+        # persisted partitioned on u → the join is exchange-free; the only
+        # shuffle per round is the contribution sum, and in a symmetric
+        # graph every node has inflow so the result covers all nodes.
+        ranks = (
+            edeg.join(ranks, "u")
             .select(F.col("v").alias("u"), _idiv("rank", "degree").alias("c"))
             .groupBy("u")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        nodes = (
-            nodes.drop("rank")
-            .join(contrib, "u", "left")
-            .select(
-                "u",
-                "degree",
+            .agg(
                 (
-                    F.lit(base)
-                    + _idiv(
-                        f"{DAMP_NUM} * coalesce(inflow, 0L)", str(DAMP_DEN)
-                    )
-                ).cast("long").alias("rank"),
+                    F.lit(base) + _idiv(f"{DAMP_NUM} * sum(c)", str(DAMP_DEN))
+                ).cast("long").alias("rank")
             )
             .localCheckpoint()
         )
-    return nodes.select(
+    return deg.join(ranks, "u").select(
         F.col("u").alias("doc_id"), "degree", F.col("rank").alias("rank_e6")
     )
 

@@ -947,19 +947,33 @@ INGEST_SQL = sql_select(
 AUDIT_SPEC = [
     ("file_name", ""),
     ("status", ""),
+    ("encoding", ""),
     ("rows_ingested", "long"),
     ("distinct_record_ids", "long"),
     ("devices", "long"),
+    ("max_location", ""),
 ]
 
 _AUDIT_N_FILES = 3
+
+# S2 encoding-fallback fixture: one file the landing zone stores as
+# latin-1 (0xE9 = é — invalid as utf-8, so the fallback chain must
+# advance past utf-8/utf-8-sig to latin1). Rows are hardcoded so the
+# oracle can pin the decoded content without seeing the filesystem.
+_LATIN1_FILE = "part_3.csv"
+_LATIN1_ROWS = [
+    (f"x_p3dev{k}", "Room Caf\xe9", f"01-02-2019 0{k}:00", str(20 + k), "In")
+    for k in range(1, 6)
+]
 
 
 def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic CSV landing zone: the `_kaggle_like` rows split into
     `part_<event_id % 3>.csv`, sorted by event_id, written byte-stably
     with Python so file hashes are reproducible across calls (the
-    hash-skip check needs the same bytes every run)."""
+    hash-skip check needs the same bytes every run), plus a latin-1
+    encoded `part_3.csv` exercising the S2 encoding fallback
+    (`dlt_ingest/iot_temperature_pipeline.py:107-123`)."""
     import csv
     import tempfile
 
@@ -970,9 +984,13 @@ def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
         scratch,
         f"spark_audit_landing_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
     )
-    if os.path.isdir(out) and len(os.listdir(out)) == _AUDIT_N_FILES:
+    if os.path.isdir(out) and len(os.listdir(out)) == _AUDIT_N_FILES + 1:
         return out
     os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, _LATIN1_FILE), "wb") as lf:
+        lines = ["id,room_id/id,noted_date,temp,out/in"]
+        lines += [",".join(r) for r in _LATIN1_ROWS]
+        lf.write(("\n".join(lines) + "\n").encode("latin-1"))
     rows = (
         _kaggle_like(spark, sf_dir)
         .select("event_id", "id", "room_id_id", "noted_date", "temp", "out_in")
@@ -1007,13 +1025,16 @@ def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ingest_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1-S6 + I10-I12 as one oracle-checked query: glob the landing
-    zone, SKIP part_0.csv via the SHA-256 processing log (S3 — the
-    reference's `_get_processed_files` dedup, `iot_temperature_pipeline
-    .py:33-39`, which is stubbed there and real here), ingest the rest,
-    and emit one audit row per file with per-file row counts, row-id
-    uniqueness (S5/I12: distinct `file_record_id` must equal rows), and
-    distinct synthesized devices (I2)."""
+    """S1-S6 + I10-I12 + S2 as one oracle-checked query: glob the
+    landing zone, SKIP part_0.csv via the SHA-256 processing log (S3 —
+    the reference's `_get_processed_files` dedup, `iot_temperature_
+    pipeline.py:33-39`, which is stubbed there and real here), ingest
+    the rest — including the latin-1 `part_3.csv`, whose audit row must
+    record `encoding = latin1` and whose é must survive decode (pinned
+    via `max_location = 'Café_in'`) — and emit one audit row per file
+    with per-file row counts, row-id uniqueness (S5/I12: distinct
+    `file_record_id` must equal rows), and distinct synthesized devices
+    (I2)."""
     from ..sources.csv_ingest import ingest_directory, list_csv_files, sha256_file
 
     landing = _audit_landing_dir(spark, sf_dir)
@@ -1026,31 +1047,42 @@ def ingest_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rows_ingested"),
         F.countDistinct("file_record_id").alias("distinct_record_ids"),
         F.countDistinct("device_id").alias("devices"),
+        F.max("location").alias("max_location"),
     )
     audit = (
-        res.audit_log.select("file_name", "status")
+        res.audit_log.select("file_name", "status", "encoding")
         .join(per_file, "file_name", "left")
         .na.fill(0)
     )
     skipped = spark.createDataFrame(
-        [(os.path.basename(p), "skipped", 0, 0, 0) for p in res.skipped_files],
-        schema="file_name string, status string, rows_ingested long, "
-        "distinct_record_ids long, devices long",
+        [
+            (os.path.basename(p), "skipped", "", 0, 0, 0, "")
+            for p in res.skipped_files
+        ],
+        schema="file_name string, status string, encoding string, "
+        "rows_ingested long, distinct_record_ids long, devices long, "
+        "max_location string",
     )
     return shape(audit.unionByName(skipped), AUDIT_SPEC)
 
 
 # The oracle never sees the filesystem: it re-derives each file's
 # expected contents from `events` via the same event_id % 3 assignment
-# and the same parse/drop/device rules as INGEST_SQL.
+# and the same parse/drop/device/location rules as INGEST_SQL, and pins
+# the latin-1 part_3.csv (S2 fallback) as hardcoded expected rows —
+# encoding must come out 'latin1' and the é must survive decode.
 AUDIT_SQL = sql_select(
     AUDIT_SPEC,
     """(
-    SELECT 'part_0.csv' AS file_name, 'skipped' AS status,
-           0 AS rows_ingested, 0 AS distinct_record_ids, 0 AS devices
+    SELECT 'part_0.csv' AS file_name, 'skipped' AS status, '' AS encoding,
+           0 AS rows_ingested, 0 AS distinct_record_ids, 0 AS devices,
+           '' AS max_location
+    UNION ALL
+    SELECT 'part_3.csv', 'processed', 'latin1', 5, 5, 5, 'Café_in'
     UNION ALL
     SELECT 'part_' || CAST(event_id % 3 AS VARCHAR) || '.csv',
            'processed',
+           'utf-8',
            COUNT(*) FILTER (WHERE event_id % 89 != 0),
            COUNT(*) FILTER (WHERE event_id % 89 != 0),
            COUNT(DISTINCT CASE WHEN event_id % 89 != 0 THEN
@@ -1061,6 +1093,17 @@ AUDIT_SQL = sql_select(
                        'IOT_TEMP_' || upper('bd' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
                    END,
                    'IOT_TEMP_UNKNOWN')
+           END),
+           MAX(CASE WHEN event_id % 89 != 0 THEN
+               concat_ws('_',
+                   replace(replace(
+                       CASE WHEN user_id % 5 = 0 THEN 'Room Admin'
+                            WHEN user_id % 5 = 1 THEN 'Room 809'
+                            WHEN user_id % 5 = 2 THEN 'Room Lab 2'
+                            WHEN user_id % 5 = 3 THEN NULL
+                            ELSE 'Admin Office'
+                       END, 'Room ', ''), 'Admin', 'Office'),
+                   CASE WHEN user_id % 2 = 0 THEN 'in' ELSE 'out' END)
            END)
     FROM events
     WHERE event_id % 3 != 0
@@ -1133,6 +1176,62 @@ SYNTH_SQL = sql_select(
 )
 
 
+# ----------------------------------------------- S12 ANALYZE / catalog stats
+
+ANALYZE_SPEC = [
+    ("col_name", ""),
+    ("table_rows", "long"),
+    ("num_nulls", "long"),
+    ("min_value", ""),
+    ("max_value", ""),
+]
+
+
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 stats refresh as an oracle-checked query: materialize a probe
+    table from `orders`, run `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL
+    COLUMNS` (the reference's per-table ANALYZE,
+    `airflow/dags/iot_temperature_dag.py:276-287`), and emit the CBO's
+    recorded row count / null counts / min-max per column — which DuckDB
+    recomputes directly from the source, so any drift in the stats
+    pipeline (or a stale catalog entry) hash-mismatches."""
+    from ..maintenance import analyzed_column_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    probe = orders.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    table = f"analyze_probe_{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    stats = analyzed_column_stats(
+        spark, probe, table, ["o_orderkey", "price_floor", "order_date"]
+    )
+    return shape(stats, ANALYZE_SPEC)
+
+
+ANALYZE_SQL = sql_select(
+    ANALYZE_SPEC,
+    """(
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS table_rows,
+        COUNT(*) - COUNT(o_orderkey) AS num_nulls,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'price_floor', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        CAST(MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR),
+        CAST(MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'order_date', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+        CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+) s""",
+)
+
+
 # ------------------------------------------------------------------ registry
 
 def _with_prelude(sql: str) -> str:
@@ -1162,4 +1261,5 @@ RELATIONAL: dict[str, QuerySpec] = {
     "ingest_kaggle_transform": QuerySpec(ingest_kaggle_transform, INGEST_SQL),
     "ingest_audit_log": QuerySpec(ingest_audit_log, AUDIT_SQL),
     "synthetic_fields_contract": QuerySpec(synthetic_fields_contract, SYNTH_SQL),
+    "analyze_table_stats": QuerySpec(analyze_table_stats, ANALYZE_SQL),
 }

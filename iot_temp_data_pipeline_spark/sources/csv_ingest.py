@@ -37,8 +37,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Encoding fallback order — `dlt_ingest/iot_temperature_pipeline.py:107-123`
-ENCODINGS = ("utf-8", "utf-8-sig", "latin1", "cp1252", "iso-8859-1")
+# Encoding fallback order — `dlt_ingest/iot_temperature_pipeline.py:107-123`.
+# Labels are the reference's pandas codec names; values are the Java
+# charset names Spark's CSV reader accepts ("latin1"/"cp1252" are pandas
+# aliases Java rejects, and Java has no BOM-stripping "utf-8-sig" codec —
+# UTF-8 is its closest behavior).
+ENCODINGS = (
+    ("utf-8", "UTF-8"),
+    ("utf-8-sig", "UTF-8"),
+    ("latin1", "ISO-8859-1"),
+    ("cp1252", "windows-1252"),
+    ("iso-8859-1", "ISO-8859-1"),
+)
 
 KAGGLE_COLUMNS = {"id", "room_id/id", "noted_date", "temp", "out/in"}
 
@@ -65,27 +75,45 @@ def list_csv_files(landing_dir: str) -> list[str]:
 
 
 def read_csv_with_fallback(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
-    """S2: try encodings in order until a read yields no corrupt records.
+    """S2: try encodings in order until a read decodes cleanly.
 
-    Returns (clean DataFrame, encoding used). Uses PERMISSIVE mode with a
-    corrupt-record column as the Spark analog of pandas raising
-    UnicodeDecodeError (py:107-123).
+    Returns (clean DataFrame, encoding used). Two failure signals per
+    attempt (the Spark analog of pandas raising UnicodeDecodeError,
+    py:107-123):
+
+    - PERMISSIVE-mode corrupt-record rows (structural parse failures);
+    - U+FFFD replacement characters in any column — Spark's charset
+      decoder silently REPLACEs undecodable bytes instead of raising, so
+      a latin-1 byte read as utf-8 would otherwise pass straight through
+      as mojibake. Treating U+FFFD as a decode failure advances the
+      chain to an encoding under which every byte is valid (latin1
+      accepts all 256 byte values, so the loop always terminates). A
+      genuine U+FFFD authored in a valid utf-8 file would also fall
+      through — a documented deviation; the reference's pandas path
+      cannot distinguish that case either once bytes are lost.
+
+    Cost: one extra validation scan per attempted encoding per file —
+    same shape as the reference's per-attempt full pandas decode.
     """
     last_err: Exception | None = None
-    for enc in ENCODINGS:
+    for enc, java_charset in ENCODINGS:
         try:
             df = (
                 spark.read.option("header", True)
-                .option("encoding", enc)
+                .option("encoding", java_charset)
                 .option("mode", "PERMISSIVE")
                 .option("columnNameOfCorruptRecord", "_corrupt_record")
                 .csv(path)
             )
-            if "_corrupt_record" in df.columns:
-                if df.filter(F.col("_corrupt_record").isNotNull()).limit(1).count():
-                    continue
-                df = df.drop("_corrupt_record")
-            return df, enc
+            bad = F.lit(False)
+            for c in df.columns:
+                if c == "_corrupt_record":
+                    bad = bad | F.col(c).isNotNull()
+                else:
+                    bad = bad | F.col(c).contains("�")
+            if df.filter(bad).limit(1).count():
+                continue
+            return df.drop("_corrupt_record"), enc
         except Exception as exc:  # pragma: no cover - IO errors
             last_err = exc
     raise ValueError(f"could not read {path} with any encoding: {last_err}")
@@ -195,20 +223,31 @@ def ingest_directory(
     """Full batch ingestion of a landing directory.
 
     ``processed_hashes``: single-column ``file_hash`` DataFrame (the
-    processing log); already-seen files are skipped via LEFT ANTI join
-    semantics (computed driver-side — the file list is small; the *data*
-    never leaves executors).
+    processing log); already-seen files are skipped via a LEFT ANTI join
+    of this batch's candidate (path, hash) list against the log. Only the
+    surviving file *list* is collected (bounded by the batch's new-file
+    count, per SURVEY §2.1 S3) — the processing log itself stays
+    distributed, so a million-file history never lands in driver memory.
     """
     files = list_csv_files(landing_dir)
     hashes = {p: sha256_file(p) for p in files}
 
     skipped: list[str] = []
-    if processed_hashes is not None:
-        seen = {
-            r["file_hash"] for r in processed_hashes.select("file_hash").collect()
+    if processed_hashes is not None and files:
+        candidates = spark.createDataFrame(
+            [(p, hashes[p]) for p in files],
+            schema="file_path string, file_hash string",
+        )
+        fresh = {
+            r["file_path"]
+            for r in candidates.join(
+                processed_hashes.select("file_hash"), "file_hash", "left_anti"
+            )
+            .select("file_path")
+            .collect()
         }
-        skipped = [p for p in files if hashes[p] in seen]
-        files = [p for p in files if hashes[p] not in seen]
+        skipped = [p for p in files if p not in fresh]
+        files = [p for p in files if p in fresh]
 
     load_id = load_id or str(abs(hash(tuple(files))) % 10**12)
     parts: list[DataFrame] = []
@@ -265,10 +304,14 @@ def ingest_directory(
                 os.path.getsize(path),
                 file_hash,
                 "processed",
+                enc,
             )
         )
 
-    schema = "file_name string, file_path string, file_size_bytes long, file_hash string, status string"
+    schema = (
+        "file_name string, file_path string, file_size_bytes long, "
+        "file_hash string, status string, encoding string"
+    )
     audit = spark.createDataFrame(audit_rows, schema=schema)
     if parts:
         readings = parts[0]

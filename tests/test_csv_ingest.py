@@ -42,9 +42,11 @@ def test_encoding_fallback(spark, landing):
     files = list_csv_files(landing)
     _, enc_a = read_csv_with_fallback(spark, files[0])
     assert enc_a == "utf-8"
-    df_b, _ = read_csv_with_fallback(spark, files[1])
-    # the latin1 byte must survive as é through whichever encoding won
-    assert any("caf" in r["id"] for r in df_b.collect())
+    df_b, enc_b = read_csv_with_fallback(spark, files[1])
+    # utf-8 decode of the 0xe9 byte yields U+FFFD, which the fallback
+    # must treat as a decode failure and advance to latin1
+    assert enc_b == "latin1"
+    assert any("caf\xe9" in r["id"] for r in df_b.collect())
 
 
 def test_ingest_directory_end_to_end(spark, landing):

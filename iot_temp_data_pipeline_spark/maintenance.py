@@ -64,6 +64,46 @@ def materialize_and_analyze(
     return {r["col_name"]: str(r["data_type"]) for r in described if r["col_name"]}
 
 
+def analyzed_column_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    cols: list[str],
+) -> DataFrame:
+    """S12 as a queryable surface: materialize ``df`` as a catalog
+    table, run `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`
+    (the exact analog of the reference's per-table `ANALYZE`,
+    `airflow/dags/iot_temperature_dag.py:276-287`), and return the
+    CBO's recorded statistics — table row count plus per-column
+    null count and min/max — as a DataFrame.
+
+    Row count, null counts, and min/max in Spark's catalog stats are
+    exact aggregates, so they oracle-check against direct SQL over the
+    source; `distinct_count` is a HyperLogLog estimate and is
+    deliberately NOT exposed here (not exactly reproducible across
+    engines)."""
+    df.write.mode("overwrite").saveAsTable(table)
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats_line = next(
+        r["data_type"] for r in detail if r["col_name"] == "Statistics"
+    )
+    # "NNN bytes, MMM rows"
+    table_rows = int(stats_line.split(",")[1].strip().split(" ")[0])
+    out = []
+    for c in cols:
+        info = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table} {c}").collect()
+        }
+        out.append((c, table_rows, int(info["num_nulls"]), info["min"], info["max"]))
+    return spark.createDataFrame(
+        out,
+        schema="col_name string, table_rows long, num_nulls long, "
+        "min_value string, max_value string",
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     table_dir: str,

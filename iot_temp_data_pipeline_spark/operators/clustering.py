@@ -19,11 +19,15 @@ float nondeterminism entirely:
 
 Execution shape (the way k-means is actually run on a cluster —
 Spark MLlib's own KMeans does the same): per iteration, one map pass
-computes each row's nearest centroid against k BROADCAST literal
-centroids (whole-stage codegen, no shuffle), and one groupBy(cluster)
-reduces the k·dim integer sums (map-side combine → k rows). Only the
-k-row centroid state is collected to the driver between iterations —
-O(k·dim) bytes, independent of corpus size.
+computes each row's nearest centroid against the k centroids — packed
+into a SINGLE broadcast row as a sorted array of (cluster_id, s, c,
+s2) structs, with the argmin evaluated by ``F.aggregate`` over that
+array (JVM-side, no per-row expansion, no shuffle) — and one
+groupBy(cluster) reduces the k·dim integer sums (map-side combine →
+k rows). Centroid state is chained as a k-row DataFrame with
+``localCheckpoint`` truncating lineage between rounds — NOTHING is
+collected to the driver at any point; iterations are pure
+DataFrame-to-DataFrame.
 
 Int64 bounds: |qx_i| ≤ SCALE·max|x| ≈ 530; ⟨x,s_j⟩ ≤ dim·530²·c_j;
 the numerator ≤ c_j²·dim·530² ⇒ exact while c_j ≤ ~3·10⁶ members at
@@ -37,7 +41,7 @@ the corpus-prep story (SURVEY.md §2 extension block, BASELINE.json
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -46,8 +50,6 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1000
 _DIM = 64  # fixture embedding dimensionality (asserted at runtime)
-
-State = list[tuple[list[int], int]]  # per cluster: (per-dim sums, count)
 
 
 def _quantize(vec: Column) -> Column:
@@ -70,51 +72,92 @@ def _qframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot_lit(qx: Column, s: list[int]) -> Column:
-    lit_s = F.array(*[F.lit(int(v)) for v in s])
+def _pack_centroids(cent: DataFrame) -> DataFrame:
+    """k-row (cluster_id, s, c) state → ONE row holding the sorted
+    array of (cluster_id, s, c, s2) structs; broadcast-joined onto the
+    corpus so the per-row argmin runs as a pure JVM expression."""
+    ct = F.struct(
+        F.col("cluster_id"),
+        F.col("s"),
+        F.col("c"),
+        F.aggregate(
+            F.transform(F.col("s"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("s2"),
+    )
+    return cent.select(ct.alias("ct")).agg(
+        F.array_sort(F.collect_list("ct")).alias("cents")
+    )
+
+
+def _dot_ct(ct: Column) -> Column:
     return F.aggregate(
-        F.zip_with(qx, lit_s, lambda a, b: a * b),
+        F.zip_with(F.col("qx"), ct["s"], lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def _assign_expr(state: State) -> Column:
-    """cluster_id column: argmin_j d_j with ties to the smallest j."""
-    ds = []
-    for s, c in state:
-        s2 = sum(v * v for v in s)
-        num = F.lit(int(s2)) - F.lit(int(2 * c)) * _dot_lit(F.col("qx"), s)
-        ds.append(num.cast("double") / F.lit(int(c * c)).cast("double"))
-    m = F.least(*ds)
-    expr = F.when(ds[0] == m, 0)
-    for j in range(1, len(ds)):
-        expr = expr.when(ds[j] == m, j)
-    return expr.cast("long")
+def _reduced_d(ct: Column) -> Column:
+    """d_j = (‖s_j‖² − 2·c_j·⟨x,s_j⟩) / c_j² — exact int64 numerator
+    and denominator, one double division (argmin-equivalent distance,
+    the ‖x‖² term dropped)."""
+    num = ct["s2"] - F.lit(2).cast("long") * ct["c"] * _dot_ct(ct)
+    return num.cast("double") / (ct["c"] * ct["c"]).cast("double")
 
 
-def _update_state(q: DataFrame, state: State) -> State:
-    """One reduce pass: per-cluster per-dim integer sums + counts.
-    Empty clusters carry their previous state forward (standard
-    Lloyd's fallback, mirrored in the oracle's LEFT JOIN/COALESCE)."""
+def _with_assignment(q: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """cluster_id = argmin_j d_j, ties to the smallest j: a fold over
+    the sorted centroid array with strict `<` keeps the earliest
+    (lowest-id) minimum — identical tie semantics to the SQL twin's
+    ORDER BY d, cluster_id."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"),
+        F.lit(-1).cast("long").alias("cluster_id"),
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        lambda acc, ct: F.when(
+            _reduced_d(ct) < acc["d"],
+            F.struct(
+                _reduced_d(ct).alias("d"), ct["cluster_id"].alias("cluster_id")
+            ),
+        ).otherwise(acc),
+    )
+    return q.crossJoin(F.broadcast(cents_row)).withColumn(
+        "cluster_id", best["cluster_id"]
+    )
+
+
+def _next_centroids(assigned: DataFrame, prev_cent: DataFrame) -> DataFrame:
+    """One reduce pass: per-cluster per-dim integer sums + counts
+    (map-side combined → k rows). Empty clusters carry their previous
+    state forward (standard Lloyd's fallback, mirrored in the oracle's
+    LEFT JOIN/COALESCE)."""
     aggs = [
         F.sum(F.element_at("qx", i + 1)).alias(f"s{i}") for i in range(_DIM)
     ] + [F.count("*").alias("c")]
-    rows = (
-        q.withColumn("cluster_id", _assign_expr(state))
-        .groupBy("cluster_id")
+    new = (
+        assigned.groupBy("cluster_id")
         .agg(*aggs)
-        .collect()
+        .select(
+            "cluster_id",
+            F.array(*[F.col(f"s{i}") for i in range(_DIM)]).alias("s"),
+            F.col("c"),
+        )
     )
-    by_id = {int(r["cluster_id"]): r for r in rows}
-    out: State = []
-    for j, prev in enumerate(state):
-        r = by_id.get(j)
-        if r is None:
-            out.append(prev)
-        else:
-            out.append(([int(r[f"s{i}"]) for i in range(_DIM)], int(r["c"])))
-    return out
+    return (
+        prev_cent.alias("p")
+        .join(new.alias("n"), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce(F.col("n.s"), F.col("p.s")).alias("s"),
+            F.coalesce(F.col("n.c"), F.col("p.c")).cast("long").alias("c"),
+        )
+        .localCheckpoint()
+    )
 
 
 def kmeans_clusters(
@@ -126,31 +169,47 @@ def kmeans_clusters(
     """Run ``iters`` Lloyd's rounds from deterministic seeds (the k
     lowest vec_ids, one member each) and return per-cluster stats of
     the final assignment: size and inertia (sum of squared distances to
-    the centroid, in original embedding units)."""
+    the centroid, in original embedding units). Fully declarative —
+    centroid state never leaves the cluster (no driver collect)."""
     q = _qframe(spark, sf_dir)
-    seeds = q.orderBy("vec_id").limit(k).collect()
-    dim = len(seeds[0]["qx"])
-    if dim != _DIM:
-        raise ValueError(f"expected dim {_DIM}, fixture has {dim}")
-    state: State = [([int(v) for v in r["qx"]], 1) for r in seeds]
+    first = q.select(F.size("qx").alias("dim")).first()  # 1-value contract check
+    if first is None or first["dim"] != _DIM:
+        raise ValueError(f"expected dim {_DIM} embeddings in {sf_dir}")
+    cent = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cluster_id"),
+            F.col("qx").alias("s"),
+            F.lit(1).cast("long").alias("c"),
+        )
+        .localCheckpoint()
+    )
     for _ in range(iters):
-        state = _update_state(q, state)
+        cent = _next_centroids(_with_assignment(q, _pack_centroids(cent)), cent)
 
     # Final assignment + per-cluster stats. Full distance restores the
     # ‖x‖² term: (c²·‖x‖² − 2c·⟨x,s⟩ + ‖s‖²) / (c²·SCALE²).
-    assigned = q.withColumn("cluster_id", _assign_expr(state))
-    dist = F.lit(None).cast("double")
-    for j, (s, c) in enumerate(state):
-        s2 = sum(v * v for v in s)
+    assigned = _with_assignment(q, _pack_centroids(cent))
+    scale2 = F.lit(KMEANS_SCALE * KMEANS_SCALE)
+
+    def full_d(ct: Column) -> Column:
         num = (
-            F.lit(int(c * c)) * F.col("n2x")
-            - F.lit(int(2 * c)) * _dot_lit(F.col("qx"), s)
-            + F.lit(int(s2))
+            ct["c"] * ct["c"] * F.col("n2x")
+            - F.lit(2).cast("long") * ct["c"] * _dot_ct(ct)
+            + ct["s2"]
         )
-        den = F.lit(int(c * c * KMEANS_SCALE * KMEANS_SCALE)).cast("double")
-        dist = F.when(F.col("cluster_id") == j, num.cast("double") / den).otherwise(
-            dist
-        )
+        return num.cast("double") / (ct["c"] * ct["c"] * scale2).cast("double")
+
+    dist = F.aggregate(
+        F.col("cents"),
+        F.lit(0.0),
+        lambda acc, ct: F.when(
+            ct["cluster_id"] == F.col("cluster_id"), full_d(ct)
+        ).otherwise(acc),
+    )
     return (
         assigned.withColumn("dist", dist)
         .groupBy("cluster_id")

@@ -15,6 +15,17 @@ Methodology:
   so each measured run pays its own cache materialization and never
   reuses another query's (or its warm-ups') persisted data —
   steady-state, cold-cache numbers.
+- Scheduling floor: a Spark job pays a fixed ~0.2-0.5 s of driver-side
+  planning/scheduling per query regardless of data volume — pure
+  machinery that amortizes to zero at the 100 TB target where task time
+  dominates. The default mode measures it directly (an empty
+  ``spark.range(1)`` noop write, same warm-up/min-of-2 protocol) and
+  reports both the raw aggregate and ``floor_corrected_value`` =
+  Σ max(0, t_q − floor). ``--compare`` runs Spark AND the DuckDB
+  oracles in one invocation and prints a third JSON line with
+  per-query spark/duckdb ratios plus raw + floor-corrected aggregate
+  ratios, so BASELINE.md's "floor dominates the gap" claim is a
+  checkable number.
 - Mart-table semantics: the reference materializes marts as TABLES
   (`dbt_project.yml:28-30`) and summary models read the table. The
   registry mirrors that (`plans/registry.py` `_MART_CACHE`): the first
@@ -78,7 +89,7 @@ HEADLINE = [
 ]
 
 
-def duckdb_baseline(sf_dir: str, sf: float | None) -> None:
+def duckdb_baseline(sf_dir: str, sf: float | None) -> dict[str, float]:
     """--duckdb: time the same headline queries' DuckDB oracles on the
     same fixtures (warm parse, measured execution). This is the
     single-node vectorized comparator BASELINE.md designates; Spark
@@ -117,6 +128,7 @@ def duckdb_baseline(sf_dir: str, sf: float | None) -> None:
             }
         )
     )
+    return timings
 
 
 def main() -> None:
@@ -134,6 +146,21 @@ def main() -> None:
         REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    def run_floor() -> None:
+        spark.range(1).write.format("noop").mode("overwrite").save()
+
+    # Scheduling-floor probe: the cheapest possible job, measured under
+    # the same protocol — its wall clock is pure driver/scheduler
+    # machinery every real query also pays once.
+    for _ in range(2):
+        run_floor()
+    floor = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        run_floor()
+        floor = min(floor, time.perf_counter() - start)
+    floor = round(floor, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -158,9 +185,43 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "floor_sec": floor,
+                "floor_corrected_value": round(
+                    sum(max(0.0, t - floor) for t in timings.values()), 3
+                ),
             }
         )
     )
+
+    if "--compare" in sys.argv:
+        duck = duckdb_baseline(sf_dir, sf)
+        common = [n for n in timings if n in duck]
+        ratios = {
+            n: round(timings[n] / duck[n], 2) if duck[n] > 0 else None
+            for n in common
+        }
+        s_tot = sum(timings[n] for n in common)
+        d_tot = sum(duck[n] for n in common)
+        s_cor = sum(max(0.0, timings[n] - floor) for n in common)
+        print(
+            json.dumps(
+                {
+                    "metric": "spark_over_duckdb_ratio",
+                    "value": round(s_tot / d_tot, 3),
+                    "unit": "ratio",
+                    "floor_corrected_ratio": round(s_cor / d_tot, 3),
+                    "floor_sec": floor,
+                    "spark_total": round(s_tot, 3),
+                    "duckdb_total": round(d_tot, 3),
+                    "queries": ratios,
+                    "sf": sf,
+                    "note": (
+                        "duckdb totals exclude queries without an oracle; "
+                        "spark_total here is restricted to the same set"
+                    ),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -455,3 +455,77 @@ SQLAPI_SQL = sql_select(
 FORMATS["sql_api_regional_revenue"] = QuerySpec(
     sql_api_regional_revenue, SQLAPI_SQL
 )
+
+
+# ------------------------------------------------------------ JDBC roundtrip
+
+JDBC_SPEC = [
+    ("n_name", ""),
+    ("n_suppliers", "long"),
+    ("sum_acctbal_centi", "long"),
+]
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Postgres load path (`dlt_ingest/
+    iot_temperature_pipeline.py:262-267`) as a checkable roundtrip:
+    supplier → JDBC table (Derby embedded, same Spark code path as
+    Postgres) with pinned VARCHAR DDL → partitioned parallel read (4
+    range scans on s_suppkey) → broadcast-join nation → per-nation
+    aggregate. The oracle recomputes the aggregate straight from the
+    parquet, so what's verified is that rows/types survive the JDBC
+    boundary bit-exactly."""
+    import re as _re
+
+    from ..sources.jdbc import derby_memory_url, jdbc_read, jdbc_write
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_centi"),
+    )
+    db = "sg_" + _re.sub(r"[^A-Za-z0-9]", "_", os.path.abspath(sf_dir))
+    url = derby_memory_url(db)
+    jdbc_write(
+        sup,
+        url,
+        "supplier_mirror",
+        create_table_column_types="s_name VARCHAR(25)",
+    )
+    lo, hi = sup.agg(F.min("s_suppkey"), F.max("s_suppkey")).first()
+    back = jdbc_read(
+        spark,
+        url,
+        "supplier_mirror",
+        partition_column="s_suppkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    df = (
+        back.join(F.broadcast(nation), back.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("acctbal_centi").alias("sum_acctbal_centi"),
+        )
+        .orderBy("n_name")
+    )
+    return shape(df, JDBC_SPEC)
+
+
+JDBC_SQL = sql_select(
+    JDBC_SPEC,
+    """(
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_acctbal_centi
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+) s""",
+)
+
+
+FORMATS["jdbc_roundtrip"] = QuerySpec(jdbc_roundtrip, JDBC_SQL)

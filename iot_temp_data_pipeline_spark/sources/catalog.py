@@ -9,6 +9,8 @@ secondary B-tree indexes (`models/marts/mart_temperature_readings.sql:4-12`).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -26,6 +28,17 @@ TABLES = (
     "embeddings",
 )
 
+# Resolved-DataFrame cache, keyed by (session, sf_dir, table). A bare
+# `spark.read.parquet(path)` re-lists files and re-reads footers for the
+# schema on EVERY call — driver-side latency each query pays again. A
+# real deployment resolves that once in a metastore (table schema +
+# partition index) and plans against it; holding the resolved DataFrame
+# is the in-process analog. The fixtures are immutable for a process
+# lifetime, so the cached plan can never go stale. Keyed on id(session)
+# because a DataFrame executes under the session that created it — a
+# different session (e.g. an ANSI-on test session) must resolve its own.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -36,6 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # access path (runtime-settable, like the nanos conf below) rather
     # than trusting the session builder.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _resolve_table(spark, sf_dir, name)
+    if name == "embeddings":
+        # Every embeddings consumer is per-row vector math (quantized
+        # cosine, centroid assignment) where the one-row-group fixture
+        # would otherwise serialize the whole map stage on one core;
+        # measured win on the kNN family. documents consumers measured
+        # NET-WORSE with a forced spread (their expensive work happens
+        # after their own exchanges, so the extra shuffle only added
+        # cost) — they keep the plain scan.
+        df = spread_small_scan(df, spark)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _resolve_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (older fixture
         # generations) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
@@ -56,6 +88,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Restore scan-stage parallelism for compute-heavy operators when
+    the input's task count is far below the core count.
+
+    Spark parallelizes a parquet scan at row-group granularity; a small
+    table written as one file with one row group is a ONE-task scan no
+    matter what ``files.maxPartitionBytes`` says, and every expression
+    evaluated in that scan stage (tokenization, shingling, hashing,
+    vector math) runs on a single core. For operators whose dominant
+    cost is per-row compute in the map stage, a round-robin
+    ``repartition`` of the raw rows buys back all cores for the price
+    of shuffling the (small, by precondition) input once.
+
+    Self-disabling at scale: the repartition is attached ONLY when the
+    scan already has fewer partitions than half the cores — a 100 TB
+    table scans as tens of thousands of row-group splits, so the
+    condition never fires and the DataFrame passes through untouched.
+    Call sites are the compute-heavy operators only; pure
+    scan→aggregate queries keep their unshuffled pipeline."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

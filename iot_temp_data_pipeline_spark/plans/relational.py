@@ -1232,6 +1232,65 @@ ANALYZE_SQL = sql_select(
 )
 
 
+# --------------------------------------------------------- Z-order layout
+
+ZORDER_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+]
+
+ZORDER_BOX = {"v_lo": 10_000, "v_hi": 20_000, "u_lo": 10, "u_hi": 40}
+
+
+def zorder_events_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER analog end-to-end: rewrite events clustered on
+    the Morton curve over (value_centi, user_id)
+    (`maintenance.cluster_zorder`), then answer a two-dimensional box
+    predicate from the clustered copy. The oracle recomputes the same
+    box aggregate from the raw table, so the layout rewrite is pinned
+    to lose/duplicate nothing; the file-skipping property itself
+    (footer min/max boxes shrink in BOTH dimensions) is asserted in
+    `tests/test_layout.py`."""
+    from ..maintenance import cluster_zorder
+    from ..streaming.core import workdir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+    )
+    path = f"{workdir('zorder')}/events_z"
+    cluster_zorder(spark, ev, path, ["value_centi", "user_id"], bits=8, n_files=8)
+    b = ZORDER_BOX
+    back = spark.read.parquet(path).filter(
+        F.col("value_centi").between(b["v_lo"], b["v_hi"])
+        & F.col("user_id").between(b["u_lo"], b["u_hi"])
+    )
+    df = (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_centi").alias("sum_centi"))
+        .orderBy("event_type")
+    )
+    return shape(df, ZORDER_SPEC)
+
+
+ZORDER_SQL = sql_select(
+    ZORDER_SPEC,
+    f"""(
+    SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_centi
+    FROM events
+    WHERE CAST(ROUND(value * 100) AS BIGINT)
+              BETWEEN {ZORDER_BOX["v_lo"]} AND {ZORDER_BOX["v_hi"]}
+      AND user_id BETWEEN {ZORDER_BOX["u_lo"]} AND {ZORDER_BOX["u_hi"]}
+    GROUP BY event_type
+    ORDER BY event_type
+) s""",
+)
+
+
 # ------------------------------------------------------------------ registry
 
 def _with_prelude(sql: str) -> str:
@@ -1262,4 +1321,5 @@ RELATIONAL: dict[str, QuerySpec] = {
     "ingest_audit_log": QuerySpec(ingest_audit_log, AUDIT_SQL),
     "synthetic_fields_contract": QuerySpec(synthetic_fields_contract, SYNTH_SQL),
     "analyze_table_stats": QuerySpec(analyze_table_stats, ANALYZE_SQL),
+    "zorder_events_box": QuerySpec(zorder_events_box, ZORDER_SQL),
 }

@@ -1,0 +1,113 @@
+"""Z-order clustering (maintenance.cluster_zorder): key correctness,
+row preservation through the rewrite, and the actual file-skipping
+property — a non-leading-column predicate overlaps far fewer files
+under the Morton layout than under a lexicographic one."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.maintenance import (
+    cluster_zorder,
+    quantize_minmax,
+    zorder_key,
+)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # bits=2, x=0b10, y=0b11 -> MSB-first interleave x1 y1 x0 y0 = 0b1101
+    df = spark.range(1).select(
+        zorder_key([F.lit(2), F.lit(3)], bits=2).alias("z")
+    )
+    assert df.first()["z"] == 0b1101
+    # x carries the higher bit weight (listed first)
+    df2 = spark.range(1).select(
+        zorder_key([F.lit(3), F.lit(0)], bits=2).alias("a"),
+        zorder_key([F.lit(0), F.lit(3)], bits=2).alias("b"),
+    ).first()
+    assert df2["a"] == 0b1010 and df2["b"] == 0b0101
+
+
+def test_quantize_minmax_clamps_and_scales(spark):
+    row = spark.range(1).select(
+        quantize_minmax(F.lit(0.0), 0.0, 100.0, bits=8).alias("lo"),
+        quantize_minmax(F.lit(100.0), 0.0, 100.0, bits=8).alias("hi"),
+        quantize_minmax(F.lit(-5.0), 0.0, 100.0, bits=8).alias("under"),
+        quantize_minmax(F.lit(205.0), 0.0, 100.0, bits=8).alias("over"),
+        quantize_minmax(F.lit(50.0), 0.0, 100.0, bits=8).alias("mid"),
+    ).first()
+    assert row["lo"] == 0 and row["under"] == 0
+    assert row["hi"] == 255 and row["over"] == 255
+    assert 120 <= row["mid"] <= 135
+
+
+def _overlapping_files(path: str, col: str, lo: int, hi: int) -> int:
+    """Files whose footer min/max range on `col` intersects [lo, hi] —
+    the set a stats-pruning scan must actually read."""
+    n = 0
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    n = 64_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 1000).alias("a"),
+        (F.col("id") * 104729 % 1000).alias("b"),
+    )
+    linear = str(base / "linear")
+    zord = str(base / "zord")
+    # lexicographic baseline: range-partition + sort on the leading col
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(linear)
+    cluster_zorder(spark, df, zord, ["a", "b"], bits=8, n_files=16)
+    return df, linear, zord
+
+
+def test_cluster_zorder_preserves_rows(spark, layouts):
+    df, _, zord = layouts
+    back = spark.read.parquet(zord)
+    assert back.count() == df.count()
+    want = df.agg(F.sum("id"), F.sum("a"), F.sum("b")).first()
+    got = back.agg(F.sum("id"), F.sum("a"), F.sum("b")).first()
+    assert tuple(got) == tuple(want)
+    assert len(glob.glob(f"{zord}/**/*.parquet", recursive=True)) == 16
+
+
+def test_zorder_skips_files_on_non_leading_column(spark, layouts):
+    _, linear, zord = layouts
+    # predicate on b only: the lexicographic layout (sorted by a) cannot
+    # prune — every file spans the full b range; the z-ordered layout
+    # confines b to per-file boxes.
+    lin = _overlapping_files(linear, "b", 300, 400)
+    zrd = _overlapping_files(zord, "b", 300, 400)
+    assert lin >= 15  # effectively a full scan
+    assert zrd <= lin // 2
+    # and the leading column still prunes about as well as linear
+    lin_a = _overlapping_files(linear, "a", 300, 400)
+    zrd_a = _overlapping_files(zord, "a", 300, 400)
+    assert zrd_a <= 16 and lin_a <= 4
+
+
+def test_zorder_box_rows_match_source(spark, layouts):
+    df, _, zord = layouts
+    back = spark.read.parquet(zord)
+    cond = (F.col("a").between(100, 200)) & (F.col("b").between(300, 400))
+    assert back.filter(cond).count() == df.filter(cond).count()

@@ -308,3 +308,71 @@ def domain_cap_sql(source: str = "documents", cap: int = DOMAIN_CAP) -> str:
     ) r
     WHERE rank_in_source <= {cap}
 ) d"""
+
+
+# ---------------------------------------------------------------- weighted
+# Efraimidis–Spirakis A-ES weighted sampling without replacement:
+# per-item key = -ln(u)/w with u uniform in (0,1] gives every item an
+# Exp(w)-distributed key, so the k SMALLEST keys are a weighted sample
+# where P(item i drawn next) = w_i / Σ remaining w — the training-mix
+# subsampling primitive ("sample k docs per language, longer docs
+# proportionally more likely") that plain Bernoulli sampleBy can't
+# express (it has no fixed k and no per-row weights).
+
+WS_K = 10
+WS_SEED = 77
+
+
+def weighted_sample(docs: DataFrame, k: int = WS_K) -> DataFrame:
+    """Top-k A-ES weighted sample per language stratum, weight =
+    token count. Deterministic: u derives from the portable md5 hash of
+    doc_id, so the draw is exactly reproducible run-to-run and across
+    engines (both sides compute -ln of the SAME exactly-representable
+    double; a 1-ulp libm divergence could only flip an ordering if two
+    keys collided to within 1 ulp, which the hash makes negligible).
+
+    Scale: one window rank per stratum — same shuffle shape as
+    domain_cap; for pathological hot strata the domain_cap_threshold
+    two-phase trick applies identically (take the k-th key's value as
+    an acceptance threshold from a sample, filter, then rank the
+    survivors)."""
+    h = portable_hash32(F.col("doc_id").cast("string"), seed=WS_SEED)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    w = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    key = -F.log(u) / w.cast("double")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        w.cast("long").alias("n_tokens"),
+        key.alias("sample_key"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("sample_key").asc(), "doc_id")
+    )
+    return (
+        base.withColumn("rank", rk.cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def weighted_sample_sql(source: str = "documents", k: int = WS_K) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=WS_SEED)
+    return f"""(
+    WITH keyed AS (
+        SELECT doc_id, lang,
+            GREATEST(len(regexp_split_to_array(lower(text), '\\s+')), 1)
+                AS n_tokens,
+            -ln((({h}) + 1) / 4294967296.0)
+                / GREATEST(len(regexp_split_to_array(lower(text), '\\s+')), 1)
+                AS sample_key
+        FROM {source}
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, sample_key,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY sample_key ASC, doc_id) AS rank
+        FROM keyed
+    ) r
+    WHERE rank <= {k}
+) ws"""

@@ -600,7 +600,9 @@ BIGRAM_ORACLE = sql_select(
     f"""(
     SELECT t.tk[s.i] || ' ' || t.tk[s.i + 1] AS bigram, COUNT(*) AS n
     FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents) t
-    JOIN (SELECT UNNEST(generate_series(1, 10000)) AS i) s
+    JOIN (SELECT UNNEST(generate_series(1,
+              (SELECT MAX(len(string_split(lower(text), ' ')))
+               FROM documents))) AS i) s
       ON s.i <= len(t.tk) - 1
     WHERE len(t.tk) >= 2
     GROUP BY 1
@@ -888,3 +890,34 @@ DOMAIN_CAP_T_ORACLE = sql_select(
 EXTENSIONS["domain_cap_threshold"] = QuerySpec(
     _domain_cap_threshold, DOMAIN_CAP_T_ORACLE
 )
+
+
+# ------------------------------------------- A-ES weighted sampling
+
+WSAMPLE_SPEC = [
+    ("lang", ""),
+    ("rank", "long"),
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("sample_key", "f4"),
+]
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fixed-k weighted sample (weight = token count) via
+    Efraimidis–Spirakis exponential keys — see
+    operators/quality.weighted_sample. The oracle reproduces every
+    selected doc_id AND its key, so the whole draw is pinned, not just
+    counts."""
+    df = qa.weighted_sample(load_table(spark, sf_dir, "documents")).select(
+        "lang", "rank", "doc_id", "n_tokens", "sample_key"
+    ).orderBy("lang", "rank")
+    return shape(df, WSAMPLE_SPEC)
+
+
+WSAMPLE_ORACLE = sql_select(
+    WSAMPLE_SPEC,
+    qa.weighted_sample_sql("documents") + "",
+)
+
+EXTENSIONS["weighted_sample_topk"] = QuerySpec(_weighted_sample, WSAMPLE_ORACLE)

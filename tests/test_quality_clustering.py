@@ -214,3 +214,36 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     total = sum(r["rank_e6"] for r in rows.values())
     n = len(rows)
     assert n * gr.RANK_SCALE * 15 // 100 < total <= n * gr.RANK_SCALE
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-ES property: with weight = token count, a 50x-heavier doc
+    population dominates the top-k sample far beyond its count share."""
+    light = spark.range(0, 400).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "'w' AS text"  # 1 token
+    )
+    heavy = spark.range(400, 800).selectExpr(
+        "id AS doc_id",
+        "'xx' AS lang",
+        "array_join(array_repeat('w', 50), ' ') AS text",  # 50 tokens
+    )
+    docs = light.unionByName(heavy)
+    got = qa.weighted_sample(docs, k=40)
+    rows = got.collect()
+    assert len(rows) == 40
+    n_heavy = sum(1 for r in rows if r["doc_id"] >= 400)
+    # heavy docs hold 50/51 of total weight; even with sampling noise
+    # they must dominate a 40-draw (expected ~39)
+    assert n_heavy >= 33
+    # deterministic: same draw twice
+    again = {r["doc_id"] for r in qa.weighted_sample(docs, k=40).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_weighted_sample_fixed_k_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = qa.weighted_sample(docs, k=5)
+    per = out.groupBy("lang").count().collect()
+    pops = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r["count"] == min(5, pops[r["lang"]])

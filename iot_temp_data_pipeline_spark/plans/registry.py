@@ -610,9 +610,32 @@ _unverified = [n for n in REGISTRY if n not in _DRIVER_VERIFIED_R0102]
 # Within the unverified block: cheap batch queries first, micro-batch
 # streaming queries (fixed ~2 s harness cost each) last, so a time-boxed
 # driver run verifies the most queries per second.
+# Round-3 re-verify set: driver-verified in r1/r2 but their fixture,
+# operator, or oracle changed this round (mojibake landing file in the
+# audit fixture, grid-packing overlap fix, PageRank/k-means reworks,
+# MG + bigram oracle bound fixes, real BMP/WAV decode) — they must land
+# inside the ~50-query sample so the changed behavior gets a fresh
+# driver row, ahead of the unchanged r1/r2 tail.
+_CHANGED_R03 = [
+    "ingest_audit_log",
+    "pack_sequences_grid",
+    "pagerank_dedup_graph",
+    "kmeans_embedding_clusters",
+    "mg_heavy_hitters_check",
+    "top_bigrams",
+    "dedup_clusters_star",
+    "multimodal_media_metadata",
+    "multimodal_resize_images",
+    "knn_ivf_cosine",
+]
 _order = (
     [n for n in _unverified if not n.startswith("streaming_")]
     + [n for n in _unverified if n.startswith("streaming_")]
-    + [n for n in REGISTRY if n in _DRIVER_VERIFIED_R0102]
+    + [n for n in _CHANGED_R03 if n in REGISTRY]
+    + [
+        n
+        for n in REGISTRY
+        if n in _DRIVER_VERIFIED_R0102 and n not in _CHANGED_R03
+    ]
 )
 REGISTRY = {n: REGISTRY[n] for n in _order}

@@ -70,6 +70,24 @@ SHOWCASE = {
         "partial/final HashAggregate pairs keyed by doc_id — map-side "
         "combine before both exchanges."
     ),
+    "jdbc_roundtrip": (
+        "The read side is a JDBC scan with numPartitions=4 range "
+        "predicates on s_suppkey (4 parallel connections, not one serial "
+        "pull); nation joins as an explicit BroadcastHashJoin so the "
+        "JDBC probe side never shuffles."
+    ),
+    "zorder_events_box": (
+        "The final scan reads the Z-ordered copy: the box predicate on "
+        "(value_centi, user_id) appears in PushedFilters AND prunes at "
+        "the file level because each file covers one Morton curve box "
+        "(per-box directories, tests/test_layout.py)."
+    ),
+    "weighted_sample_topk": (
+        "One window rank per language over the exponential sampling key "
+        "— a single hash-partition exchange on lang, WindowGroupLimit "
+        "pre-truncates to k rows per partition before the full Window "
+        "sort materializes."
+    ),
 }
 
 

@@ -111,3 +111,28 @@ def test_zorder_box_rows_match_source(spark, layouts):
     back = spark.read.parquet(zord)
     cond = (F.col("a").between(100, 200)) & (F.col("b").between(300, 400))
     assert back.filter(cond).count() == df.filter(cond).count()
+
+
+def test_zorder_three_columns_and_skew(spark, tmp_path):
+    # 3-dim curve + one hot box (half the rows identical): rows survive,
+    # and the hot box stays confined to its own directory's files
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 500).alias("x"),
+        (F.col("id") % 333).alias("y"),
+        (F.col("id") % 77).alias("t"),
+    )
+    path = str(tmp_path / "z3")
+    cluster_zorder(spark, df, path, ["x", "y", "t"], bits=4, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
+def test_zorder_single_value_column(spark, tmp_path):
+    # degenerate bounds (min == max) must not divide by zero
+    df = spark.range(100).select(F.col("id"), F.lit(5).alias("c"))
+    path = str(tmp_path / "zdeg")
+    cluster_zorder(spark, df, path, ["c", "id"], bits=4, n_files=4)
+    assert spark.read.parquet(path).count() == 100

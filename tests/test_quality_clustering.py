@@ -247,3 +247,12 @@ def test_weighted_sample_fixed_k_per_stratum(spark, sf_dir):
     pops = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
     for r in per:
         assert r["count"] == min(5, pops[r["lang"]])
+
+
+def test_weighted_sample_k_exceeds_population(spark):
+    docs = spark.range(3).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "'a b c' AS text"
+    )
+    out = qa.weighted_sample(docs, k=10).collect()
+    assert len(out) == 3
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]

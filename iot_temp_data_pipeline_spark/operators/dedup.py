@@ -514,9 +514,19 @@ def connected_components(
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = sym.unionByName(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    # Pre-partition the (static) edge set on the per-round join key and
+    # persist THAT layout: the cached scan advertises hash(v)
+    # partitioning, so every iteration's edges⋈labels join shuffles only
+    # the (small, shrinking-churn) labels side — the same
+    # exchange-reuse rework that fixed PageRank's scale slope
+    # (operators/graph.py). distinct() alone would leave the cache
+    # partitioned on hash(u, v), which satisfies nothing.
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition(F.col("v"))
+        .persist()
+    )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         neigh = (

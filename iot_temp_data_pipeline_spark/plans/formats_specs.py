@@ -529,3 +529,89 @@ JDBC_SQL = sql_select(
 
 
 FORMATS["jdbc_roundtrip"] = QuerySpec(jdbc_roundtrip, JDBC_SQL)
+
+
+# --------------------------------------------------- versioned time travel
+
+TT_SPEC = [
+    ("snapshot_version", "long"),
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+]
+
+
+def timetravel_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-table semantics end-to-end (sources/versioned.py):
+    events → versioned table (manifest commit, range-clustered
+    immutable files) → copy-on-write upsert (same update algebra as
+    `upsert_merge`, but producing version 2 while version 1 stays
+    readable) → per-type aggregates of BOTH snapshots stacked under a
+    snapshot_version column. The oracle recomputes v1 from the raw
+    table and v2 from the stated MERGE algebra, so snapshot isolation
+    (v1 bit-unchanged after the upsert) is what gets hash-checked."""
+    from ..sources.versioned import create_table, read_version, upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    table = f"{workdir('timetravel')}/events_versioned"
+    create_table(spark, base, table, layout_col="event_date", n_files=8)
+    in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
+    updates = in_window.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value_centi", F.col("value_centi") + UPSERT_BUMP
+    )
+    upsert(spark, table, updates, key_cols=["event_id"], layout_col="event_date")
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.lit(v).cast("long").alias("snapshot_version"),
+            F.count("*").alias("n"),
+            F.sum("value_centi").alias("sum_centi"),
+        )
+
+    df = (
+        agg(read_version(spark, table, version=1), 1)
+        .unionByName(agg(read_version(spark, table, version=2), 2))
+        .select("snapshot_version", "event_type", "n", "sum_centi")
+        .orderBy("snapshot_version", "event_type")
+    )
+    return shape(df, TT_SPEC)
+
+
+TT_SQL = sql_select(
+    TT_SPEC,
+    f"""(
+    WITH base AS (
+        SELECT event_id, event_type, {_CENTI} AS value_centi,
+               strftime(ts, '%Y-%m-%d') AS event_date
+        FROM events
+    ),
+    upd AS (
+        SELECT event_id, event_type, value_centi + {UPSERT_BUMP} AS value_centi,
+               event_date
+        FROM base
+        WHERE event_id % 7 = 0
+          AND event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT 1 AS snapshot_version, event_type, COUNT(*) AS n,
+           SUM(value_centi) AS sum_centi
+    FROM base GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type, COUNT(*), SUM(value_centi)
+    FROM v2 GROUP BY event_type
+    ORDER BY snapshot_version, event_type
+) s""",
+)
+
+
+FORMATS["timetravel_upsert"] = QuerySpec(timetravel_upsert, TT_SQL)

@@ -1,0 +1,116 @@
+"""Manifest-based versioned tables (sources/versioned.py): snapshot
+isolation under copy-on-write upsert, time travel, file-stats pruning,
+and retention expiry."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.sources.versioned import (
+    create_table,
+    expire_versions,
+    read_version,
+    upsert,
+    versions,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "events_v")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        (F.col("id") * 3 % 97).alias("v"),
+    )
+    v = create_table(spark, df, t, layout_col="day", n_files=8)
+    assert v == 1
+    return t
+
+
+def test_create_and_read_back(spark, table):
+    df = read_version(spark, table)
+    assert df.count() == 1000
+    assert df.agg(F.sum("v")).first()[0] == sum(i * 3 % 97 for i in range(1000))
+
+
+def test_upsert_creates_new_version_and_old_stays_readable(spark, table):
+    updates = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        F.lit(1000).alias("v"),
+    )
+    v2 = upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    assert v2 == 2 and versions(table) == [1, 2]
+    # snapshot isolation: v1 unchanged
+    old = read_version(spark, table, version=1)
+    assert old.agg(F.sum("v")).first()[0] == sum(i * 3 % 97 for i in range(1000))
+    # v2 reflects the merge: keys 0..99 replaced, count unchanged
+    new = read_version(spark, table, version=2)
+    assert new.count() == 1000
+    want = sum(i * 3 % 97 for i in range(100, 1000)) + 100 * 1000
+    assert new.agg(F.sum("v")).first()[0] == want
+
+
+def test_copy_on_write_preserves_untouched_files(spark, table):
+    # updates confined to day range [0, 4]: files covering only days
+    # outside the range must carry over by reference (same path)
+    from iot_temp_data_pipeline_spark.sources.versioned import _read_manifest
+
+    updates = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),  # days 0-4
+        F.lit(7).alias("v"),
+    )
+    v1_files = {e["path"] for e in _read_manifest(table, 1)["files"]}
+    upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    v2 = _read_manifest(table, 2)["files"]
+    carried = {e["path"] for e in v2} & v1_files
+    assert carried, "no files carried over — copy-on-write rewrote everything"
+    rewritten = v1_files - {e["path"] for e in v2}
+    assert rewritten, "no files rewritten — update did not touch any file"
+
+
+def test_stats_pruning_reads_fewer_files(spark, table):
+    from iot_temp_data_pipeline_spark.sources.versioned import _read_manifest
+
+    all_files = len(_read_manifest(table, 1)["files"])
+    pruned = read_version(spark, table, version=1, layout_between=(3, 4))
+    # correctness of the pruned read
+    assert pruned.filter(F.col("day").between(3, 4)).count() == 100
+    # and it planned over fewer files than the full snapshot
+    n_scanned = len(pruned.inputFiles())
+    assert n_scanned < all_files
+
+
+def test_expire_keeps_latest_and_drops_orphans(spark, table):
+    updates = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("day"), F.lit(5).alias("v")
+    )
+    upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    upsert(spark, table, updates.withColumn("v", F.lit(6)), key_cols=["k"], layout_col="day")
+    assert versions(table) == [1, 2, 3]
+    expired = expire_versions(table, keep_last=1)
+    assert expired == [1, 2] and versions(table) == [3]
+    # latest still fully readable after vacuum
+    assert read_version(spark, table).count() == 1000
+    # every remaining data file is referenced
+    from iot_temp_data_pipeline_spark.sources.versioned import _read_manifest
+
+    live = {e["path"] for e in _read_manifest(table, 3)["files"]}
+    on_disk = {
+        os.path.relpath(p, table)
+        for p in glob.glob(os.path.join(table, "data", "*", "*.parquet"))
+    }
+    assert on_disk == live
+
+
+def test_double_commit_rejected(spark, table, tmp_path):
+    from iot_temp_data_pipeline_spark.sources.versioned import _commit
+
+    with pytest.raises(RuntimeError, match="already committed"):
+        _commit(table, 1, [], "day")

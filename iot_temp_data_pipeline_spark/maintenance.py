@@ -97,6 +97,9 @@ def analyzed_column_stats(
             for r in spark.sql(f"DESCRIBE EXTENDED {table} {c}").collect()
         }
         out.append((c, table_rows, int(info["num_nulls"]), info["min"], info["max"]))
+    # stats are fully driver-materialized above — drop the probe table
+    # so repeated runs don't accumulate copies in the warehouse dir
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(
         out,
         schema="col_name string, table_rows long, num_nulls long, "
@@ -217,7 +220,12 @@ def cluster_zorder(
     # boxes.
     import math
 
-    bucket_bits = max(0, int(math.floor(math.log2(n_files))))
+    # clamp: more boxes than key bits is impossible, and a negative
+    # shift would hit Java's masked shiftright (shift by 63) and
+    # silently collapse EVERY row into box 0
+    bucket_bits = min(
+        max(0, int(math.floor(math.log2(n_files)))), bits * len(cols)
+    )
     shift = bits * len(cols) - bucket_bits
     (
         df.withColumn("zbox", F.shiftright(z, shift))

@@ -69,7 +69,9 @@ def pagerank_int(
         .repartition("u")
         .persist()
     )
-    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+    # checkpointed (one small row per node) so the returned plan does
+    # not depend on the sym/edeg caches, which are dropped below
+    deg = sym.groupBy("u").agg(F.count("*").alias("degree")).localCheckpoint()
     # fold out-degree into the edge table once: both sides of this join
     # are already hash-partitioned on u, so no exchange is introduced
     edeg = sym.join(deg, "u").persist()
@@ -93,6 +95,10 @@ def pagerank_int(
             )
             .localCheckpoint()
         )
+    # iterations are done and deg/ranks are checkpointed — release the
+    # edge caches so repeated calls don't accumulate executor memory
+    edeg.unpersist()
+    sym.unpersist()
     return deg.join(ranks, "u").select(
         F.col("u").alias("doc_id"), "degree", F.col("rank").alias("rank_e6")
     )

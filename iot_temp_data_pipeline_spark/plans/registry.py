@@ -305,27 +305,28 @@ def _mart_df_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column type (double/timestamp/date/bool/string) bit-exactly, and the
 # oracle-parity suite hash-checks all seven queries against DuckDB.
 _MART_CACHE: dict[tuple[str, float], str] = {}
-# Resolved-DataFrame cache over the mart parquet (same rationale as
-# sources/catalog._TABLE_CACHE: re-reading the path per query re-lists
-# files and re-reads footers driver-side; the mart file is immutable
-# once written, so the resolved plan is reusable for the process).
-_MART_DF_CACHE: dict[tuple[int, str, float], DataFrame] = {}
 
 
 def _cleanup_mart_cache() -> None:
     for p in _MART_CACHE.values():
         shutil.rmtree(p, ignore_errors=True)
     _MART_CACHE.clear()
-    _MART_DF_CACHE.clear()
 
 
 atexit.register(_cleanup_mart_cache)
 
 
 def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resolved-DataFrame cache over the mart parquet, session-attached
+    # (same rationale and lifetime rules as sources/catalog
+    # session_cache: re-reading the path per query re-lists files and
+    # re-reads footers driver-side; the mart file is immutable once
+    # written; the cache dies with its session).
+    from ..sources.catalog import session_cache
+
     key = (os.path.abspath(sf_dir), ACTIVE_THRESHOLD)
-    df_key = (id(spark), *key)
-    cached = _MART_DF_CACHE.get(df_key)
+    df_cache = session_cache(spark, "_sg_mart_df_cache")
+    cached = df_cache.get(key)
     if cached is not None:
         return cached
     path = _MART_CACHE.get(key)
@@ -340,7 +341,7 @@ def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mart_df_compute(spark, sf_dir).write.mode("overwrite").parquet(path)
         _MART_CACHE[key] = path
     df = spark.read.parquet(path)
-    _MART_DF_CACHE[df_key] = df
+    df_cache[key] = df
     return df
 
 

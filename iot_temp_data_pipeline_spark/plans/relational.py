@@ -1203,7 +1203,10 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         F.to_date("o_orderdate").alias("order_date"),
     )
-    table = f"analyze_probe_{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    # fixed, deterministic name: unpinned PYTHONHASHSEED made hash()
+    # produce a fresh name per process, and the old random tables were
+    # never dropped (analyzed_column_stats now also drops after read)
+    table = "analyze_probe_orders"
     stats = analyzed_column_stats(
         spark, probe, table, ["o_orderkey", "price_floor", "order_date"]
     )

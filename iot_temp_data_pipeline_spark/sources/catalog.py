@@ -28,16 +28,27 @@ TABLES = (
     "embeddings",
 )
 
-# Resolved-DataFrame cache, keyed by (session, sf_dir, table). A bare
+# Resolved-DataFrame cache, held ON the SparkSession object (attribute
+# `_sg_table_cache`), keyed by (sf_dir, table). A bare
 # `spark.read.parquet(path)` re-lists files and re-reads footers for the
 # schema on EVERY call — driver-side latency each query pays again. A
 # real deployment resolves that once in a metastore (table schema +
 # partition index) and plans against it; holding the resolved DataFrame
 # is the in-process analog. The fixtures are immutable for a process
-# lifetime, so the cached plan can never go stale. Keyed on id(session)
-# because a DataFrame executes under the session that created it — a
-# different session (e.g. an ANSI-on test session) must resolve its own.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# lifetime, so the cached plan can never go stale. Session-attached
+# (rather than a module-level dict keyed by id(session)) because a
+# DataFrame executes under the session that created it — a different
+# session (e.g. an ANSI-on test session) must resolve its own — and so
+# a stopped session's cache dies WITH the session instead of pinning it
+# in module state forever.
+
+
+def session_cache(spark: SparkSession, attr: str) -> dict:
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,8 +60,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # access path (runtime-settable, like the nanos conf below) rather
     # than trusting the session builder.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), os.path.abspath(sf_dir), name)
-    cached = _TABLE_CACHE.get(key)
+    cache = session_cache(spark, "_sg_table_cache")
+    key = (os.path.abspath(sf_dir), name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     df = _resolve_table(spark, sf_dir, name)
@@ -63,7 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # after their own exchanges, so the extra shuffle only added
         # cost) — they keep the plain scan.
         df = spread_small_scan(df, spark)
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 

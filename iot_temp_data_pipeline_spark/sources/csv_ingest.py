@@ -96,7 +96,13 @@ def read_csv_with_fallback(spark: SparkSession, path: str) -> tuple[DataFrame, s
     same shape as the reference's per-attempt full pandas decode.
     """
     last_err: Exception | None = None
+    failed_charsets: set[str] = set()
     for enc, java_charset in ENCODINGS:
+        # distinct pandas labels can map to the SAME Java charset
+        # (utf-8-sig → UTF-8): retrying it must fail identically, so
+        # skip the wasted full-file scan
+        if java_charset in failed_charsets:
+            continue
         try:
             df = (
                 spark.read.option("header", True)
@@ -112,10 +118,12 @@ def read_csv_with_fallback(spark: SparkSession, path: str) -> tuple[DataFrame, s
                 else:
                     bad = bad | F.col(c).contains("�")
             if df.filter(bad).limit(1).count():
+                failed_charsets.add(java_charset)
                 continue
             return df.drop("_corrupt_record"), enc
         except Exception as exc:  # pragma: no cover - IO errors
             last_err = exc
+            failed_charsets.add(java_charset)
     raise ValueError(f"could not read {path} with any encoding: {last_err}")
 
 

@@ -71,7 +71,11 @@ def jdbc_write(
     where the dialect default is wrong (Derby/Postgres string → CLOB/
     TEXT)."""
     if df.rdd.getNumPartitions() > max_connections:
-        df = df.coalesce(max_connections)
+        # repartition, NOT coalesce: coalesce folds into the upstream
+        # stage, so a 2000-partition join pipeline would compute at
+        # max_connections-way parallelism; the extra shuffle keeps the
+        # connection bound local to the insert stage only
+        df = df.repartition(max_connections)
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -144,5 +148,9 @@ def drop_derby_memory_db(db_name: str) -> None:
         jvm.java.sql.DriverManager.getConnection(
             f"jdbc:derby:memory:{db_name};drop=true"
         )
-    except py4j.protocol.Py4JJavaError:
-        pass  # 08006 "database dropped" is the success path
+    except py4j.protocol.Py4JJavaError as e:
+        # Derby signals a SUCCESSFUL drop via SQLException 08006; any
+        # other failure (db in use, bad name) must surface, or a later
+        # test reusing the name would silently see stale tables
+        if "08006" not in str(e):
+            raise

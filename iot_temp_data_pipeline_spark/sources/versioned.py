@@ -171,7 +171,13 @@ def read_version(
             if e["max"] is None or (e["max"] >= lo and e["min"] <= hi)
         ]
     if not files:
-        raise ValueError("predicate pruned every file; empty frame not built")
+        # legitimate no-data predicate: return an EMPTY frame with the
+        # table's schema (recovered from any manifest file) — callers
+        # must be able to use manifest pruning without special-casing
+        if not man["files"]:
+            raise ValueError(f"version {version} of {table} has no files")
+        probe = os.path.join(table, man["files"][0]["path"])
+        return spark.read.parquet(probe).limit(0)
     paths = [os.path.join(table, e["path"]) for e in files]
     return spark.read.parquet(*paths)
 
@@ -198,6 +204,11 @@ def upsert(
         F.min(layout_col).alias("lo"), F.max(layout_col).alias("hi")
     ).first()
     lo, hi = _json_safe(bounds["lo"]), _json_safe(bounds["hi"])
+    if lo is None:
+        # empty update set: a MERGE with nothing to merge commits a
+        # no-op version (same files by reference) rather than crashing
+        _commit(table, current + 1, man["files"], layout_col)
+        return current + 1
     touched, kept = [], []
     for e in man["files"]:
         overlaps = e["max"] >= lo and e["min"] <= hi

@@ -114,3 +114,18 @@ def test_double_commit_rejected(spark, table, tmp_path):
 
     with pytest.raises(RuntimeError, match="already committed"):
         _commit(table, 1, [], "day")
+
+
+def test_empty_update_set_commits_noop_version(spark, table):
+    updates = spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("day"), F.col("id").alias("v")
+    )
+    v2 = upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    assert v2 == 2
+    assert read_version(spark, table, version=2).count() == 1000
+
+
+def test_fully_pruned_read_returns_empty_frame(spark, table):
+    df = read_version(spark, table, version=1, layout_between=(100, 200))
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "day", "v"}

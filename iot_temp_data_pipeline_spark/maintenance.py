@@ -152,6 +152,14 @@ def zorder_key(cols: list, bits: int = 8):
     min/max file skipping work where a lexicographic sort only prunes on
     its leading column (Delta/Iceberg's OPTIMIZE ZORDER, re-expressed
     with shiftleft/shiftright/bitwise-OR)."""
+    if bits * len(cols) > 63:
+        # the interleaved key lives in a signed long; overflowing it (or
+        # shifting >= 64, which Java masks to shift & 63) would silently
+        # misassign rows to boxes — fail loudly instead
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds 63 "
+            f"(signed-long key); lower bits to {63 // len(cols)} or fewer"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
         for c in cols:
@@ -192,6 +200,11 @@ def cluster_zorder(
     driver-bounded regardless of table size); the rewrite is
     range-partition + local sort on the interleaved key — one shuffle,
     exactly what a 100 TB OPTIMIZE ZORDER pays per run."""
+    if bits * len(cols) > 63:
+        # auto-reduce so the interleaved key fits a signed long;
+        # quantization precision only affects skipping quality, never
+        # correctness, so degrading bits is safe (see quantize_minmax)
+        bits = 63 // len(cols)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]

@@ -18,6 +18,7 @@ compare sorts columns by name and hashes values — see
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -336,7 +337,7 @@ def _mart_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         path = os.path.join(
             scratch,
-            f"spark_mart_{os.getpid()}_{abs(hash(key)) % 10**10}.parquet",
+            f"spark_mart_{os.getpid()}_{hashlib.md5(str(key).encode()).hexdigest()[:10]}.parquet",
         )
         _mart_df_compute(spark, sf_dir).write.mode("overwrite").parquet(path)
         _MART_CACHE[key] = path

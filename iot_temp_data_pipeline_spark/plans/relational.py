@@ -15,6 +15,7 @@ and every filter is a plain pushdown-able predicate.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -982,7 +983,7 @@ def _audit_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     out = os.path.join(
         scratch,
-        f"spark_audit_landing_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+        f"spark_audit_landing_{os.getpid()}_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}",
     )
     if os.path.isdir(out) and len(os.listdir(out)) == _AUDIT_N_FILES + 1:
         return out

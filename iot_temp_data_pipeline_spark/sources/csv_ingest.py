@@ -257,7 +257,11 @@ def ingest_directory(
         skipped = [p for p in files if p not in fresh]
         files = [p for p in files if p in fresh]
 
-    load_id = load_id or str(abs(hash(tuple(files))) % 10**12)
+    # md5, not Python hash(): the fallback load id must agree across
+    # processes (PYTHONHASHSEED randomizes str hashes per interpreter)
+    load_id = load_id or hashlib.md5(
+        "\x00".join(files).encode()
+    ).hexdigest()[:12]
     parts: list[DataFrame] = []
     audit_rows: list[tuple] = []
     for path in files:

@@ -77,17 +77,26 @@ def _read_manifest(table: str, version: int) -> dict:
 def _commit(table: str, version: int, entries: list[dict], layout_col: str) -> None:
     os.makedirs(_manifest_dir(table), exist_ok=True)
     target = _manifest_path(table, version)
-    if os.path.exists(target):
-        raise RuntimeError(
-            f"version {version} already committed (concurrent writer?)"
-        )
     tmp = target + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(
             {"version": version, "layout_col": layout_col, "files": entries},
             f,
         )
-    os.rename(tmp, target)  # atomic commit point
+    # Commit point must be EXCLUSIVE creation, not exists()+rename:
+    # POSIX rename silently replaces an existing target, so two writers
+    # racing on the same version would both "succeed" and one commit's
+    # manifest would vanish (its data files then VACUUMed — data loss).
+    # link(2) fails with EEXIST if the version is already committed,
+    # which makes the loser fail loudly instead.
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {version} already committed (concurrent writer?)"
+        )
+    finally:
+        os.remove(tmp)
 
 
 def _write_files(
@@ -211,7 +220,15 @@ def upsert(
         return current + 1
     touched, kept = [], []
     for e in man["files"]:
-        overlaps = e["max"] >= lo and e["min"] <= hi
+        # a file with absent layout stats (all-null column, or a writer
+        # that omitted min/max) could hold matching keys anywhere —
+        # treat it as touched (conservative rewrite), mirroring
+        # read_version's None guard
+        overlaps = (
+            e["max"] is None
+            or e["min"] is None
+            or (e["max"] >= lo and e["min"] <= hi)
+        )
         (touched if overlaps else kept).append(e)
     if touched:
         base = spark.read.parquet(
@@ -246,4 +263,12 @@ def expire_versions(table: str, keep_last: int = 2) -> list[int]:
                 if os.path.exists(fp):
                     os.remove(fp)
         os.remove(_manifest_path(table, v))
+    # crash hygiene: a writer that died before its commit point leaves
+    # v<N>.json.tmp.<hex> orphans; emptied write dirs accumulate after
+    # their files are vacuumed — clean both up here
+    for p in glob.glob(os.path.join(_manifest_dir(table), "*.tmp.*")):
+        os.remove(p)
+    for d in glob.glob(os.path.join(table, "data", "w*")):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
     return expired

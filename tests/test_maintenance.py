@@ -55,3 +55,30 @@ def test_compact_small_files_preserves_content(spark):
         "sum(id)", "sum(v)", "count(*)"
     ).first()
     assert tuple(before_sum) == tuple(after_sum)
+
+
+def test_zorder_key_rejects_long_overflow():
+    # bits * n_cols > 63 would overflow the signed-long key (and Java
+    # masks shifts >= 64), silently corrupting box assignment
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iot_temp_data_pipeline_spark.maintenance import zorder_key
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key([F.col(f"c{i}") for i in range(8)], bits=8)
+
+
+def test_cluster_zorder_autoreduces_bits(spark, tmp_path):
+    # 8 columns at default bits=8 would overflow; cluster_zorder must
+    # degrade quantization (layout-only) instead of corrupting boxes
+    from pyspark.sql import functions as F
+
+    from iot_temp_data_pipeline_spark.maintenance import cluster_zorder
+
+    df = spark.range(256).select(
+        "id", *[(F.col("id") * (i + 3) % 251).alias(f"c{i}") for i in range(8)]
+    )
+    out = str(tmp_path / "z8")
+    cluster_zorder(spark, df, out, [f"c{i}" for i in range(8)], n_files=4)
+    assert spark.read.parquet(out).count() == 256

@@ -129,3 +129,49 @@ def test_fully_pruned_read_returns_empty_frame(spark, table):
     df = read_version(spark, table, version=1, layout_between=(100, 200))
     assert df.count() == 0
     assert set(df.columns) == {"k", "day", "v"}
+
+
+def test_commit_leaves_no_tmp_files(spark, table):
+    # _commit must clean up its scratch file in both outcomes
+    from iot_temp_data_pipeline_spark.sources.versioned import _commit
+
+    _commit(table, 2, [], "day")
+    with pytest.raises(RuntimeError, match="already committed"):
+        _commit(table, 2, [], "day")
+    assert glob.glob(os.path.join(table, "_manifests", "*.tmp.*")) == []
+
+
+def test_upsert_rewrites_files_with_absent_stats(spark, table):
+    # a manifest entry with min/max of None (all-null layout column, or
+    # a writer that omitted stats) must be treated as touched, not crash
+    import json
+
+    from iot_temp_data_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        _read_manifest,
+    )
+
+    man = _read_manifest(table, 1)
+    man["files"][0]["min"] = None
+    man["files"][0]["max"] = None
+    with open(_manifest_path(table, 1), "w") as f:
+        json.dump(man, f)
+    updates = spark.createDataFrame([(1, 1, 999)], "k long, day long, v long")
+    v2 = upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    df = read_version(spark, table, version=v2)
+    assert df.count() == 1000
+    assert df.filter(F.col("k") == 1).first()["v"] == 999
+
+
+def test_expire_prunes_tmp_manifests_and_empty_write_dirs(spark, table):
+    # crash hygiene: orphaned .tmp manifests and emptied data/w* dirs go
+    orphan = os.path.join(table, "_manifests", "v9.json.tmp.deadbeef")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    updates = spark.createDataFrame([(1, 1, 999)], "k long, day long, v long")
+    upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    upsert(spark, table, updates, key_cols=["k"], layout_col="day")
+    expire_versions(table, keep_last=1)
+    assert not os.path.exists(orphan)
+    for d in glob.glob(os.path.join(table, "data", "w*")):
+        assert os.listdir(d), f"empty write dir survived VACUUM: {d}"

@@ -36,10 +36,11 @@ def pack_sequences(docs: DataFrame, context_len: int = CONTEXT_LEN) -> DataFrame
     True greedy next-fit packing is a sequential scan (each break
     depends on all prior breaks — not expressible as a window
     function); the grid layout depends only on the global prefix sum,
-    so it is ONE ordered-window pass and embarrassingly parallel. At
-    100 TB you'd key the window by dataloader shard (doc_id range) and
-    pack shards independently; the plan is identical with a
-    partitioned window.
+    so it is ONE ordered-window pass. The unpartitioned window is the
+    ORACLE-PARITY form (one sort partition — fine at test scale,
+    serial at 100 TB); the production path is
+    :func:`pack_sequences_sharded`, which keys the same plan by
+    dataloader shard and packs shards in parallel.
 
     All bin arithmetic uses exact integer division (SQL ``div``, the
     DuckDB twin's ``//``): the global token-line prefix sum grows
@@ -125,6 +126,134 @@ def pack_sequences_sql(source: str = "documents", context_len: int = CONTEXT_LEN
         CAST(pre + n_tokens - last_grid * {c} AS BIGINT)
     FROM pg WHERE first_grid <> last_grid
 ) pk"""
+
+
+SHARD_DOCS = 4096  # docs per dataloader shard in the sharded packer
+
+
+def pack_sequences_sharded(
+    docs: DataFrame,
+    context_len: int = CONTEXT_LEN,
+    shard_docs: int = SHARD_DOCS,
+) -> DataFrame:
+    """Shard-keyed grid packing — the 100 TB form of
+    :func:`pack_sequences`.
+
+    The global variant's ``Window.orderBy("doc_id")`` prefix sum is
+    correct but serializes the whole corpus through ONE sort partition
+    (the last global-sort shape in this repo). Real dataloaders shard
+    the corpus anyway, so key the token line by dataloader shard
+    (``doc_id div shard_docs``) and pack each shard's line
+    independently: the window becomes
+    ``partitionBy(shard).orderBy(doc_id)`` — one ordinary hash-
+    partitioned exchange, every shard packed in parallel, no global
+    sort anywhere. Plan: Exchange(hashpartitioning(shard)) → per-
+    partition sort → window → project/explode.
+
+    Semantics vs the global grid: identical WITHIN a shard; each
+    shard's token line starts at 0, so per ~shard_docs documents the
+    last bin may be partial (exactly the padding a sharded dataloader
+    pays). As ``shard_docs → ∞`` the output converges to
+    :func:`pack_sequences`.
+
+    ``bin_id`` stays globally unique without any cross-shard
+    coordination: every doc is clipped to ``context_len`` tokens, so a
+    shard's token line holds at most ``shard_docs * context_len``
+    tokens → at most ``shard_docs`` local bins, and
+    ``bin_id = shard * shard_docs + local_bin`` never collides.
+
+    Output schema = pack_sequences + ``shard_id``.
+    """
+    n_raw = token_count(F.col("text"))
+    toks = F.least(n_raw, F.lit(context_len)).alias("n_tokens")
+    shard = F.expr(f"doc_id div {shard_docs}").alias("shard_id")
+    d = docs.select("doc_id", toks, shard)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.select(
+        "doc_id",
+        "n_tokens",
+        "shard_id",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("pre"),
+    )
+    first_grid = F.expr(f"pre div {context_len}")
+    last_grid = F.expr(f"(pre + n_tokens - 1) div {context_len}")
+    bin_base = F.col("shard_id") * shard_docs
+    head_len = (first_grid + 1) * context_len - F.col("pre")
+    seg0 = F.struct(
+        F.lit(0).cast("long").alias("seg_idx"),
+        (bin_base + first_grid).alias("bin_id"),
+        (F.col("pre") - first_grid * context_len).alias("offset_in_bin"),
+        F.least(F.col("n_tokens"), head_len).alias("seg_len"),
+    )
+    seg1 = F.struct(
+        F.lit(1).cast("long").alias("seg_idx"),
+        (bin_base + last_grid).alias("bin_id"),
+        F.lit(0).cast("long").alias("offset_in_bin"),
+        (F.col("pre") + F.col("n_tokens") - last_grid * context_len).alias(
+            "seg_len"
+        ),
+    )
+    segs = F.when(first_grid != last_grid, F.array(seg0, seg1)).otherwise(
+        F.array(seg0)
+    )
+    return d.select(
+        "doc_id", "n_tokens", "shard_id", F.explode(segs).alias("seg")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "shard_id",
+        F.col("seg.seg_idx").alias("seg_idx"),
+        F.col("seg.bin_id").alias("bin_id"),
+        F.col("seg.offset_in_bin").alias("offset_in_bin"),
+        F.col("seg.seg_len").alias("seg_len"),
+    )
+
+
+def pack_sequences_sharded_sql(
+    source: str = "documents",
+    context_len: int = CONTEXT_LEN,
+    shard_docs: int = SHARD_DOCS,
+) -> str:
+    c, s = context_len, shard_docs
+    return f"""(
+    WITH pd AS (
+        SELECT doc_id, doc_id // {s} AS shard_id,
+            LEAST(len(regexp_split_to_array(lower(text), '\\s+')),
+                  {c}) AS n_tokens
+        FROM {source}
+    ),
+    pp AS (
+        SELECT doc_id, n_tokens, shard_id,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM pd
+    ),
+    pg AS (
+        SELECT doc_id, n_tokens, shard_id, pre,
+            pre // {c} AS first_grid,
+            (pre + n_tokens - 1) // {c} AS last_grid
+        FROM pp
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(0 AS BIGINT) AS seg_idx,
+        CAST(shard_id * {s} + first_grid AS BIGINT) AS bin_id,
+        CAST(pre - first_grid * {c} AS BIGINT) AS offset_in_bin,
+        CAST(LEAST(n_tokens, (first_grid + 1) * {c} - pre) AS BIGINT) AS seg_len
+    FROM pg
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT),
+        CAST(shard_id AS BIGINT),
+        CAST(1 AS BIGINT),
+        CAST(shard_id * {s} + last_grid AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST(pre + n_tokens - last_grid * {c} AS BIGINT)
+    FROM pg WHERE first_grid <> last_grid
+) pks"""
 
 
 def language_sampling_weights(docs: DataFrame, alpha: float = ALPHA) -> DataFrame:

@@ -836,6 +836,31 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(pk.pack_sequences(load_table(spark, sf_dir, "documents")), PACK_SPEC)
 
 
+# sharded variant adds shard_id; small shard (256 docs) so the fixture
+# exercises MANY shards (sf0.01 documents ≈ thousands of rows), proving
+# the per-shard restart arithmetic, not just one big shard
+_PACK_SHARD_DOCS = 256
+
+PACK_SHARDED_SPEC = [
+    ("doc_id", ""),
+    ("n_tokens", "long"),
+    ("shard_id", "long"),
+    ("seg_idx", "long"),
+    ("bin_id", "long"),
+    ("offset_in_bin", "long"),
+    ("seg_len", "long"),
+]
+
+
+def _pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.pack_sequences_sharded(
+            load_table(spark, sf_dir, "documents"), shard_docs=_PACK_SHARD_DOCS
+        ),
+        PACK_SHARDED_SPEC,
+    )
+
+
 def _lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(
         pk.language_sampling_weights(load_table(spark, sf_dir, "documents")),
@@ -849,6 +874,13 @@ LANG_WEIGHT_ORACLE = sql_select(
 )
 
 EXTENSIONS["pack_sequences_grid"] = QuerySpec(_pack_sequences, PACK_ORACLE)
+EXTENSIONS["pack_sequences_sharded"] = QuerySpec(
+    _pack_sequences_sharded,
+    sql_select(
+        PACK_SHARDED_SPEC,
+        pk.pack_sequences_sharded_sql("documents", shard_docs=_PACK_SHARD_DOCS),
+    ),
+)
 EXTENSIONS["lang_sampling_weights"] = QuerySpec(_lang_weights, LANG_WEIGHT_ORACLE)
 
 KMEANS_SPEC = [

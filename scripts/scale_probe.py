@@ -74,6 +74,7 @@ QUERIES = [
     "chunk_documents_cdc",
     "dedup_chunk_overlap",
     "pack_sequences_grid",
+    "pack_sequences_sharded",
     "pagerank_dedup_graph",
     "domain_cap_threshold",
 ]

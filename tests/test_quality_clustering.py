@@ -256,3 +256,75 @@ def test_weighted_sample_k_exceeds_population(spark):
     out = qa.weighted_sample(docs, k=10).collect()
     assert len(out) == 3
     assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+def test_pack_sequences_sharded_invariants(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard_docs = 64
+    out = pk.pack_sequences_sharded(docs, shard_docs=shard_docs).collect()
+    n_docs = docs.count()
+    assert n_docs <= len(out) <= 2 * n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    ctx = pk.CONTEXT_LEN
+    by_bin = {}
+    for r in out:
+        # shard assignment and globally-unique bin encoding
+        assert r["shard_id"] == r["doc_id"] // shard_docs
+        assert r["bin_id"] // shard_docs == r["shard_id"]
+        assert 0 <= r["offset_in_bin"] < ctx
+        assert r["offset_in_bin"] + r["seg_len"] <= ctx
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    # per shard: segments within a bin are disjoint, bins exactly full
+    # except each shard's LAST bin (the per-shard padding trade)
+    last_bin_of_shard = {}
+    for b in by_bin:
+        s = b // shard_docs
+        last_bin_of_shard[s] = max(last_bin_of_shard.get(s, -1), b)
+    for b, rows in by_bin.items():
+        rows.sort(key=lambda x: x["offset_in_bin"])
+        pos = 0
+        for x in rows:
+            assert x["offset_in_bin"] == pos
+            pos += x["seg_len"]
+        assert pos == ctx or b == last_bin_of_shard[b // shard_docs]
+    # a split doc's segments reassemble the doc
+    segs = {}
+    for r in out:
+        segs.setdefault(r["doc_id"], []).append(r)
+    for rows in segs.values():
+        rows.sort(key=lambda x: x["seg_idx"])
+        assert sum(x["seg_len"] for x in rows) == rows[0]["n_tokens"]
+
+
+def test_pack_sequences_sharded_converges_to_global(spark, sf_dir):
+    # with one shard covering the whole corpus, sharded == global
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    glob_rows = {
+        (r["doc_id"], r["seg_idx"], r["bin_id"], r["offset_in_bin"], r["seg_len"])
+        for r in pk.pack_sequences(docs).collect()
+    }
+    shard_rows = {
+        (r["doc_id"], r["seg_idx"], r["bin_id"], r["offset_in_bin"], r["seg_len"])
+        for r in pk.pack_sequences_sharded(docs, shard_docs=1 << 40).collect()
+    }
+    assert glob_rows == shard_rows
+
+
+def test_pack_sequences_sharded_plan_has_no_global_sort(spark, sf_dir):
+    # the scale property itself: the window exchange must be
+    # hashpartitioning(shard_id), never SinglePartition
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        pk.pack_sequences_sharded(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard_id" in plan

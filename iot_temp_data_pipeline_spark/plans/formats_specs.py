@@ -258,8 +258,12 @@ FORMATS: dict[str, QuerySpec] = {
 
 # ---------------------------------------------- custom Python data source
 
-CUSTOM_N_ROWS = 20000
-CUSTOM_LO, CUSTOM_HI = 2000, 18000
+# Sized so generation THROUGHPUT dominates the Python-source planning
+# round-trip (~0.5 s fixed): with the Arrow-batched reader Spark
+# generates ~25M rows/s, so 10M rows is ~0.5 s of real work — a
+# throughput benchmark, not a machinery benchmark.
+CUSTOM_N_ROWS = 10_000_000
+CUSTOM_LO, CUSTOM_HI = 1_000_000, 9_000_000
 
 CUSTOM_SPEC = [
     ("device_id", ""),
@@ -277,17 +281,10 @@ def custom_source_device_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator is a pure function of event_id, so the oracle regenerates
     the identical dataset from range() in SQL; sf_dir is unused (the
     source IS the data)."""
-    from ..sources import pydatasource
+    from ..sources.pydatasource import load_synthetic_events
 
-    pydatasource.register(spark)
-    df = (
-        spark.read.format("synthetic_events")
-        .option("n_rows", CUSTOM_N_ROWS)
-        .option("n_partitions", 8)
-        .load()
-        .filter(
-            (F.col("event_id") >= CUSTOM_LO) & (F.col("event_id") < CUSTOM_HI)
-        )
+    df = load_synthetic_events(spark, CUSTOM_N_ROWS, 32).filter(
+        (F.col("event_id") >= CUSTOM_LO) & (F.col("event_id") < CUSTOM_HI)
     )
     out = (
         df.groupBy("device_id")

@@ -88,7 +88,8 @@ def test_custom_datasource_pushdown_prunes_partitions(spark):
     assert unsupported == []  # fully handled
     parts = r.partitions()
     assert [(p.start, p.end) for p in parts] == [(5, 6)]
-    rows = list(r.read(parts[0]))
+    batches = list(r.read(parts[0]))
+    rows = [t for b in batches for t in zip(*(c.to_pylist() for c in b.columns))]
     assert rows == [(5, "DEV_5", 1704067200000000 + 5 * 30_000_000, temp_centi_of(5))]
 
 

@@ -54,7 +54,13 @@ def int_temperature_anomalies(
     threshold: float = ANOMALY_THRESHOLD,
     cache: bool = True,
 ) -> DataFrame:
-    vr = deduplicated_valid_readings(stg)
+    # W1 in max_by aggregation form, not the row_number window: same
+    # rows (both forms share the registry oracle — dedup_valid_readings
+    # pins the window form separately), but the aggregate's map-side
+    # partial shrinks each partition to one candidate per key BEFORE
+    # the exchange and needs no per-group sort — one fewer sort in the
+    # flagship chain, and the skew-immune shape at 100 TB.
+    vr = deduplicated_valid_readings_aggform(stg)
     if cache:
         vr = vr.persist()
 
@@ -68,25 +74,30 @@ def int_temperature_anomalies(
     # columns (device_id, location, environment_type):
     #   (device_id) → 0b011=3, (location) → 0b101=5,
     #   (environment_type) → 0b110=6, () global → 0b111=7.
-    stats = (
-        vr.groupingSets(
-            [["device_id"], ["location"], ["environment_type"], []],
-            "device_id",
-            "location",
-            "environment_type",
-        )
-        .agg(
-            # Postgres stddev ≡ stddev_samp; computed from exact integer
-            # sums for oracle bit-parity and numerical stability (stats.py)
-            exact_avg(t).alias("mean_temp"),
-            exact_stddev(t).alias("stddev_temp"),
-            F.count("*").alias("reading_count"),
-            F.min(t).alias("min_temp"),
-            F.max(t).alias("max_temp"),
-            F.grouping_id().alias("gid"),
-        )
-        .persist()
+    stats_dist = vr.groupingSets(
+        [["device_id"], ["location"], ["environment_type"], []],
+        "device_id",
+        "location",
+        "environment_type",
+    ).agg(
+        # Postgres stddev ≡ stddev_samp; computed from exact integer
+        # sums for oracle bit-parity and numerical stability (stats.py)
+        exact_avg(t).alias("mean_temp"),
+        exact_stddev(t).alias("stddev_temp"),
+        F.count("*").alias("reading_count"),
+        F.min(t).alias("min_temp"),
+        F.max(t).alias("max_temp"),
+        F.grouping_id().alias("gid"),
     )
+    # The four stat views below all end up BROADCAST — which collects
+    # them to the driver anyway. Collecting the (tiny: ≤ #devices +
+    # #locations + #envs + 1 rows) aggregate ONCE and re-deriving the
+    # views from a LocalRelation is the same driver footprint but
+    # removes four separate Spark jobs over vr's lineage (persist +
+    # 4 broadcast-side jobs → 1 job); each BroadcastExchange then
+    # materializes from driver-local data with no job at all.
+    spark = vr.sparkSession
+    stats = spark.createDataFrame(stats_dist.collect(), stats_dist.schema)
 
     # A1 global_stats (sql:28-34)
     global_stats = stats.filter(F.col("gid") == 7).select(

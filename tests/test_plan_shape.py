@@ -134,3 +134,35 @@ def test_ivf_assignment_preaggregates_mapside(spark, sf_dir):
     around the exchange), never sort C rows per vector through a window."""
     plan = plan_of(REGISTRY["knn_ivf_cosine"].spark(spark, sf_dir))
     assert "partial_max_by" in plan
+
+
+def test_tfidf_bucketed_index_join_no_shuffle(spark, sf_dir):
+    """The materialized TF-IDF index (bucketed+sorted by term) serves a
+    query-batch join with NO Exchange on either side — the pay-once
+    index layout for repeated retrieval (operators/tfidf.py)."""
+    from iot_temp_data_pipeline_spark.operators.dedup import dedup_corpus
+    from iot_temp_data_pipeline_spark.operators.tfidf import (
+        materialize_postings_bucketed,
+    )
+
+    try:
+        materialize_postings_bucketed(
+            spark, dedup_corpus(spark, sf_dir), "tfidf_postings_t", 4
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx = spark.table("tfidf_postings_t")
+        qp = spark.table("tfidf_postings_t").filter(
+            F.col("doc_id") % 100 == 0
+        ).select("term", F.col("doc_id").alias("query_id"), F.col("tf").alias("q_tf"))
+        dots = (
+            idx.join(qp, "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("q_tf") * F.col("tf") * F.col("w")).alias("dot"))
+        )
+        plan = dots._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(term" not in plan
+        assert dots.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS tfidf_postings_t")

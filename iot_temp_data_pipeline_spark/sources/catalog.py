@@ -10,6 +10,7 @@ secondary B-tree indexes (`models/marts/mart_temperature_readings.sql:4-12`).
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,3 +133,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     used interchangeably with the DataFrame API (SURVEY.md §3.3)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, table: str, db: str | None = None) -> bool:
+    """Catalog-introspection analog of the reference's `table_exists`
+    dbt macro (`dbt_transform/macros/table_exists.sql:1-15`), which
+    counts information_schema.tables rows for (schema, name). Spark's
+    catalog IS the information schema here; a qualified name probes a
+    specific database, exactly like the macro's schema argument."""
+    qualified = f"{db}.{table}" if db else table
+    return spark.catalog.tableExists(qualified)
+
+
+def ensure_table(
+    spark: SparkSession,
+    table: str,
+    build: Callable[[], DataFrame],
+    overwrite: bool = False,
+) -> DataFrame:
+    """The macro's actual use in the reference: guard an incremental
+    build — materialize only when the target is missing (or a refresh
+    is forced), else reuse what the catalog already has. Returns the
+    catalog table either way."""
+    if overwrite or not table_exists(spark, table):
+        build().write.mode("overwrite").saveAsTable(table)
+    return spark.table(table)

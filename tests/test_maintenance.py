@@ -82,3 +82,34 @@ def test_cluster_zorder_autoreduces_bits(spark, tmp_path):
     out = str(tmp_path / "z8")
     cluster_zorder(spark, df, out, [f"c{i}" for i in range(8)], n_files=4)
     assert spark.read.parquet(out).count() == 256
+
+
+def test_table_exists_and_ensure_table(spark):
+    # the table_exists macro analog (dbt_transform/macros/table_exists.sql)
+    from pyspark.sql import functions as F
+
+    from iot_temp_data_pipeline_spark.sources.catalog import (
+        ensure_table,
+        table_exists,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS probe_exists_t")
+    assert table_exists(spark, "probe_exists_t") is False
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).select(F.col("id").alias("k"))
+
+    df1 = ensure_table(spark, "probe_exists_t", build)
+    assert table_exists(spark, "probe_exists_t") is True
+    assert df1.count() == 5 and calls["n"] == 1
+    # guard: second call must NOT rebuild (the incremental-build guard)
+    ensure_table(spark, "probe_exists_t", build)
+    assert calls["n"] == 1
+    # forced refresh rebuilds
+    ensure_table(spark, "probe_exists_t", build, overwrite=True)
+    assert calls["n"] == 2
+    # default-db qualification matches the macro's schema argument
+    assert table_exists(spark, "probe_exists_t", db="default") is True
+    spark.sql("DROP TABLE IF EXISTS probe_exists_t")

@@ -495,6 +495,69 @@ CDC_ORACLE = (
 )
 
 
+# -------------------------------------------- incremental mart refresh
+
+INC_MART_SPEC = [
+    ("device_id", ""),
+    ("ts_micros", "long"),
+    ("temp_centi", "long"),
+    ("dlt_id", ""),
+    ("temperature_category", ""),
+    ("day_us", "long"),
+]
+
+
+def _streaming_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `incremental` materialization analog (the reference forces
+    full_refresh: True, `airflow/dags/iot_temperature_dag.py:236-239`):
+    each micro-batch MERGEs only its own load into a VERSIONED mart
+    table (sources/versioned.py COW upsert, one committed version per
+    load). Oracle pins incremental-after-N-batches ≡ one full refresh
+    over the union of loads; the landing's exact re-deliveries
+    (dlt_id % 7) must merge idempotently."""
+    from ..streaming.pipeline import incremental_mart_refresh
+
+    work = workdir("incmart")
+    materialize_landing(_dedup_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_DEDUP_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(f"{work}/landing")
+    )
+    table = f"{work}/mart_v"
+    incremental_mart_refresh(spark, stream, table, f"{work}/ckpt")
+    from ..sources.versioned import read_version, versions
+
+    assert len(versions(table)) > 1, "expected one version per micro-batch"
+    return shape(read_version(spark, table), INC_MART_SPEC)
+
+
+INC_MART_ORACLE = (
+    "WITH "
+    + _DEDUP_BASE_SQL.strip()
+    + sql_select(
+        INC_MART_SPEC,
+        """(
+    SELECT device_id, ts_micros,
+        arg_max(temp_centi, dlt_id) AS temp_centi,
+        MAX(dlt_id) AS dlt_id,
+        CASE
+            WHEN arg_max(temp_centi, dlt_id) / 100.0 < 0 THEN 'Freezing'
+            WHEN arg_max(temp_centi, dlt_id) / 100.0 BETWEEN 0 AND 15 THEN 'Cold'
+            WHEN arg_max(temp_centi, dlt_id) / 100.0 BETWEEN 16 AND 25 THEN 'Comfortable'
+            WHEN arg_max(temp_centi, dlt_id) / 100.0 BETWEEN 26 AND 35 THEN 'Warm'
+            WHEN arg_max(temp_centi, dlt_id) / 100.0 > 35 THEN 'Hot'
+            ELSE 'Unknown'
+        END AS temperature_category,
+        ts_micros // 86400000000 AS day_us
+    FROM landed
+    GROUP BY device_id, ts_micros
+) s""",
+    )
+)
+
+
 # ------------------------------------------ stream-stream LEFT OUTER join
 
 OUTER_JOIN_SPEC = [
@@ -659,6 +722,9 @@ STREAMING: dict[str, QuerySpec] = {
         _streaming_outer_join, OUTER_JOIN_ORACLE
     ),
     "streaming_cdc_upsert": QuerySpec(_streaming_cdc_upsert, CDC_ORACLE),
+    "streaming_incremental_mart": QuerySpec(
+        _streaming_incremental_mart, INC_MART_ORACLE
+    ),
     "streaming_ingest_kaggle": QuerySpec(_streaming_ingest, INGEST_SQL),
     "streaming_interval_join": QuerySpec(_streaming_interval_join, SSJOIN_ORACLE),
     "streaming_static_enrich": QuerySpec(_streaming_static_enrich, ENRICH_ORACLE),

@@ -69,3 +69,71 @@ def run_micro_batch_pipeline(
         .start()
     )
     query.awaitTermination()
+
+
+def incremental_mart_refresh(
+    spark: SparkSession,
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """dbt ``incremental`` materialization analog — the design decision
+    the reference dodges by forcing ``full_refresh: True`` on every run
+    (`airflow/dags/iot_temperature_dag.py:236-239`, rebuilding the whole
+    mart from all accumulated raw). Here each micro-batch (≈ one dlt
+    load) MERGEs only ITS rows into the versioned mart table
+    (sources/versioned.py copy-on-write upsert): per-run work is
+    bounded by the batch, not the table; every load leaves a committed
+    version (time travel over mart history); and the file-source
+    checkpoint guarantees a load is merged exactly once.
+
+    Incremental-safety contract: the mart columns derived here are
+    PER-ROW (category buckets, day layout key) and the only cross-load
+    interaction is key replacement by the latest merged load (so
+    re-delivered exact duplicates merge idempotently) — hence N
+    incremental merges ≡ one full refresh over the union of loads
+    (the oracle pins exactly that).
+    Stats-dependent enrichments (the anomaly z-scores) are NOT
+    incremental-safe and stay in the full-refresh path
+    (refresh_marts)."""
+    from ..functions.exprs import temperature_category
+    from ..sources.versioned import create_table, upsert, versions
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mart = (
+            batch_df.groupBy("device_id", "ts_micros")
+            .agg(
+                F.max_by(
+                    F.struct("temp_centi", "dlt_id"), F.col("dlt_id")
+                ).alias("w")
+            )
+            .select(
+                "device_id",
+                "ts_micros",
+                F.col("w.temp_centi").alias("temp_centi"),
+                F.col("w.dlt_id").alias("dlt_id"),
+            )
+            .withColumn(
+                "temperature_category",
+                temperature_category(F.col("temp_centi") / 100.0),
+            )
+            .withColumn("day_us", F.expr("ts_micros div 86400000000"))
+        )
+        if not versions(table):
+            create_table(spark, mart, table, layout_col="day_us")
+        else:
+            upsert(
+                spark,
+                table,
+                mart,
+                key_cols=["device_id", "ts_micros"],
+                layout_col="day_us",
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

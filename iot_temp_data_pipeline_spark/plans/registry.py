@@ -608,36 +608,83 @@ _DRIVER_VERIFIED_R0102 = {
     "tpch_q9_product_type_profit", "training_corpus_prep", "union_ops_counts",
     "upsert_merge", "value_trend_by_type", "window_temperature_deltas",
 }
-_unverified = [n for n in REGISTRY if n not in _DRIVER_VERIFIED_R0102]
-# Within the unverified block: cheap batch queries first, micro-batch
-# streaming queries (fixed ~2 s harness cost each) last, so a time-boxed
-# driver run verifies the most queries per second.
-# Round-3 re-verify set: driver-verified in r1/r2 but their fixture,
-# operator, or oracle changed this round (mojibake landing file in the
-# audit fixture, grid-packing overlap fix, PageRank/k-means reworks,
-# MG + bigram oracle bound fixes, real BMP/WAV decode) — they must land
-# inside the ~50-query sample so the changed behavior gets a fresh
-# driver row, ahead of the unchanged r1/r2 tail.
-_CHANGED_R03 = [
-    "ingest_audit_log",
-    "pack_sequences_grid",
-    "pagerank_dedup_graph",
-    "kmeans_embedding_clusters",
-    "mg_heavy_hitters_check",
-    "top_bigrams",
-    "dedup_clusters_star",
-    "multimodal_media_metadata",
-    "multimodal_resize_images",
-    "knn_ivf_cosine",
+# Queries whose latest driver row is from round 3 (CORRECTNESS_r03.json
+# keys, frozen). Together with _DRIVER_VERIFIED_R0102 this gives every
+# query a last-verified round, so the ordering can rotate FRESHNESS:
+# no query's driver row should ever go >2 rounds stale.
+_DRIVER_VERIFIED_R03 = {
+    "analyze_table_stats", "anomaly_breakdown", "anomaly_scores",
+    "anomaly_scores_t2", "approx_distinct_users", "clicks_in_error_windows",
+    "dedup_clusters_star", "dedup_valid_readings", "dedup_valid_readings_aggform",
+    "dq_check_violations", "events_asof_last_click", "ingest_audit_log",
+    "jdbc_roundtrip", "kmeans_embedding_clusters", "knn_ivf_cosine",
+    "mart_readings", "mg_heavy_hitters_check", "multimodal_decode_headers",
+    "multimodal_media_metadata", "multimodal_resize_images", "nation_priority_pivot",
+    "ops_anomaly_count_per_device", "pack_sequences_grid", "pagerank_dedup_graph",
+    "profile_events_columns", "staging_readings", "streaming_cdc_upsert",
+    "streaming_dedup_exact", "streaming_dedup_latest_wins", "streaming_ingest_kaggle",
+    "streaming_interval_join", "streaming_outer_interval_join", "streaming_session_windows",
+    "streaming_stateful_device_stats", "streaming_static_enrich", "streaming_tumbling_watermark",
+    "summary_by_device", "summary_by_load", "summary_by_location",
+    "summary_overall", "timetravel_upsert", "top_bigrams",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_regional_revenue", "tpch_q6_forecast_revenue",
+    "weighted_sample_topk", "zorder_events_box",
+}
+# Round-4 re-verify set: new queries plus every query whose operator,
+# fixture, or oracle changed this round — the anomaly chain reworks
+# (max_by dedup + collected stats) flow into the mart and all its
+# summary consumers; md5 load ids touch the ingest audit; the postings
+# rework touches tfidf; the commit/upsert hardening touches the
+# versioned table; the Arrow reader + 10M sizing touches the custom
+# source. They go FIRST so the changed behavior gets fresh driver rows.
+_CHANGED_R04 = [
+    "pack_sequences_sharded",        # new: shard-keyed packing
+    "anomaly_scores",                # aggform dedup + local stats
+    "anomaly_scores_t2",
+    "mart_readings",                 # consumes the anomaly chain
+    "summary_by_load",
+    "summary_by_device",
+    "summary_by_location",
+    "summary_overall",
+    "anomaly_breakdown",
+    "ops_anomaly_count_per_device",
+    "union_ops_counts",
+    "tfidf_topk",                    # single-exchange postings
+    "ingest_audit_log",              # md5 load ids
+    "timetravel_upsert",             # exclusive commit + None-stats guard
+    "custom_source_device_stats",    # Arrow batches, 10M rows
+    "streaming_incremental_mart",    # new: incremental MERGE refresh
 ]
+_never = [
+    n
+    for n in REGISTRY
+    if n not in _DRIVER_VERIFIED_R0102
+    and n not in _DRIVER_VERIFIED_R03
+    and n not in _CHANGED_R04
+]
+_stale_r0102 = [
+    n
+    for n in REGISTRY
+    if n in _DRIVER_VERIFIED_R0102
+    and n not in _DRIVER_VERIFIED_R03
+    and n not in _CHANGED_R04
+]
+_fresh_r03 = [
+    n
+    for n in REGISTRY
+    if n in _DRIVER_VERIFIED_R03 and n not in _CHANGED_R04
+]
+# changed → never-verified → stalest (r1/r2) → freshest (r3); within
+# the changed block batch queries come before micro-batch streaming
+# (fixed ~2 s harness cost each) so a time-boxed driver run verifies
+# the most queries per second.
+_changed = [n for n in _CHANGED_R04 if n in REGISTRY]
 _order = (
-    [n for n in _unverified if not n.startswith("streaming_")]
-    + [n for n in _unverified if n.startswith("streaming_")]
-    + [n for n in _CHANGED_R03 if n in REGISTRY]
-    + [
-        n
-        for n in REGISTRY
-        if n in _DRIVER_VERIFIED_R0102 and n not in _CHANGED_R03
-    ]
+    [n for n in _changed if not n.startswith("streaming_")]
+    + [n for n in _changed if n.startswith("streaming_")]
+    + _never
+    + _stale_r0102
+    + _fresh_r03
 )
 REGISTRY = {n: REGISTRY[n] for n in _order}

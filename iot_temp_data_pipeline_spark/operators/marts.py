@@ -235,3 +235,53 @@ def pipeline_summary(mart: DataFrame) -> DataFrame:
             "outdoor_percentage", F.round(F.col("outdoor_readings") / total * 100, 2)
         )
     )
+
+
+def pipeline_run_report(
+    raw: DataFrame, stg: DataFrame, mart: DataFrame
+) -> DataFrame:
+    """The DAG's run report as a QUERY
+    (`airflow/dags/iot_temperature_dag.py:165-195` formats upstream task
+    counts into a per-run report): one long-format row per
+    (stage, metric), assembling the ingestion / staging / transform
+    counts the reference prints. All metrics are exact integer counts,
+    so the report is oracle-checkable; three 1-row aggregates (one per
+    upstream stage) stacked — no extra passes beyond what each stage's
+    own summary already pays."""
+    rep_ing = raw.agg(F.count("*").alias("raw_records")).selectExpr(
+        "'ingestion' AS stage",
+        "stack(1, 'raw_records', raw_records) AS (metric, value)",
+    )
+    rep_stg = stg.agg(
+        F.count("*").alias("staged_records"),
+        F.sum(F.when(F.col("is_valid_record"), 1).otherwise(0)).alias(
+            "valid_records"
+        ),
+        F.sum(F.when(~F.col("is_valid_record"), 1).otherwise(0)).alias(
+            "invalid_records"
+        ),
+    ).selectExpr(
+        "'staging' AS stage",
+        "stack(3, 'staged_records', staged_records, "
+        "'valid_records', valid_records, "
+        "'invalid_records', invalid_records) AS (metric, value)",
+    )
+    rep_mart = mart.agg(
+        F.count("*").alias("mart_rows"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias(
+            "anomaly_records"
+        ),
+        F.countDistinct("device_id").alias("unique_devices"),
+        F.countDistinct("_dlt_load_id").alias("load_batches"),
+    ).selectExpr(
+        "'transform' AS stage",
+        "stack(4, 'mart_rows', mart_rows, "
+        "'anomaly_records', anomaly_records, "
+        "'unique_devices', unique_devices, "
+        "'load_batches', load_batches) AS (metric, value)",
+    )
+    return (
+        rep_ing.unionByName(rep_stg)
+        .unionByName(rep_mart)
+        .select("stage", "metric", F.col("value").cast("long").alias("value"))
+    )

@@ -40,6 +40,7 @@ from ..operators.marts import (
     location_level_stats,
     mart_temperature_readings,
     overall_stats,
+    pipeline_run_report,
     pipeline_summary,
 )
 from ..checks import check_violations, check_violations_sql
@@ -357,6 +358,26 @@ def _summary_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(pipeline_summary(_mart_df(spark, sf_dir)), SUMMARY_OVERALL_SPEC)
 
 
+RUN_REPORT_SPEC: ColSpec = [
+    ("stage", ""),
+    ("metric", ""),
+    ("value", "long"),
+]
+
+
+def _run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG's run report (`airflow/dags/iot_temperature_dag.py:
+    165-195`) as an oracle-checked query: per-stage counts assembled
+    from the raw/staging/mart layers (operators/marts.py
+    pipeline_run_report)."""
+    raw = raw_readings(spark, sf_dir)
+    stg = stg_raw_temperature_readings(raw, with_processing_timestamp=False)
+    return shape(
+        pipeline_run_report(raw, stg, _mart_df(spark, sf_dir)),
+        RUN_REPORT_SPEC,
+    )
+
+
 def _ops_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops query `README.md:120-127`: anomaly count per device."""
     mart = _mart_df(spark, sf_dir)
@@ -492,6 +513,29 @@ _OPS_ANOMALY_COUNT_SQL = """(
     FROM mart WHERE is_anomaly GROUP BY device_id
 ) s"""
 
+_RUN_REPORT_SQL = """(
+    SELECT 'ingestion' AS stage, 'raw_records' AS metric,
+        COUNT(*) AS value FROM raw_readings
+    UNION ALL
+    SELECT 'staging', 'staged_records', COUNT(*) FROM staged
+    UNION ALL
+    SELECT 'staging', 'valid_records',
+        SUM(CASE WHEN is_valid_record THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 'staging', 'invalid_records',
+        SUM(CASE WHEN NOT is_valid_record THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 'transform', 'mart_rows', COUNT(*) FROM mart
+    UNION ALL
+    SELECT 'transform', 'anomaly_records',
+        SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) FROM mart
+    UNION ALL
+    SELECT 'transform', 'unique_devices', COUNT(DISTINCT device_id) FROM mart
+    UNION ALL
+    SELECT 'transform', 'load_batches',
+        COUNT(DISTINCT _dlt_load_id) FROM mart
+) s"""
+
 
 # ------------------------------------------------------------------ registry
 
@@ -538,6 +582,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dq_check_violations": QuerySpec(
         _dq_checks, _oracle(DQ_CHECK_SPEC, check_violations_sql("staged"))
+    ),
+    "pipeline_run_report": QuerySpec(
+        _run_report, _oracle(RUN_REPORT_SPEC, _RUN_REPORT_SQL)
     ),
 }
 
@@ -655,6 +702,7 @@ _CHANGED_R04 = [
     "timetravel_upsert",             # exclusive commit + None-stats guard
     "custom_source_device_stats",    # Arrow batches, 10M rows
     "streaming_incremental_mart",    # new: incremental MERGE refresh
+    "pipeline_run_report",           # new: DAG run-report analog
 ]
 _never = [
     n

@@ -22,10 +22,27 @@ SF = os.environ.get("SF", "/root/testdata/sf0.01")
 # query -> what to look for in the plan
 SHOWCASE = {
     "anomaly_scores_t2": (
-        "All four stats enrichments are broadcast (3x BroadcastHashJoin + "
-        "1x BroadcastNestedLoopJoin for the 1-row global stats); the probe "
-        "side never shuffles for enrichment; the GROUPING SETS Expand "
-        "computes 4 stat granularities in one aggregation pass."
+        "Dedup is the max_by aggregation form (partial ObjectHashAggregate "
+        "shrinks each partition to one candidate per key BEFORE the "
+        "exchange — no per-group sort); the four stat views are one "
+        "GROUPING SETS pass whose tiny result is collected ONCE and "
+        "re-broadcast as LocalRelations (3x BroadcastHashJoin + 1x "
+        "BroadcastNestedLoopJoin build from driver-local data, no jobs); "
+        "the probe side never shuffles for enrichment."
+    ),
+    "tfidf_topk": (
+        "ONE Exchange (REPARTITION_BY_COL on term) builds the whole "
+        "inverted index: the (doc_id, term) tf aggregate, the per-term df "
+        "aggregate, and the tf-to-weights join all run on that "
+        "partitioning (term is a subset of the tf grouping keys); the "
+        "query side broadcasts into the postings."
+    ),
+    "pack_sequences_sharded": (
+        "The prefix-sum Window is keyed by dataloader shard: Exchange "
+        "hashpartitioning(shard_id) — NO SinglePartition anywhere — then "
+        "per-partition Sort + Window + the segment explode; shards pack "
+        "in parallel where the global grid form would serialize through "
+        "one sort partition."
     ),
     "tpch_q9_product_type_profit": (
         "Part (LIKE-filtered) and supplier⋈nation broadcast; the only "

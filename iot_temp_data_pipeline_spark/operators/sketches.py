@@ -139,3 +139,129 @@ def mg_heavy_hitters_sql(source: str = "documents", topn: int = MG_TOPN) -> str:
     ORDER BY true_count DESC, bigram
     LIMIT {topn}
 ) mg"""
+
+
+# ------------------------------------------------------------ Count-Min
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 3
+CMS_TOPN = 20
+
+
+def cms_token_frequencies(
+    docs: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    topn: int = CMS_TOPN,
+) -> DataFrame:
+    """Count-Min sketch over corpus tokens — the mergeable fixed-memory
+    frequency sketch complementing Misra-Gries: MG keeps the heavy
+    hitters (underestimates, layout-dependent), CMS answers point
+    frequency queries for ANY item (never underestimates, and — unlike
+    MG — the sketch content is a pure function of the DATA, independent
+    of partition layout: cell (j, c) is just the count of items whose
+    j-th hash lands on c).
+
+    That layout-independence is why this oracle is STRONGER than MG's:
+    DuckDB recomputes the identical sketch from the same md5-derived
+    hash family (functions/hashing.py) and the estimates hash-match
+    exactly, rather than pinning a guarantee flag.
+
+    Plan shape: build = one explode(depth cells/item) + partial/final
+    count — the partial aggregate caps each task's output at
+    depth x width rows, so the shuffle is sketch-sized regardless of
+    corpus size (the mergeable-sketch contract); estimate = the exact
+    top-n probe side broadcast-joined against the (tiny) cell table,
+    min over depth rows.
+
+    Returns (item, true_count, cms_estimate) for the true top-``topn``
+    tokens; CMS guarantees cms_estimate >= true_count always, within
+    e*N/width with probability 1 - exp(-depth) per item."""
+    from ..functions.hashing import portable_hash32
+
+    tk = tokens(F.col("text"))
+    items = docs.select(F.explode(tk).alias("item"))
+    cells = (
+        items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            (
+                                F.pmod(portable_hash32(F.col("item"), seed=j), width)
+                            ).alias("col"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact_top = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "item")
+        .limit(topn)
+    )
+    probes = exact_top.select(
+        "item",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.pmod(portable_hash32(F.col("item"), seed=j), width)
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "true_count", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("item", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def cms_token_frequencies_sql(
+    source: str = "documents",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    topn: int = CMS_TOPN,
+) -> str:
+    """DuckDB twin: rebuilds the identical sketch (same md5 hash family,
+    same width/depth) and recomputes every estimate exactly."""
+    from ..functions.hashing import portable_hash32_sql
+
+    lanes = ", ".join(str(j) for j in range(depth))
+    h = portable_hash32_sql("item", seed=0).replace("'0:'", "j || ':'")
+    return f"""(
+    WITH cms_items AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS item
+        FROM {source}
+    ),
+    cms_lanes AS (SELECT unnest([{lanes}]) AS j),
+    cms_cells AS (
+        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt
+        FROM cms_items CROSS JOIN cms_lanes
+        GROUP BY 1, 2
+    ),
+    cms_top AS (
+        SELECT item, COUNT(*) AS true_count FROM cms_items
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {topn}
+    ),
+    cms_probes AS (
+        SELECT item, true_count, j, {h} % {width} AS col
+        FROM cms_top CROSS JOIN cms_lanes
+    )
+    SELECT item, true_count, MIN(cnt) AS cms_estimate
+    FROM cms_probes JOIN cms_cells USING (j, col)
+    GROUP BY item, true_count
+) cms"""

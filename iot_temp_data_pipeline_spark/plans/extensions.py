@@ -772,6 +772,23 @@ MG_ORACLE = sql_select(MG_SPEC, sk.mg_heavy_hitters_sql("documents"))
 
 EXTENSIONS["mg_heavy_hitters_check"] = QuerySpec(_mg_heavy_hitters, MG_ORACLE)
 
+CMS_SPEC = [
+    ("item", ""),
+    ("true_count", "long"),
+    ("cms_estimate", "long"),
+]
+
+
+def _cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        sk.cms_token_frequencies(load_table(spark, sf_dir, "documents")), CMS_SPEC
+    )
+
+
+CMS_ORACLE = sql_select(CMS_SPEC, sk.cms_token_frequencies_sql("documents"))
+
+EXTENSIONS["cms_frequency_check"] = QuerySpec(_cms_frequencies, CMS_ORACLE)
+
 PAGERANK_SPEC = [
     ("doc_id", "long"),
     ("degree", "long"),

@@ -47,6 +47,16 @@ def test_hll_error_bound(spark, sf_dir):
     assert rows and all(r.hll_within_2pct for r in rows)
 
 
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min's one-sided guarantee: estimate >= true count, always
+    (collisions only ADD mass). Exact estimate values are hash-pinned by
+    the DuckDB oracle; this pins the sketch's statistical contract."""
+    from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["cms_frequency_check"].spark(spark, sf_dir).collect()
+    assert rows and all(r.cms_estimate >= r.true_count for r in rows)
+
+
 def test_connected_components_chain_and_pair(spark):
     """Min-label propagation: a 5-node path (diameter 4 — forces
     multiple rounds), an isolated pair, and a triangle all collapse to

@@ -238,6 +238,188 @@ def contaminated_docs_sql(source: str = "corpus") -> str:
 ) c"""
 
 
+# --- Bloom-filter decontamination pre-filter
+BLOOM_BITS = 1 << 16  # filter size in bits (~8 KiB packed)
+BLOOM_DEPTH = 3  # hash functions per item
+BLOOM_SEED0 = 41  # hash-family base seed (lanes 41, 42, 43)
+BLOOM_WORD_BITS = 62  # bits packed per word: stays off the sign bit, so
+# shiftleft never overflows a signed 64-bit long in EITHER engine
+# (DuckDB raises on 1::BIGINT << 63; Java silently wraps)
+
+
+def _bloom_positions(gram, m_bits: int, depth: int):
+    """The ``depth`` bit positions of a gram: independent md5 lanes mod m."""
+    return [
+        F.pmod(portable_hash32(gram, seed=BLOOM_SEED0 + j), m_bits)
+        for j in range(depth)
+    ]
+
+
+def bloom_contaminated_docs(
+    corpus: DataFrame, m_bits: int = BLOOM_BITS, depth: int = BLOOM_DEPTH
+) -> DataFrame:
+    """Bloom-filter decontamination pre-filter: the 100 TB-shape
+    alternative to :func:`contaminated_docs`' eval-gram equi-join.
+
+    The exact join shuffles BOTH sides on the gram hash — at corpus
+    scale that re-shuffles every train gram per decontamination run. A
+    Bloom filter compresses the eval split's 8-gram SET into a fixed
+    ``m_bits``-bit array (here 2 KiB; a production eval suite fits a
+    few hundred MB) that is mergeable (bit_or) and broadcastable, so
+    the probe side is a stateless map over train grams: zero shuffle of
+    corpus data, the filter rides the broadcast. The classic trade:
+    no false negatives EVER (every true overlap is flagged), false
+    positives at a rate set by m/n and depth — acceptable for a
+    PRE-filter whose survivors go to the exact join, which now touches
+    only the bloom-flagged sliver of the corpus.
+
+    The whole sketch is exactly reproducible: bit positions come from
+    the md5 hash family (functions/hashing.py), the packed 64-bit words
+    from bit_or aggregation — DuckDB rebuilds the identical filter, so
+    the oracle pins every per-doc count, including the false positives.
+
+    Output per train doc: n_ngrams, bloom_overlap (grams whose
+    ``depth`` bits are all set), exact_overlap, both flags, and
+    no_false_negative — the Bloom guarantee, checked per GRAM (every
+    exact-hit gram must bloom-hit) and surfaced per doc.
+    """
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("tk"), CONTAM_NGRAM))
+        ).alias("gram"),
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    pos_list = _bloom_positions(F.col("gram"), m_bits, depth)
+    # Build: eval grams -> distinct bit positions -> 64-bit packed words.
+    # The partial bit_or caps every task's output at m_bits/64 rows.
+    bit_mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))"
+    )
+    filter_words = (
+        grams.filter(is_eval)
+        .select(F.explode(F.array(*pos_list)).alias("pos"))
+        .select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            bit_mask.alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    train = grams.filter(~is_eval)
+    # Probe: each train gram tests its depth bits against the broadcast
+    # filter; a missing word row means the bit is unset.
+    probed = (
+        train.select(
+            "doc_id",
+            "gram",
+            F.explode(F.array(*pos_list)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "gram",
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            bit_mask.alias("mask"),
+        )
+        .join(F.broadcast(filter_words), "word", "left")
+        .groupBy("doc_id", "gram")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("bits").isNotNull()
+                        & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+                        1,
+                    ).otherwise(0)
+                )
+                == depth
+            ).alias("bloom_hit")
+        )
+    )
+    exact = train.join(eval_grams, "gram", "left_semi").select(
+        "doc_id", "gram", F.lit(True).alias("exact_hit")
+    )
+    per_gram = probed.join(exact, ["doc_id", "gram"], "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("bloom_overlap"),
+        F.sum(F.col("exact_hit").cast("long")).alias("exact_overlap"),
+        F.max(F.col("bloom_hit")).alias("bloom_flagged"),
+        F.max(F.col("exact_hit")).alias("exact_flagged"),
+        (F.sum(F.when(F.col("exact_hit") & ~F.col("bloom_hit"), 1).otherwise(0)) == 0)
+        .alias("no_false_negative"),
+    )
+
+
+def bloom_contaminated_docs_sql(
+    source: str = "corpus", m_bits: int = BLOOM_BITS, depth: int = BLOOM_DEPTH
+) -> str:
+    """DuckDB twin: rebuilds the identical filter (same md5 lanes, same
+    packed words) and recomputes every per-doc count exactly."""
+    lane_exprs = ", ".join(
+        f"{portable_hash32_sql('gram', seed=BLOOM_SEED0 + j)} % {m_bits}"
+        for j in range(depth)
+    )
+    return f"""(
+    WITH bl_grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(tk) - {CONTAM_NGRAM - 1}, 0)),
+            i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(CONTAM_NGRAM))})))
+            AS gram
+        FROM (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source}
+        ) t
+    ),
+    bl_pos AS (
+        SELECT doc_id, gram, unnest([{lane_exprs}]) AS pos FROM bl_grams
+    ),
+    bl_filter AS (
+        SELECT pos // 62 AS word, bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits
+        FROM bl_pos
+        WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000
+    GROUP BY 1
+    ),
+    bl_eval_grams AS (
+        SELECT DISTINCT gram FROM bl_grams
+        WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000
+    ),
+    bl_probed AS (
+        SELECT p.doc_id, p.gram,
+            (COUNT(*) FILTER (
+                WHERE f.bits IS NOT NULL
+                  AND (f.bits & (1::BIGINT << CAST(p.pos % 62 AS INT))) != 0
+            )) = {depth} AS bloom_hit
+        FROM bl_pos p
+        LEFT JOIN bl_filter f ON p.pos // 62 = f.word
+        WHERE NOT (p.doc_id % {EVAL_MOD} = 0 AND p.doc_id < 1000000)
+        GROUP BY p.doc_id, p.gram
+    ),
+    bl_per_gram AS (
+        SELECT b.doc_id, b.bloom_hit,
+            (e.gram IS NOT NULL) AS exact_hit
+        FROM bl_probed b
+        LEFT JOIN bl_eval_grams e ON b.gram = e.gram
+    )
+    SELECT doc_id,
+        COUNT(*) AS n_ngrams,
+        SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS bloom_overlap,
+        SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS exact_overlap,
+        bool_or(bloom_hit) AS bloom_flagged,
+        bool_or(exact_hit) AS exact_flagged,
+        SUM(CASE WHEN exact_hit AND NOT bloom_hit THEN 1 ELSE 0 END) = 0
+            AS no_false_negative
+    FROM bl_per_gram
+    GROUP BY doc_id
+) bl"""
+
+
 def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
     """Keep at most ``cap`` documents per source domain, selected by a
     deterministic hash order (reproducible uniform-without-replacement

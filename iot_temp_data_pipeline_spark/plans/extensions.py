@@ -916,6 +916,31 @@ KMEANS_ORACLE = sql_select(KMEANS_SPEC, km.kmeans_sql())
 EXTENSIONS["kmeans_embedding_clusters"] = QuerySpec(_kmeans, KMEANS_ORACLE)
 EXTENSIONS["quality_repetition_rules"] = QuerySpec(_repetition_quality, QUALITY_ORACLE)
 EXTENSIONS["decontaminate_ngram_overlap"] = QuerySpec(_contaminated_docs, CONTAM_ORACLE)
+
+BLOOM_SPEC = [
+    ("doc_id", "long"),
+    ("n_ngrams", "long"),
+    ("bloom_overlap", "long"),
+    ("exact_overlap", "long"),
+    ("bloom_flagged", ""),
+    ("exact_flagged", ""),
+    ("no_false_negative", ""),
+]
+
+
+def _bloom_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.bloom_contaminated_docs(dd.dedup_corpus(spark, sf_dir)), BLOOM_SPEC
+    )
+
+
+BLOOM_ORACLE = _CORPUS + sql_select(
+    BLOOM_SPEC, qa.bloom_contaminated_docs_sql("corpus")
+)
+
+EXTENSIONS["decontaminate_bloom_prefilter"] = QuerySpec(
+    _bloom_contaminated, BLOOM_ORACLE
+)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

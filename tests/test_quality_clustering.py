@@ -60,6 +60,29 @@ def test_contamination_flags_eval_copies(spark, sf_dir):
     )
 
 
+def test_bloom_prefilter_contract(spark, sf_dir):
+    """The Bloom pre-filter's three contracts: (1) NO false negatives —
+    every doc the exact join flags is bloom-flagged, per gram; (2) the
+    false-positive rate stays under the analytic (fill)^depth bound with
+    slack; (3) the probe side joins a BROADCAST filter — the corpus
+    never shuffles (the 100 TB point of the sketch)."""
+    out = qa.bloom_contaminated_docs(dedup_corpus(spark, sf_dir))
+    agg = out.agg(
+        F.sum("n_ngrams").alias("grams"),
+        F.sum("bloom_overlap").alias("bloom"),
+        F.sum("exact_overlap").alias("exact"),
+        F.min(F.col("no_false_negative").cast("int")).alias("nfn"),
+    ).collect()[0]
+    assert agg["nfn"] == 1  # bloom ⊇ exact, per gram, in every doc
+    assert agg["bloom"] >= agg["exact"]
+    # FPR bound: fill ≈ eval-gram inserts / m is well under 20% at
+    # fixture scale → per-gram FPR < 1%; allow 2% slack for collisions.
+    fp = agg["bloom"] - agg["exact"]
+    assert fp / agg["grams"] < 0.02
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_domain_cap_bounds_and_determinism(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     capped = qa.domain_cap(docs, cap=7)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as bp
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import chunking as ck
@@ -788,6 +789,44 @@ def _cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ORACLE = sql_select(CMS_SPEC, sk.cms_token_frequencies_sql("documents"))
 
 EXTENSIONS["cms_frequency_check"] = QuerySpec(_cms_frequencies, CMS_ORACLE)
+
+BPE_SPEC = [
+    ("round", "long"),
+    ("pa", ""),
+    ("pb", ""),
+    ("merged", ""),
+    ("cnt", "long"),
+]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        bp.bpe_merge_table(load_table(spark, sf_dir, "documents")), BPE_SPEC
+    )
+
+
+BPE_ORACLE = sql_select(BPE_SPEC, bp.bpe_merge_table_sql("documents"))
+
+EXTENSIONS["bpe_merge_table"] = QuerySpec(_bpe_merges, BPE_ORACLE)
+
+BPE_ENC_SPEC = [
+    ("lang", ""),
+    ("n_words", "long"),
+    ("n_chars", "long"),
+    ("n_symbols", "long"),
+    ("chars_per_symbol", "f4"),
+]
+
+
+def _bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        bp.bpe_encode_stats(load_table(spark, sf_dir, "documents")), BPE_ENC_SPEC
+    )
+
+
+BPE_ENC_ORACLE = sql_select(BPE_ENC_SPEC, bp.bpe_encode_stats_sql("documents"))
+
+EXTENSIONS["bpe_encode_stats"] = QuerySpec(_bpe_encode_stats, BPE_ENC_ORACLE)
 
 PAGERANK_SPEC = [
     ("doc_id", "long"),

@@ -60,6 +60,33 @@ def test_contamination_flags_eval_copies(spark, sf_dir):
     )
 
 
+def test_bpe_greedy_merge_semantics(spark):
+    """Pin the canonical BPE behaviors against hand-computed merges:
+    left-to-right non-overlapping fusing ('abab' → [ab, ab], count 2
+    despite 3 adjacent pairs at offset parity), and the deterministic
+    lexicographic tie-break."""
+    from iot_temp_data_pipeline_spark.operators.bpe import bpe_merge_table
+
+    docs = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    rows = {r["round"]: r for r in bpe_merge_table(docs, n_merges=2).collect()}
+    # round 1: (a,b) occurs at offsets 0 and 2 → count 2; beats (b,a)=1
+    assert (rows[1]["pa"], rows[1]["pb"], rows[1]["cnt"]) == ("a", "b", 2)
+    # greedy fold left [a,b,a,b] → [ab, ab], so round 2 merges (ab, ab)
+    assert (rows[2]["pa"], rows[2]["pb"], rows[2]["merged"]) == ("ab", "ab", "abab")
+
+    # odd chain: 'aaa' folds to [aa, a] (leftmost-nonoverlap), so after
+    # round 1 the (aa, a) pair exists
+    docs2 = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    rows2 = {r["round"]: r for r in bpe_merge_table(docs2, n_merges=2).collect()}
+    assert (rows2[1]["pa"], rows2[1]["pb"], rows2[1]["cnt"]) == ("a", "a", 2)
+    assert (rows2[2]["pa"], rows2[2]["pb"]) == ("aa", "a")
+
+    # tie-break: (x,y) and (y,x) both count 1 → lexicographic smallest
+    docs3 = spark.createDataFrame([(1, "xy yx")], "doc_id long, text string")
+    r3 = bpe_merge_table(docs3, n_merges=1).collect()[0]
+    assert (r3["pa"], r3["pb"]) == ("x", "y")
+
+
 def test_bloom_prefilter_contract(spark, sf_dir):
     """The Bloom pre-filter's three contracts: (1) NO false negatives —
     every doc the exact join flags is bloom-flagged, per gram; (2) the

@@ -86,6 +86,7 @@ def _bpe_train(
         ).alias("sym"),
     )
     records: list[tuple] = []
+    done_with: DataFrame | None = None
     for r in range(1, n_merges + 1):
         pairs_arr = (
             F.when(F.size("sym") > 1, F.expr(_PAIRS_EXPR))
@@ -97,6 +98,11 @@ def _bpe_train(
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.col("cnt").desc(), "pa", "pb").limit(1).collect()
+        # This collect materialized syms' cache, so the GRANDPARENT
+        # table (needed only to build syms) can release its storage —
+        # keeps live cache at two rounds instead of n_merges.
+        if done_with is not None:
+            done_with.unpersist()
         if not top:  # degenerate corpus: nothing left to merge
             break
         best = top[0]
@@ -106,6 +112,7 @@ def _bpe_train(
         # Persist each round's symbol table: both this round's argmax
         # job and the next round's chain read it; the cut keeps every
         # chain segment executed exactly once.
+        done_with = syms if r > 1 else None
         syms = syms.select(
             "word",
             "freq",

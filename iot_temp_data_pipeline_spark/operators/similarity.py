@@ -634,3 +634,98 @@ def embedding_near_pairs_sql(
     JOIN assigned y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
     WHERE {pair_cos} >= {threshold}
 ) s"""
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.98,
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, compare
+    pairs ONLY within a cluster, and keep one representative per
+    ε-neighborhood — the published recipe for pruning semantically
+    redundant web data before LLM training.
+
+    Keep rule (deterministic variant): a vector is DROPPED iff a
+    lower-id member of its own cell lies within ``threshold`` cosine;
+    the lowest id of every neighborhood therefore survives. This is the
+    greedy-by-id form of the paper's keep-one rule — transitive chains
+    are pruned link-by-link, and the oracle reproduces the exact same
+    decision from the same quantized-integer cosines.
+
+    Scale shape: identical to :func:`embedding_near_pairs` — the
+    pairwise stage is blocked by IVF cell (~sqrt(N) cells of ~sqrt(N)
+    vectors → O(N^1.5) comparisons, each cell a self-contained bucket),
+    and the keep decision is one aggregation + one left join on vec_id.
+
+    Output per corpus vector: (vec_id, cell_id, kept, dup_of = lowest
+    in-cell duplicate id, n_dup_neighbors)."""
+    emb = _with_quantized(embedding_corpus(spark, sf_dir))
+    assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    assigned = assigned.persist()
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_edges = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            qcosine(
+                F.col("a.qvec"), F.col("b.qvec"), F.col("a.qnorm2"), F.col("b.qnorm2")
+            )
+            >= threshold
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.min(F.col("a.vec_id")).alias("dup_of"),
+            F.count("*").alias("n_dup_neighbors"),
+        )
+    )
+    return assigned.join(dup_edges, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+        F.coalesce(F.col("n_dup_neighbors"), F.lit(0)).alias("n_dup_neighbors"),
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.98, centroid_mod: int | None = None
+) -> str:
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    pair_cos = sql_qcos("x.qvec", "y.qvec", "x.qnorm2", "y.qnorm2")
+    mod_sql = str(centroid_mod) if centroid_mod is not None else ADAPTIVE_MOD_SQL
+    return f"""(
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+        WHERE vec_id % {mod_sql} = 0
+    ),
+    cell_scored AS (
+        SELECT b.vec_id, b.qvec, b.qnorm2, a.cell_id, {assign_cos} AS c_cos
+        FROM qnormed b CROSS JOIN centroids a
+    ),
+    assigned AS (
+        SELECT vec_id, qvec, qnorm2, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+            FROM cell_scored
+        ) t WHERE rn = 1
+    ),
+    dup_edges AS (
+        SELECT y.vec_id, MIN(x.vec_id) AS dup_of, COUNT(*) AS n_dup_neighbors
+        FROM assigned x
+        JOIN assigned y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        WHERE {pair_cos} >= {threshold}
+        GROUP BY y.vec_id
+    )
+    SELECT s.vec_id, s.cell_id,
+        d.dup_of IS NULL AS kept,
+        d.dup_of,
+        COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors
+    FROM assigned s LEFT JOIN dup_edges d ON s.vec_id = d.vec_id
+) sd"""

@@ -150,6 +150,26 @@ EMB_NEAR_ORACLE = (
     + sql_select(EMB_NEAR_SPEC, sim.embedding_near_pairs_sql())
 )
 
+SEMDEDUP_SPEC = [
+    ("vec_id", "long"),
+    ("cell_id", "long"),
+    ("kept", ""),
+    ("dup_of", "long"),
+    ("n_dup_neighbors", "long"),
+]
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.semantic_dedup(spark, sf_dir), SEMDEDUP_SPEC)
+
+
+SEMDEDUP_ORACLE = (
+    "WITH "
+    + sim.EMB_CORPUS_SQL.strip()
+    + sql_select(SEMDEDUP_SPEC, sim.semantic_dedup_sql())
+)
+
+
 
 # --------------------------------------------------------------- text specs
 
@@ -421,6 +441,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "knn_ivf_cosine": QuerySpec(_knn_ivf, KNN_IVF_ORACLE),
     "knn_lsh_cosine": QuerySpec(_knn_lsh, KNN_LSH_ORACLE),
     "dedup_embedding_cosine": QuerySpec(_emb_near, EMB_NEAR_ORACLE),
+    "semantic_dedup_keep": QuerySpec(_semantic_dedup, SEMDEDUP_ORACLE),
     "text_stats": QuerySpec(_text_stats, TEXT_STATS_ORACLE),
     "lang_id_confusion": QuerySpec(_lang_confusion, LANG_CONFUSION_ORACLE),
     "doc_fingerprints_bottomk": QuerySpec(_fingerprints, FINGERPRINT_ORACLE),

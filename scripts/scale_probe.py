@@ -128,8 +128,7 @@ def main() -> None:
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
     queries = QUERIES
     if len(sys.argv) > 3:
-        only = set(sys.argv[3].split(","))
-        queries = [q for q in QUERIES if q in only]
+        queries = [q for q in sys.argv[3].split(",") if q in REGISTRY]
     spark = get_spark(app_name="scale_probe")
     scaled_dir = f"/tmp/spark_graft_scale_x{replication}"
     if not os.path.exists(f"{scaled_dir}/lineitem.parquet"):

@@ -650,3 +650,156 @@ def connected_components_star(
         .distinct()
         .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     )
+
+
+# ----------------------------------------------------- exact substrings
+
+SUBSTR_WINDOW = 16  # span granularity in tokens
+SUBSTR_SEED = 17
+
+
+def exact_substring_spans(
+    corpus: DataFrame, window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """Exact substring deduplication in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find every token span that occurs at least twice
+    ANYWHERE in the corpus and report, per document, the merged spans
+    that an exact-substring cleaner would cut.
+
+    The paper builds a suffix array; the scalable Spark re-expression
+    uses rolling ``window``-token fingerprints at fixed granularity —
+    every repeated substring of length >= window is caught (shorter
+    repeats are below the removal threshold by construction, which the
+    paper sets to 50 BPE tokens). Shapes, in order:
+
+    - fingerprint explode: one row per token position (linear);
+    - repeated-fingerprint set: groupBy(hash) count >= 2 — ONE map-side
+      combined shuffle, layout-independent;
+    - hits join: positions ⋈ repeated set on the hash — output bounded
+      by actual corpus repetition;
+    - span merge: classic gaps-and-islands per doc_id (two window
+      functions over the SAME (doc_id, pos) ordering → one sort), with
+      overlapping-or-adjacent windows fused so back-to-back repeats
+      count once.
+
+    Output per affected doc: n_spans, repeated_tokens (merged span
+    token count), n_tokens, repeated_frac — exact copies score 1.0.
+    """
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
+    from ..functions.hashing import portable_hash32
+
+    wins = base.select(
+        "doc_id",
+        F.posexplode(shingles_of_tokens(F.col("tk"), window)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        portable_hash32(F.col("gram"), seed=SUBSTR_SEED).alias("gh"),
+    )
+    repeated = (
+        wins.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    )
+    hits = wins.join(repeated, "gh").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("pos") > F.col("prev_max") + window),
+        1,
+    ).otherwise(0)
+    spans = (
+        hits.withColumn("prev_max", F.max("pos").over(w_prev))
+        .withColumn("grp", F.sum(new_island).over(w_cum))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("repeated_tokens"),
+    )
+    return per_doc.join(
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_spans",
+        "repeated_tokens",
+        "n_tokens",
+        (
+            F.col("repeated_tokens").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("repeated_frac"),
+    )
+
+
+def exact_substring_spans_sql(
+    source: str = "corpus", window: int = SUBSTR_WINDOW
+) -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("gram", seed=SUBSTR_SEED)
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
+    return f"""(
+    WITH ss_wins AS (
+        SELECT doc_id, i - 1 AS pos, {h} AS gh
+        FROM (
+            SELECT doc_id, i, {gram} AS gram
+            FROM (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM {source}
+            ) t,
+            unnest(generate_series(1, greatest(len(tk) - {window - 1}, 0))) AS u(i)
+        ) g
+    ),
+    ss_rep AS (
+        SELECT gh FROM ss_wins GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    ss_hits AS (
+        SELECT w.doc_id, w.pos FROM ss_wins w JOIN ss_rep r ON w.gh = r.gh
+    ),
+    ss_flag AS (
+        SELECT doc_id, pos,
+            CASE WHEN prev_max IS NULL OR pos > prev_max + {window}
+                 THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos, MAX(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM ss_hits
+        ) p
+    ),
+    ss_spans AS (
+        SELECT doc_id, grp, MIN(pos) AS span_start, MAX(pos) + {window} AS span_end
+        FROM (
+            SELECT doc_id, pos, SUM(new_island) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM ss_flag
+        ) i
+        GROUP BY doc_id, grp
+    ),
+    ss_per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+            SUM(span_end - span_start) AS repeated_tokens
+        FROM ss_spans GROUP BY doc_id
+    ),
+    ss_len AS (
+        SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+        FROM {source}
+    )
+    SELECT d.doc_id, d.n_spans, d.repeated_tokens,
+        CAST(l.n_tokens AS BIGINT) AS n_tokens,
+        CAST(d.repeated_tokens AS DOUBLE) / CAST(l.n_tokens AS DOUBLE)
+            AS repeated_frac
+    FROM ss_per_doc d JOIN ss_len l ON d.doc_id = l.doc_id
+) ss"""

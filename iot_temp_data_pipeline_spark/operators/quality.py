@@ -558,3 +558,109 @@ def weighted_sample_sql(source: str = "documents", k: int = WS_K) -> str:
     ) r
     WHERE rank <= {k}
 ) ws"""
+
+
+# --- DSIR-style data selection
+DSIR_BUCKETS = 8192
+DSIR_SEED = 23
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance(corpus: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Data selection via hashed n-gram importance weights, after DSIR
+    (Xie et al. 2023, arXiv:2302.03169): score every raw document by
+    how much its hashed unigram+bigram profile looks like a TARGET
+    distribution (here the English subset standing in for the curated
+    target corpus) versus the raw distribution.
+
+    Deviation from the paper, on purpose: the per-bucket weight is the
+    smoothed integer ratio (SCALE*(ct+1)) div (cr+1) instead of
+    log((ct+1)/(cr+1)) — a log-free rational proxy so every score is
+    an exact integer, bit-reproducible across engines (cross-engine
+    libm log differs in final ulps, which would make top-k selection
+    cutoffs nondeterministic). Same mechanism, same inputs, monotone
+    per-bucket; the summed document score is a heuristic variant of the
+    paper's log-likelihood ratio, not numerically equal to it.
+
+    Scale shape: bucket count tables are ONE map-side combined shuffle
+    each, then a fixed ``n_buckets``-row weight table (layout- and
+    corpus-size-independent) broadcast into a stateless per-gram map +
+    per-doc sum — the corpus never shuffles on content.
+
+    Output per doc: n_grams, importance_sum, avg_importance."""
+    base = corpus.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    unigrams = base.select("doc_id", "is_target", F.explode(F.col("tk")).alias("gram"))
+    bigrams = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("gram"),
+    )
+    grams = unigrams.unionByName(bigrams).select(
+        "doc_id",
+        "is_target",
+        F.pmod(portable_hash32(F.col("gram"), seed=DSIR_SEED), n_buckets).alias("b"),
+    )
+    # both distributions from ONE conditional aggregation pass — the
+    # target flag rides the gram rows, so no id-set join is needed
+    counts = grams.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    weights = counts.select(
+        "b",
+        F.expr(f"CAST({DSIR_SCALE} * (ct + 1) AS BIGINT) div (cr + 1)").alias("w"),
+    )
+    return (
+        grams.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w").alias("importance_sum"),
+        )
+        .withColumn(
+            "avg_importance",
+            F.col("importance_sum").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    source: str = "documents", n_buckets: int = DSIR_BUCKETS
+) -> str:
+    h = portable_hash32_sql("gram", seed=DSIR_SEED)
+    return f"""(
+    WITH ds_toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM {source}
+    ),
+    ds_grams AS (
+        SELECT doc_id, {h} % {n_buckets} AS b
+        FROM (
+            SELECT doc_id, unnest(tk) AS gram FROM ds_toks
+            UNION ALL
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 1, 0)),
+                i -> tk[i] || ' ' || tk[i+1])) AS gram
+            FROM ds_toks
+        ) g
+    ),
+    ds_ct AS (
+        SELECT b, COUNT(*) AS ct FROM ds_grams
+        WHERE doc_id IN (SELECT doc_id FROM ds_toks WHERE lang = 'en')
+        GROUP BY b
+    ),
+    ds_cr AS (SELECT b, COUNT(*) AS cr FROM ds_grams GROUP BY b),
+    ds_w AS (
+        SELECT ds_cr.b,
+            ({DSIR_SCALE} * (COALESCE(ct, 0) + 1)) // (cr + 1) AS w
+        FROM ds_cr LEFT JOIN ds_ct ON ds_cr.b = ds_ct.b
+    )
+    SELECT g.doc_id, COUNT(*) AS n_grams, SUM(w.w) AS importance_sum,
+        CAST(SUM(w.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_importance
+    FROM ds_grams g JOIN ds_w w ON g.b = w.b
+    GROUP BY g.doc_id
+) ds"""

@@ -1001,6 +1001,45 @@ BLOOM_ORACLE = _CORPUS + sql_select(
 EXTENSIONS["decontaminate_bloom_prefilter"] = QuerySpec(
     _bloom_contaminated, BLOOM_ORACLE
 )
+
+SUBSTR_SPEC = [
+    ("doc_id", "long"),
+    ("n_spans", "long"),
+    ("repeated_tokens", "long"),
+    ("n_tokens", "long"),
+    ("repeated_frac", "f4"),
+]
+
+
+def _exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.exact_substring_spans(dd.dedup_corpus(spark, sf_dir)), SUBSTR_SPEC
+    )
+
+
+SUBSTR_ORACLE = _CORPUS + sql_select(
+    SUBSTR_SPEC, dd.exact_substring_spans_sql("corpus")
+)
+
+EXTENSIONS["dedup_exact_substrings"] = QuerySpec(_exact_substrings, SUBSTR_ORACLE)
+
+DSIR_SPEC = [
+    ("doc_id", "long"),
+    ("n_grams", "long"),
+    ("importance_sum", "long"),
+    ("avg_importance", "f4"),
+]
+
+
+def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.dsir_importance(load_table(spark, sf_dir, "documents")), DSIR_SPEC
+    )
+
+
+DSIR_ORACLE = sql_select(DSIR_SPEC, qa.dsir_importance_sql("documents"))
+
+EXTENSIONS["dsir_importance_weights"] = QuerySpec(_dsir_importance, DSIR_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

@@ -36,6 +36,54 @@ def test_repetition_rules_flag_degenerate_docs(spark):
     assert got[3]["passes_quality"] is False
 
 
+def test_exact_substring_spans_semantics(spark, sf_dir):
+    """A 20-token run shared by two otherwise-unique docs yields exactly
+    one merged span of exactly 20 tokens in each; fully-copied corpus
+    docs score repeated_frac 1.0."""
+    from iot_temp_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    doc_a = " ".join(f"a{i}" for i in range(20)) + " " + shared + " " + " ".join(
+        f"z{i}" for i in range(20)
+    )
+    doc_b = " ".join(f"b{i}" for i in range(25)) + " " + shared
+    doc_c = " ".join(f"c{i}" for i in range(40))  # no repeats
+    toy = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in exact_substring_spans(toy).collect()}
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["repeated_tokens"] == 20
+
+    # corpus-level: every exact copy (and its original) is 100% repeated
+    out = exact_substring_spans(dedup_corpus(spark, sf_dir))
+    full = out.filter(
+        (F.col("doc_id") % 7 == 0)
+        & (F.col("doc_id") < 1_000_000)
+        & (F.col("n_tokens") >= 16)
+    )
+    bad = full.filter(F.col("repeated_frac") < 1.0).count()
+    assert bad == 0 and full.count() > 0
+
+
+def test_dsir_upweights_target_language(spark, sf_dir):
+    """The DSIR scorer's selection property: documents from the target
+    distribution (lang='en') must out-score every other language on
+    average — their hashed n-gram profile IS the target profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = qa.dsir_importance(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["lang"]: r["m"]
+        for r in scored.groupBy("lang").agg(F.avg("avg_importance").alias("m")).collect()
+    }
+    assert "en" in means and len(means) > 1
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, f"en {means['en']} !> {lang} {m}"
+
+
 def test_contamination_flags_eval_copies(spark, sf_dir):
     out = qa.contaminated_docs(dedup_corpus(spark, sf_dir))
     rows = out.collect()

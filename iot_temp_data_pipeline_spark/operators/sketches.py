@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -265,3 +265,88 @@ def cms_token_frequencies_sql(
     FROM cms_probes JOIN cms_cells USING (j, col)
     GROUP BY item, true_count
 ) cms"""
+
+
+# --------------------------------------------------- histogram quantiles
+
+HIST_WIDTH_CENTS = 10_000  # $100 equi-width bins
+HIST_QS = (25, 50, 75, 90, 99)
+
+
+def histogram_quantiles(
+    lineitem: DataFrame,
+    width: int = HIST_WIDTH_CENTS,
+    qs: tuple[int, ...] = HIST_QS,
+) -> DataFrame:
+    """Equi-width histogram CDF quantile sketch over l_extendedprice —
+    the ANALYZE-histogram companion to the GK bound check
+    (approx_percentile_check): a fixed-memory, MERGEABLE quantile
+    summary whose content is a pure function of the data.
+
+    Like the Count-Min entry (and unlike Misra-Gries), the sketch is
+    layout-independent: bin b just counts rows with value div width ==
+    b, so partial aggregates merge by addition and DuckDB rebuilds the
+    identical histogram — every estimate hash-matches exactly rather
+    than pinning a bound flag. Prices quantize to integer cents
+    (round(x*100), the similarity module's trick) so the binning has no
+    float-boundary ambiguity between engines.
+
+    Plan: one map-side combined groupBy(bin) — shuffle bounded at
+    range/width rows per task — then the CDF walk and quantile probes
+    run over the ~1000-row histogram. Estimate error is deterministic:
+    est is the lower edge of the first bin whose running count reaches
+    ceil(q·N/100), so 0 <= true_quantile - est < width, always.
+
+    Output per q: (q, n, est_cents)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = (
+        lineitem.select((cents / width).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    # all probes in ONE pass over the ~1000-row histogram: explode the
+    # q list per bin, keep bins at-or-past each threshold (ceil(q*N/100)
+    # in exact integer arithmetic), take the first such bin per q
+    return (
+        cdf.select(
+            "bin",
+            "cum",
+            "n",
+            F.explode(F.array(*[F.lit(q).cast("long") for q in qs])).alias("q"),
+        )
+        .filter(F.col("cum") >= F.expr("(n * q + 99) div 100"))
+        .groupBy("q", "n")
+        .agg((F.min("bin") * width).alias("est_cents"))
+        .select("q", "n", "est_cents")
+    )
+
+
+def histogram_quantiles_sql(
+    source: str = "lineitem",
+    width: int = HIST_WIDTH_CENTS,
+    qs: tuple[int, ...] = HIST_QS,
+) -> str:
+    q_list = ", ".join(str(q) for q in qs)
+    probes = f"""SELECT q, n, MIN(bin) * {width} AS est_cents
+    FROM (SELECT bin, cum, n, unnest([{q_list}]) AS q FROM hq_cdf) e
+    WHERE cum >= (n * q + 99) // 100
+    GROUP BY q, n"""
+    return f"""(
+    WITH hq_hist AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // {width} AS bin,
+            COUNT(*) AS cnt
+        FROM {source} GROUP BY 1
+    ),
+    hq_cdf AS (
+        SELECT bin, cnt,
+            SUM(cnt) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER () AS n
+        FROM hq_hist
+    )
+    {probes}
+) hq"""

@@ -1040,6 +1040,93 @@ def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_ORACLE = sql_select(DSIR_SPEC, qa.dsir_importance_sql("documents"))
 
 EXTENSIONS["dsir_importance_weights"] = QuerySpec(_dsir_importance, DSIR_ORACLE)
+
+HISTQ_SPEC = [
+    ("q", "long"),
+    ("n", "long"),
+    ("est_cents", "long"),
+]
+
+
+def _histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        sk.histogram_quantiles(load_table(spark, sf_dir, "lineitem")), HISTQ_SPEC
+    )
+
+
+HISTQ_ORACLE = sql_select(HISTQ_SPEC, sk.histogram_quantiles_sql("lineitem"))
+
+EXTENSIONS["histogram_quantile_sketch"] = QuerySpec(_histogram_quantiles, HISTQ_ORACLE)
+
+# ------------------------------------------------ leakage-safe splits
+
+SPLIT_SEED = 29
+
+SPLIT_SPEC = [
+    ("doc_id", "long"),
+    ("cluster_id", "long"),
+    ("split", ""),
+]
+
+
+def _cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/validation/test assignment: split by DEDUP
+    CLUSTER, not by document, so no near-duplicate pair ever straddles
+    a split boundary (the eval-leakage failure mode document-level
+    random splits are famous for). Singleton docs are their own
+    cluster; the assignment is a deterministic hash of the cluster id
+    (90/5/5), so the split is reproducible and shuffle-free beyond the
+    clustering itself."""
+    from ..functions.hashing import portable_hash32
+
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
+    all_docs = corpus.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = F.pmod(
+        portable_hash32(F.col("cluster_id").cast("string"), seed=SPLIT_SEED), 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test")
+    )
+    return shape(all_docs.withColumn("split", split), SPLIT_SPEC)
+
+
+def _split_oracle() -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("CAST(cluster_id AS VARCHAR)", seed=SPLIT_SEED)
+    return (
+        "WITH RECURSIVE "
+        + dd.CORPUS_SQL.strip()
+        + ",\n"
+        + dd.SHINGLES_SQL.strip()
+        + ",\npairs AS (SELECT doc_a, doc_b FROM "
+        + dd.NGRAM_JACCARD_SQL
+        + "),\nedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        + " UNION SELECT doc_b, doc_a FROM pairs),\n"
+        + "reach(u, r) AS (SELECT DISTINCT u, u FROM edges"
+        + " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),\n"
+        + "comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),\n"
+        + "assigned AS (SELECT c.doc_id,"
+        + " COALESCE(comp.cluster_id, c.doc_id) AS cluster_id"
+        + " FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id)\n"
+        + sql_select(
+            SPLIT_SPEC,
+            f"""(
+    SELECT doc_id, cluster_id,
+        CASE WHEN {h} % 100 < 90 THEN 'train'
+             WHEN {h} % 100 < 95 THEN 'validation'
+             ELSE 'test' END AS split
+    FROM assigned
+) sp""",
+        )
+    )
+
+
+EXTENSIONS["cluster_aware_split"] = QuerySpec(_cluster_aware_split, _split_oracle())
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

@@ -47,6 +47,32 @@ def test_hll_error_bound(spark, sf_dir):
     assert rows and all(r.hll_within_2pct for r in rows)
 
 
+def test_histogram_quantile_bound(spark, sf_dir):
+    """Deterministic sketch contract: for every q the estimate is the
+    lower edge of the bin holding the true q-quantile, so
+    est <= exact < est + width."""
+    import math
+
+    from iot_temp_data_pipeline_spark.operators.sketches import (
+        HIST_WIDTH_CENTS,
+        histogram_quantiles,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = sorted(
+        r[0]
+        for r in li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).collect()
+    )
+    rows = histogram_quantiles(li).collect()
+    assert {r["q"] for r in rows} == {25, 50, 75, 90, 99}
+    for r in rows:
+        exact = cents[math.ceil(r["q"] * len(cents) / 100) - 1]
+        assert r["est_cents"] <= exact < r["est_cents"] + HIST_WIDTH_CENTS
+
+
 def test_cms_never_underestimates(spark, sf_dir):
     """Count-Min's one-sided guarantee: estimate >= true count, always
     (collisions only ADD mass). Exact estimate values are hash-pinned by

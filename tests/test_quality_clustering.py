@@ -84,6 +84,31 @@ def test_dsir_upweights_target_language(spark, sf_dir):
             assert means["en"] > m, f"en {means['en']} !> {lang} {m}"
 
 
+def test_cluster_aware_split_has_no_cross_split_pairs(spark, sf_dir):
+    """The split's whole point: no near-duplicate pair straddles a
+    split boundary, every corpus doc is assigned, and the hash split
+    lands near 90/5/5."""
+    from iot_temp_data_pipeline_spark.operators import dedup as dd
+    from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["cluster_aware_split"].spark(spark, sf_dir).persist()
+    corpus = dedup_corpus(spark, sf_dir)
+    assert out.count() == corpus.count()
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert crossing.count() == 0
+    fracs = {
+        r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(fracs.values())
+    assert 0.80 <= fracs["train"] / n <= 0.97
+    out.unpersist()
+
+
 def test_contamination_flags_eval_copies(spark, sf_dir):
     out = qa.contaminated_docs(dedup_corpus(spark, sf_dir))
     rows = out.collect()

@@ -105,6 +105,24 @@ SHOWCASE = {
         "pre-truncates to k rows per partition before the full Window "
         "sort materializes."
     ),
+    "cms_frequency_check": (
+        "Mergeable-sketch shuffle contract: the cell build is partial "
+        "HashAggregate then final — each task emits at most depth×width "
+        "rows regardless of corpus size — and the probe side broadcasts "
+        "into the (tiny) cell table."
+    ),
+    "decontaminate_bloom_prefilter": (
+        "The probe is a stateless map against a BROADCAST fixed-size "
+        "bitset (BroadcastHashJoin on the packed-word key): the corpus "
+        "gram stream never shuffles to meet the eval side; only the "
+        "per-doc rollup exchanges, keyed by doc_id."
+    ),
+    "dsir_importance_weights": (
+        "Both distributions come from ONE conditional-aggregation pass "
+        "over the gram stream (partial/final HashAggregate on bucket); "
+        "the fixed 8192-row weight table broadcasts back into a "
+        "stateless per-gram map — the corpus never shuffles on content."
+    ),
 }
 
 

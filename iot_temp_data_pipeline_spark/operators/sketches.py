@@ -179,27 +179,50 @@ def cms_token_frequencies(
     e*N/width with probability 1 - exp(-depth) per item."""
     from ..functions.hashing import portable_hash32
 
-    tk = tokens(F.col("text"))
-    items = docs.select(F.explode(tk).alias("item"))
-    cells = (
-        items.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("row"),
-                            (
-                                F.pmod(portable_hash32(F.col("item"), seed=j), width)
-                            ).alias("col"),
-                        )
-                        for j in range(depth)
-                    ]
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return cms_estimates(items, cms_cells(items, width, depth), width, depth, topn)
+
+
+def _cms_positions(width: int, depth: int):
+    from ..functions.hashing import portable_hash32
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (F.pmod(portable_hash32(F.col("item"), seed=j), width)).alias(
+                        "col"
+                    ),
                 )
-            ).alias("c")
+                for j in range(depth)
+            ]
         )
+    )
+
+
+def cms_cells(
+    items: DataFrame, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """The sketch itself: (row, col, cnt) cell counts for an ``item``
+    column. Pure function of the multiset of items — mergeable across
+    partitions, batches, or streams by summing cnt per cell."""
+    return (
+        items.select(_cms_positions(width, depth).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_estimates(
+    items: DataFrame,
+    cells: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    topn: int = CMS_TOPN,
+) -> DataFrame:
+    """Point-frequency probes: the exact top-``topn`` items (ground
+    truth) against the broadcast cell table, min over depth rows."""
     exact_top = (
         items.groupBy("item")
         .agg(F.count("*").alias("true_count"))
@@ -207,22 +230,10 @@ def cms_token_frequencies(
         .limit(topn)
     )
     probes = exact_top.select(
-        "item",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        (
-                            F.pmod(portable_hash32(F.col("item"), seed=j), width)
-                        ).alias("col"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("p"),
-    ).select("item", "true_count", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        "item", "true_count", _cms_positions(width, depth).alias("p")
+    ).select(
+        "item", "true_count", F.col("p.row").alias("row"), F.col("p.col").alias("col")
+    )
     return (
         probes.join(F.broadcast(cells), ["row", "col"])
         .groupBy("item", "true_count")

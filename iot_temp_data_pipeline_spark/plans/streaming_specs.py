@@ -716,7 +716,77 @@ SSESSION_ORACLE = sql_select(
 )
 
 
+# --------------------------------------------------------- CMS sketch
+
+CMS_STREAM_SPEC = [
+    ("item", ""),
+    ("true_count", "long"),
+    ("cms_estimate", "long"),
+]
+
+_CMS_CSV_SCHEMA = T.StructType([T.StructField("item", T.StringType())])
+
+
+def _cms_token_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(_tokens(F.col("text"))).alias("item"))
+
+
+def _streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained BY THE STREAM: every micro-batch
+    appends its own partial (row, col, cnt) sketch via foreachBatch —
+    at most depth×width rows per batch regardless of batch size — and
+    the read side merges partials by summing per cell. This is the
+    mergeable-sketch contract exercised across micro-batch boundaries;
+    because the CMS cell table is a pure function of the token multiset
+    (arrival-order and batching independent), the BATCH oracle pins the
+    streamed sketch's estimates exactly."""
+    from ..operators import sketches as sk
+
+    work = workdir("cms")
+    materialize_landing(_cms_token_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_CMS_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            sk.cms_cells(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    items = _cms_token_input(spark, sf_dir)  # batch ground-truth side
+    return shape(sk.cms_estimates(items, merged), CMS_STREAM_SPEC)
+
+
+def _cms_stream_oracle() -> str:
+    from ..operators import sketches as sk
+
+    return sql_select(CMS_STREAM_SPEC, sk.cms_token_frequencies_sql("documents"))
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_cms_partials": QuerySpec(_streaming_cms, _cms_stream_oracle()),
     "streaming_session_windows": QuerySpec(_streaming_sessions, SSESSION_ORACLE),
     "streaming_outer_interval_join": QuerySpec(
         _streaming_outer_join, OUTER_JOIN_ORACLE

@@ -165,3 +165,50 @@ def test_stateful_state_survives_checkpoint_restart(spark, tmp_path):
     # D1 saw 3 rows across two runs -> n=3 proves state recovery; winner c
     assert got["D1"] == ("c", 220, 3)
     assert got["D2"] == ("a", 300, 1)
+
+
+def test_streaming_cms_merges_multiple_partials(spark, sf_dir, tmp_path):
+    """The streamed sketch must actually be a MERGE of per-micro-batch
+    partials (>= 2 batches under maxFilesPerTrigger=2 over 4 landing
+    files), and the merged cell table must equal the batch-built sketch
+    cell-for-cell."""
+    from pyspark.sql import types as T
+
+    from iot_temp_data_pipeline_spark.operators import sketches as sk
+    from iot_temp_data_pipeline_spark.plans.streaming_specs import _cms_token_input
+    from iot_temp_data_pipeline_spark.streaming.core import materialize_landing
+
+    landing, sink, ckpt = (
+        str(tmp_path / "landing"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    materialize_landing(_cms_token_input(spark, sf_dir), landing)
+    stream = (
+        spark.readStream.schema(T.StructType([T.StructField("item", T.StringType())]))
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(landing)
+    )
+
+    def write_partial(batch_df, batch_id):
+        (
+            sk.cms_cells(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(sink)
+    assert partials.select("batch_id").distinct().count() >= 2
+    merged = partials.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    batch_cells = sk.cms_cells(_cms_token_input(spark, sf_dir))
+    assert merged.exceptAll(batch_cells).count() == 0
+    assert batch_cells.exceptAll(merged).count() == 0

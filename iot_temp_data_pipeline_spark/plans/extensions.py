@@ -1127,6 +1127,81 @@ def _split_oracle() -> str:
 
 
 EXTENSIONS["cluster_aware_split"] = QuerySpec(_cluster_aware_split, _split_oracle())
+
+# ------------------------------------- candidate-generation quality
+
+MHQ_SPEC = [
+    ("n_exact", "long"),
+    ("n_candidates", "long"),
+    ("true_positives", "long"),
+    ("precision", "f4"),
+    ("recall", "f4"),
+]
+
+
+def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of MinHash-LSH candidate generation against the
+    exact n-gram Jaccard pairs — the text-dedup analog of
+    ann_recall_check: the measurement every banding/threshold tuning
+    decision reads. One full-outer join of the two (small) pair sets;
+    the heavy inputs share one cached corpus scan."""
+    corpus = dd.dedup_corpus(spark, sf_dir).persist()
+    exact = (
+        dd.ngram_jaccard_pairs(corpus)
+        .select("doc_a", "doc_b")
+        .withColumn("in_exact", F.lit(1))
+    )
+    cand = (
+        dd.minhash_lsh_pairs(corpus)
+        .select("doc_a", "doc_b")
+        .withColumn("in_cand", F.lit(1))
+    )
+    joined = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
+    out = joined.agg(
+        F.sum("in_exact").alias("n_exact"),
+        F.sum("in_cand").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_cand").isNotNull(), 1)
+        ).alias("true_positives"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "true_positives",
+        (
+            F.col("true_positives").cast("double")
+            / F.col("n_candidates").cast("double")
+        ).alias("precision"),
+        (
+            F.col("true_positives").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+    return shape(out, MHQ_SPEC)
+
+
+MHQ_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + sql_select(
+        MHQ_SPEC,
+        f"""(
+    WITH mq_exact AS (SELECT doc_a, doc_b FROM {dd.NGRAM_JACCARD_SQL}),
+    mq_cand AS (SELECT doc_a, doc_b FROM {dd.minhash_sql()}),
+    mq_tp AS (
+        SELECT COUNT(*) AS tp FROM mq_exact e
+        JOIN mq_cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM mq_exact) AS n_exact,
+        (SELECT COUNT(*) FROM mq_cand) AS n_candidates,
+        tp AS true_positives,
+        CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM mq_cand) AS precision,
+        CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM mq_exact) AS recall
+    FROM mq_tp
+) mq""",
+    )
+)
+
+EXTENSIONS["minhash_lsh_quality"] = QuerySpec(_minhash_quality, MHQ_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

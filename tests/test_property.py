@@ -286,3 +286,90 @@ def test_grid_packing_invariants(spark, lens, ctx):
             assert x["offset_in_bin"] == pos
             pos += x["seg_len"]
         assert pos == ctx or b == last_bin
+
+
+def _py_bpe_merge(sym, a, b):
+    out: list[str] = []
+    for x in sym:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"), ("ab", "a"), ("c", "ab")]),
+)
+def test_bpe_fold_matches_reference(spark, seqs, pair):
+    """The column-expression greedy merge fold must agree with the
+    obvious single-pass Python reference on arbitrary symbol chains —
+    including self-pairs ('a','a') and merged-symbol collisions."""
+    from iot_temp_data_pipeline_spark.operators.bpe import _fold_merge
+
+    a, b = pair
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i long, sym array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", F.split(_fold_merge(a, b), " ").alias("m")).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == _py_bpe_merge(s, a, b), (s, a, b)
+
+
+def _py_substring_spans(docs_tokens, w):
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for toks in docs_tokens.values():
+        for i in range(len(toks) - w + 1):
+            grams[tuple(toks[i : i + w])] += 1
+    out = {}
+    for d, toks in docs_tokens.items():
+        hits = [
+            i
+            for i in range(len(toks) - w + 1)
+            if grams[tuple(toks[i : i + w])] >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + w:  # overlap or adjacency
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        if spans:
+            out[d] = (len(spans), sum(e + w - s for s, e in spans))
+    return out
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(0, 4),
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_exact_substring_spans_match_reference(spark, docs_tokens):
+    """Window hits + gaps-and-islands merging must agree with a naive
+    reference over random tiny-alphabet corpora (dense with repeats —
+    exactly the overlap/adjacency boundary cases)."""
+    from iot_temp_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    w = 3
+    rows = [(d, " ".join(toks)) for d, toks in docs_tokens.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["repeated_tokens"])
+        for r in exact_substring_spans(df, window=w).collect()
+    }
+    assert got == _py_substring_spans(docs_tokens, w)

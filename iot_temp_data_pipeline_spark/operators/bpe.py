@@ -78,15 +78,23 @@ def _bpe_train(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the merge-learning loop; returns (merge table, final
     per-word symbol table with all ``n_merges`` merges applied)."""
-    syms = word_frequencies(docs).select(
-        "word",
-        "freq",
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
-        ).alias("sym"),
+    # Persist round 0 too: without it, round 2's chain re-runs the
+    # corpus-wide word_frequencies shuffle a second time (shuffle
+    # output is not reused across separate actions) — breaking the
+    # one-corpus-pass contract above.
+    syms = (
+        word_frequencies(docs)
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("sym"),
+        )
+        .persist()
     )
+    live: list[DataFrame] = [syms]
     records: list[tuple] = []
-    done_with: DataFrame | None = None
     for r in range(1, n_merges + 1):
         pairs_arr = (
             F.when(F.size("sym") > 1, F.expr(_PAIRS_EXPR))
@@ -98,11 +106,11 @@ def _bpe_train(
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.col("cnt").desc(), "pa", "pb").limit(1).collect()
-        # This collect materialized syms' cache, so the GRANDPARENT
-        # table (needed only to build syms) can release its storage —
-        # keeps live cache at two rounds instead of n_merges.
-        if done_with is not None:
-            done_with.unpersist()
+        # This collect materialized the newest table's cache, so every
+        # OLDER table (needed only to build it) can release its
+        # storage — live cache stays at one round, not n_merges.
+        while len(live) > 1:
+            live.pop(0).unpersist()
         if not top:  # degenerate corpus: nothing left to merge
             break
         best = top[0]
@@ -112,22 +120,28 @@ def _bpe_train(
         # Persist each round's symbol table: both this round's argmax
         # job and the next round's chain read it; the cut keeps every
         # chain segment executed exactly once.
-        done_with = syms if r > 1 else None
         syms = syms.select(
             "word",
             "freq",
             F.split(_fold_merge(best["pa"], best["pb"]), " ").alias("sym"),
         ).persist()
+        live.append(syms)
     merges = docs.sparkSession.createDataFrame(
         records, "round long, pa string, pb string, merged string, cnt long"
     )
+    # Release everything except the final table, which the encode
+    # consumer reads (a caller that discards it should unpersist it).
+    for df in live[:-1]:
+        df.unpersist()
     return merges, syms
 
 
 def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_ROUNDS) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns one row per round:
     (round, pa, pb, merged, cnt) — the merge table a tokenizer ships."""
-    return _bpe_train(docs, n_merges)[0]
+    merges, syms = _bpe_train(docs, n_merges)
+    syms.unpersist()  # merge table alone never reads the final symbols
+    return merges
 
 
 def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_ROUNDS) -> DataFrame:

@@ -671,7 +671,12 @@ def exact_substring_spans(
     uses rolling ``window``-token fingerprints at fixed granularity —
     every repeated substring of length >= window is caught (shorter
     repeats are below the removal threshold by construction, which the
-    paper sets to 50 BPE tokens). Shapes, in order:
+    paper sets to 50 BPE tokens). Fingerprints are 64-bit (the first 16
+    hex chars of a seeded md5), so false repeats from fingerprint
+    collisions are ~n²/2^65 — negligible below ~10^9 positions, and
+    bounded (not zero) beyond; a 32-bit lane would already produce
+    hundreds of false spans at the 30x probe's position count. Shapes,
+    in order:
 
     - fingerprint explode: one row per token position (linear);
     - repeated-fingerprint set: groupBy(hash) count >= 2 — ONE map-side
@@ -687,15 +692,14 @@ def exact_substring_spans(
     token count), n_tokens, repeated_frac — exact copies score 1.0.
     """
     base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
-    from ..functions.hashing import portable_hash32
-
     wins = base.select(
         "doc_id",
         F.posexplode(shingles_of_tokens(F.col("tk"), window)).alias("pos", "gram"),
     ).select(
         "doc_id",
         "pos",
-        portable_hash32(F.col("gram"), seed=SUBSTR_SEED).alias("gh"),
+        F.substring(F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 16)
+        .alias("gh"),
     )
     repeated = (
         wins.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
@@ -745,9 +749,7 @@ def exact_substring_spans(
 def exact_substring_spans_sql(
     source: str = "corpus", window: int = SUBSTR_WINDOW
 ) -> str:
-    from ..functions.hashing import portable_hash32_sql
-
-    h = portable_hash32_sql("gram", seed=SUBSTR_SEED)
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
     gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
     return f"""(
     WITH ss_wins AS (

@@ -264,7 +264,7 @@ def bloom_contaminated_docs(
     The exact join shuffles BOTH sides on the gram hash — at corpus
     scale that re-shuffles every train gram per decontamination run. A
     Bloom filter compresses the eval split's 8-gram SET into a fixed
-    ``m_bits``-bit array (here 2 KiB; a production eval suite fits a
+    ``m_bits``-bit array (here 8 KiB; a production eval suite fits a
     few hundred MB) that is mergeable (bit_or) and broadcastable, so
     the probe side is a stateless map over train grams: zero shuffle of
     corpus data, the filter rides the broadcast. The classic trade:

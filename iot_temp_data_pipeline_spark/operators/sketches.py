@@ -177,8 +177,6 @@ def cms_token_frequencies(
     Returns (item, true_count, cms_estimate) for the true top-``topn``
     tokens; CMS guarantees cms_estimate >= true_count always, within
     e*N/width with probability 1 - exp(-depth) per item."""
-    from ..functions.hashing import portable_hash32
-
     items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
     return cms_estimates(items, cms_cells(items, width, depth), width, depth, topn)
 

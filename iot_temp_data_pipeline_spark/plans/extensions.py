@@ -1158,21 +1158,29 @@ def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
     out = joined.agg(
-        F.sum("in_exact").alias("n_exact"),
-        F.sum("in_cand").alias("n_candidates"),
-        F.sum(
-            F.when(F.col("in_exact").isNotNull() & F.col("in_cand").isNotNull(), 1)
+        F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNotNull() & F.col("in_cand").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
         ).alias("true_positives"),
     ).select(
         "n_exact",
         "n_candidates",
         "true_positives",
+        # nullif guards: an empty pair set yields NULL ratio in BOTH
+        # engines instead of a 0/0 divergence
         (
             F.col("true_positives").cast("double")
-            / F.col("n_candidates").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
         ).alias("precision"),
         (
-            F.col("true_positives").cast("double") / F.col("n_exact").cast("double")
+            F.col("true_positives").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
         ).alias("recall"),
     )
     return shape(out, MHQ_SPEC)
@@ -1194,8 +1202,10 @@ MHQ_ORACLE = (
     SELECT (SELECT COUNT(*) FROM mq_exact) AS n_exact,
         (SELECT COUNT(*) FROM mq_cand) AS n_candidates,
         tp AS true_positives,
-        CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM mq_cand) AS precision,
-        CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM mq_exact) AS recall
+        CAST(tp AS DOUBLE)
+            / NULLIF((SELECT COUNT(*) FROM mq_cand), 0) AS precision,
+        CAST(tp AS DOUBLE)
+            / NULLIF((SELECT COUNT(*) FROM mq_exact), 0) AS recall
     FROM mq_tp
 ) mq""",
     )

@@ -751,6 +751,10 @@ def _streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_CMS_CSV_SCHEMA)
         .option("header", True)
         .option("maxFilesPerTrigger", 2)
+        # sentinel nullValue: the reader's default ('') would turn an
+        # empty-string token back into NULL, silently diverging from
+        # the batch sketch if a doc ever starts/ends with whitespace
+        .option("nullValue", "\x00")
         .csv(f"{work}/landing")
     )
     sink = f"{work}/sink"

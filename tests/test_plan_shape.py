@@ -166,3 +166,33 @@ def test_tfidf_bucketed_index_join_no_shuffle(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS tfidf_postings_t")
+
+
+def test_cms_build_preaggregates_mapside(spark, sf_dir):
+    """The Count-Min cell build must partial-aggregate map-side (the
+    mergeable-sketch contract: each task ships at most depth×width
+    rows), and the probe side must broadcast into the cell table —
+    never shuffle the corpus to meet a sketch."""
+    plan = plan_of(REGISTRY["cms_frequency_check"].spark(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_weights_broadcast_into_gram_stream(spark, sf_dir):
+    """DSIR's fixed-size weight table broadcasts back into the gram
+    stream; the corpus must never sort-merge against it."""
+    plan = plan_of(REGISTRY["dsir_importance_weights"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_span_merge_single_sort(spark, sf_dir):
+    """The gaps-and-islands span merge: both window functions share the
+    one (doc_id, pos) ordering, so the per-doc merge contributes exactly
+    one Sort after its exchange — no second sort for the running-sum
+    pass."""
+    plan = plan_of(REGISTRY["dedup_exact_substrings"].spark(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # one sort for the shared window spec (+1 slack for an AQE variant)
+    assert plan.count("Sort ") <= 2

@@ -369,3 +369,189 @@ DECODE_HEADERS_SQL = """(
         END AS payload_bytes
     FROM documents
 ) s"""
+
+
+# --------------------- perceptual-hash image near-dup (patterned BMPs)
+
+PHASH_SEGMENTS = 8
+PHASH_SEED_MOD = 16
+PHASH_GROUP_MOD = 192  # lcm(64, 48, 16): ids congruent mod 192 share (w, h, seed)
+PHASH_BRIGHT_LEVELS = 3
+
+
+def make_bmp_patterned(width: int, height: int, seed: int, bright: int) -> bytes:
+    """24-bit BMP whose pixel array carries a deterministic pattern:
+    byte i = 100 + ((seed + 37*i) % 100) + bright. Values stay in
+    [100, 201], so a brightness shift never wraps — the property the
+    average-hash's brightness invariance rests on."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = row_bytes * height
+    file_header = b"BM" + struct.pack(
+        "<IHHI", BMP_HEADER_BYTES + pixel_bytes, 0, 0, BMP_HEADER_BYTES
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    pattern = bytes(
+        100 + ((seed + 37 * i) % 100) + bright for i in range(pixel_bytes)
+    )
+    return file_header + info_header + pattern
+
+
+def _patterned_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"] if int(d) % 2 == 0]
+        payloads = [
+            make_bmp_patterned(
+                1 + d % 64,
+                1 + d % 48,
+                d % PHASH_SEED_MOD,
+                (d // PHASH_GROUP_MOD) % PHASH_BRIGHT_LEVELS,
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame(
+            {"media_id": pd.Series(ids, dtype="int64"), "content": payloads}
+        )
+
+
+def synthesize_patterned_media(docs: DataFrame) -> DataFrame:
+    """Patterned-image fixture: every even doc_id becomes a REAL 24-bit
+    BMP whose pixels vary deterministically with (size, seed) and a
+    brightness level. Ids congruent mod 192 share (w, h, seed) and
+    differ only in brightness → true perceptual near-duplicates that
+    byte-exact dedup cannot see; ids congruent mod 576 are byte-exact
+    copies."""
+    return docs.select("doc_id").mapInPandas(
+        _patterned_media_batches, schema="media_id long, content binary"
+    )
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [],
+            "width": [],
+            "height": [],
+            "fingerprint": [],
+            "content_md5": [],
+        }
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            data = bytes(content)
+            w, h, _ = parse_bmp_header(data)
+            arr = np.frombuffer(data, dtype=np.uint8, offset=BMP_HEADER_BYTES)
+            n = arr.shape[0]
+            total = int(arr.sum())
+            s = max(n // PHASH_SEGMENTS, 1)
+            fp = 0
+            for k in range(PHASH_SEGMENTS):
+                seg = arr[k * s :] if k == PHASH_SEGMENTS - 1 else arr[k * s : (k + 1) * s]
+                # integer cross-multiply: mean(seg) >= mean(all), exactly
+                if int(seg.sum()) * n >= total * seg.shape[0]:
+                    fp |= 1 << k
+            out["media_id"].append(int(mid))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["fingerprint"].append(fp)
+            out["content_md5"].append(hashlib.md5(data).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def perceptual_hash_pairs(docs: DataFrame) -> DataFrame:
+    """Image near-duplicate pairs by average-hash (aHash): decode every
+    BMP's REAL bytes, compute an 8-bit blockwise average fingerprint
+    (bit k = segment-k mean >= whole-image mean, in exact integer
+    cross-multiplied arithmetic), then pair images that agree on
+    (fingerprint, width, height). Because each bit compares a segment
+    against the image's OWN mean, a global brightness shift cancels —
+    the brightness-variant copies in the fixture pair up here while
+    their content_md5 differs (exact_duplicate = false), which is the
+    whole point of perceptual over byte-exact dedup.
+
+    Scale shape: the decode+hash is one Arrow mapInPandas pass (linear,
+    no shuffle); candidate pairing is an equi-join on the fingerprint
+    key — the same blocked-join family as MinHash banding, never
+    all-pairs. The oracle recomputes every fingerprint analytically
+    from the fixture arithmetic, so one wrong byte offset or a float
+    rounding in the mean hash-mismatches."""
+    media = synthesize_patterned_media(docs)
+    hashed = media.mapInPandas(
+        _phash_batches,
+        schema="media_id long, width long, height long, "
+        "fingerprint long, content_md5 string",
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.width").alias("width"),
+            F.col("a.height").alias("height"),
+            F.col("a.fingerprint").alias("fingerprint"),
+            (F.col("a.content_md5") == F.col("b.content_md5")).alias(
+                "exact_duplicate"
+            ),
+        )
+    )
+
+
+PHASH_PAIRS_SQL = f"""(
+    WITH ph_imgs AS (
+        SELECT doc_id AS media_id,
+            1 + doc_id % 64 AS width,
+            1 + doc_id % 48 AS height,
+            doc_id % {PHASH_SEED_MOD} AS seed,
+            (doc_id // {PHASH_GROUP_MOD}) % {PHASH_BRIGHT_LEVELS} AS bright,
+            (((1 + doc_id % 64) * 3 + 3) // 4) * 4 * (1 + doc_id % 48) AS n
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    ph_bytes AS (
+        SELECT media_id, n,
+            LEAST(i // GREATEST(n // {PHASH_SEGMENTS}, 1), {PHASH_SEGMENTS - 1})
+                AS seg,
+            100 + ((seed + 37 * i) % 100) + bright AS v
+        FROM ph_imgs, unnest(generate_series(0, n - 1)) AS u(i)
+    ),
+    ph_seg AS (
+        SELECT media_id, n, seg, SUM(v) AS seg_sum, COUNT(*) AS seg_len
+        FROM ph_bytes GROUP BY 1, 2, 3
+    ),
+    ph_tot AS (
+        SELECT media_id, SUM(v) AS total FROM ph_bytes GROUP BY 1
+    ),
+    ph_fp AS (
+        SELECT g.media_id,
+            SUM(CASE WHEN COALESCE(s.seg_sum, 0) * g.n
+                          >= t.total * COALESCE(s.seg_len, 0)
+                     THEN 1 << k.k ELSE 0 END) AS fingerprint
+        FROM ph_imgs g
+        CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_SEGMENTS - 1})) AS k) k
+        JOIN ph_tot t ON t.media_id = g.media_id
+        LEFT JOIN ph_seg s ON s.media_id = g.media_id AND s.seg = k.k
+        GROUP BY g.media_id
+    ),
+    ph_all AS (
+        SELECT i.media_id, i.width, i.height, i.seed, i.bright, f.fingerprint
+        FROM ph_imgs i JOIN ph_fp f ON i.media_id = f.media_id
+    )
+    SELECT x.media_id AS media_a, y.media_id AS media_b,
+        x.width, x.height, x.fingerprint,
+        (x.seed = y.seed AND x.bright = y.bright) AS exact_duplicate
+    FROM ph_all x
+    JOIN ph_all y ON x.fingerprint = y.fingerprint
+        AND x.width = y.width AND x.height = y.height
+        AND x.media_id < y.media_id
+) ph"""

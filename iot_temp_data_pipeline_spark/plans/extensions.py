@@ -1212,6 +1212,26 @@ MHQ_ORACLE = (
 )
 
 EXTENSIONS["minhash_lsh_quality"] = QuerySpec(_minhash_quality, MHQ_ORACLE)
+
+PHASH_SPEC = [
+    ("media_a", "long"),
+    ("media_b", "long"),
+    ("width", "long"),
+    ("height", "long"),
+    ("fingerprint", "long"),
+    ("exact_duplicate", ""),
+]
+
+
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        mm.perceptual_hash_pairs(load_table(spark, sf_dir, "documents")), PHASH_SPEC
+    )
+
+
+PHASH_ORACLE = sql_select(PHASH_SPEC, mm.PHASH_PAIRS_SQL)
+
+EXTENSIONS["multimodal_phash_dedup"] = QuerySpec(_phash_pairs, PHASH_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

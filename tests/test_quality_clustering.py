@@ -36,6 +36,25 @@ def test_repetition_rules_flag_degenerate_docs(spark):
     assert got[3]["passes_quality"] is False
 
 
+def test_phash_brightness_invariance(spark):
+    """The aHash contract on real BMP bytes: a brightness-shifted copy
+    (ids 192 apart: same size+seed, different brightness) shares the
+    fingerprint but NOT the bytes; ids 576 apart are byte-identical."""
+    from iot_temp_data_pipeline_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+    )
+
+    ids = [(10,), (10 + 192,), (10 + 576,), (12,)]  # 12: different class
+    docs = spark.createDataFrame(ids, "doc_id long")
+    pairs = {
+        (r["media_a"], r["media_b"]): r["exact_duplicate"]
+        for r in perceptual_hash_pairs(docs).collect()
+    }
+    assert pairs[(10, 202)] is False  # near-dup: caught, not byte-equal
+    assert pairs[(10, 586)] is True  # brightness cycle of 3 → exact copy
+    assert not any(12 in p for p in pairs)  # different class never pairs
+
+
 def test_exact_substring_spans_semantics(spark, sf_dir):
     """A 20-token run shared by two otherwise-unique docs yields exactly
     one merged span of exactly 20 tokens in each; fully-copied corpus

@@ -555,3 +555,125 @@ PHASH_PAIRS_SQL = f"""(
         AND x.width = y.width AND x.height = y.height
         AND x.media_id < y.media_id
 ) ph"""
+
+
+# ------------------------- audio feature extraction (windowed energy)
+
+AUDIO_WINDOW = 16  # samples per analysis window
+AUDIO_SEED_MOD = 32
+AUDIO_SILENT_MOD = 5  # every 5th audio doc is digital silence
+SILENCE_ENERGY_MAX = 0  # exact-zero energy == silence for PCM zeros
+
+
+def make_wav_patterned(sample_rate: int, n_samples: int, seed: int, silent: bool) -> bytes:
+    """16-bit mono PCM WAV with deterministic samples:
+    s_i = ((seed + 73*i) % 2048) - 1024, or digital silence."""
+    if silent:
+        samples = [0] * n_samples
+    else:
+        samples = [((seed + 73 * i) % 2048) - 1024 for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _patterned_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"] if int(d) % 2 == 1]
+        payloads = [
+            make_wav_patterned(
+                8000 + (d % 8) * 1000,
+                16 + d % 32,
+                d % AUDIO_SEED_MOD,
+                (d % AUDIO_SILENT_MOD) == 0,
+            )
+            for d in ids
+        ]
+        yield pd.DataFrame(
+            {"media_id": pd.Series(ids, dtype="int64"), "content": payloads}
+        )
+
+
+def synthesize_patterned_audio(docs: DataFrame) -> DataFrame:
+    """Patterned-audio fixture: every odd doc_id becomes a REAL 16-bit
+    mono PCM WAV (rate 8000+1000·(id%8), 16+id%32 samples) with
+    deterministic sample values; ids divisible by 5 are digital
+    silence — the rows a silence-trimming stage must flag."""
+    return docs.select("doc_id").mapInPandas(
+        _patterned_audio_batches, schema="media_id long, content binary"
+    )
+
+
+def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [],
+            "window_idx": [],
+            "n_samples": [],
+            "energy": [],
+            "is_silence": [],
+        }
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            data = bytes(content)
+            _, _, _, n = parse_wav_header(data)
+            samples = np.frombuffer(data, dtype="<i2", offset=44, count=n).astype(
+                np.int64
+            )
+            for w in range(0, n, AUDIO_WINDOW):
+                win = samples[w : w + AUDIO_WINDOW]
+                energy = int((win * win).sum())
+                out["media_id"].append(int(mid))
+                out["window_idx"].append(w // AUDIO_WINDOW)
+                out["n_samples"].append(int(win.shape[0]))
+                out["energy"].append(energy)
+                out["is_silence"].append(energy <= SILENCE_ENERGY_MAX)
+        yield pd.DataFrame(out)
+
+
+def audio_energy_windows(docs: DataFrame) -> DataFrame:
+    """Audio feature extraction on binary columns: decode each WAV's
+    REAL little-endian PCM frames and emit per-window integer energy
+    (sum of squared samples over 16-sample windows) plus a silence
+    flag — the standard first stage of speech-corpus silence trimming
+    and VAD. One Arrow mapInPandas pass, row-expanding one→many (the
+    same batch contract as video frame sampling); all-integer energies
+    so the analytic oracle matches exactly."""
+    media = synthesize_patterned_audio(docs)
+    return media.mapInPandas(
+        _audio_energy_batches,
+        schema="media_id long, window_idx long, n_samples long, "
+        "energy long, is_silence boolean",
+    )
+
+
+AUDIO_ENERGY_SQL = f"""(
+    WITH au_meta AS (
+        SELECT doc_id AS media_id,
+            16 + doc_id % 32 AS n,
+            doc_id % {AUDIO_SEED_MOD} AS seed,
+            (doc_id % {AUDIO_SILENT_MOD}) = 0 AS silent
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    au_samples AS (
+        SELECT media_id, i // {AUDIO_WINDOW} AS window_idx,
+            CASE WHEN silent THEN 0
+                 ELSE ((seed + 73 * i) % 2048) - 1024 END AS s
+        FROM au_meta, unnest(generate_series(0, n - 1)) AS u(i)
+    )
+    SELECT media_id, window_idx, COUNT(*) AS n_samples,
+        SUM(s * s) AS energy,
+        SUM(s * s) <= {SILENCE_ENERGY_MAX} AS is_silence
+    FROM au_samples
+    GROUP BY media_id, window_idx
+) au"""

@@ -1232,6 +1232,26 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_ORACLE = sql_select(PHASH_SPEC, mm.PHASH_PAIRS_SQL)
 
 EXTENSIONS["multimodal_phash_dedup"] = QuerySpec(_phash_pairs, PHASH_ORACLE)
+
+AUDIO_ENERGY_SPEC = [
+    ("media_id", "long"),
+    ("window_idx", "long"),
+    ("n_samples", "long"),
+    ("energy", "long"),
+    ("is_silence", ""),
+]
+
+
+def _audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        mm.audio_energy_windows(load_table(spark, sf_dir, "documents")),
+        AUDIO_ENERGY_SPEC,
+    )
+
+
+AUDIO_ENERGY_ORACLE = sql_select(AUDIO_ENERGY_SPEC, mm.AUDIO_ENERGY_SQL)
+
+EXTENSIONS["multimodal_audio_energy"] = QuerySpec(_audio_energy, AUDIO_ENERGY_ORACLE)
 EXTENSIONS["domain_cap_sample"] = QuerySpec(_domain_cap, DOMAIN_CAP_ORACLE)
 
 DOMAIN_CAP_T_SPEC = [

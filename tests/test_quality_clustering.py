@@ -55,6 +55,28 @@ def test_phash_brightness_invariance(spark):
     assert not any(12 in p for p in pairs)  # different class never pairs
 
 
+def test_audio_energy_silence_and_coverage(spark):
+    """Windowed PCM energy: digital-silence docs (id % 5 == 0) flag
+    every window, patterned docs flag none, and the windows tile the
+    full sample count."""
+    from iot_temp_data_pipeline_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    docs = spark.createDataFrame([(5,), (7,), (15,)], "doc_id long")
+    rows = audio_energy_windows(docs).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert set(per) == {5, 7, 15}
+    for mid, rs in per.items():
+        assert sum(r["n_samples"] for r in rs) == 16 + mid % 32
+        if mid % 5 == 0:
+            assert all(r["is_silence"] for r in rs)
+        else:
+            assert not any(r["is_silence"] for r in rs)
+
+
 def test_exact_substring_spans_semantics(spark, sf_dir):
     """A 20-token run shared by two otherwise-unique docs yields exactly
     one merged span of exactly 20 tokens in each; fully-copied corpus

@@ -131,9 +131,33 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
 
 def test_ivf_assignment_preaggregates_mapside(spark, sf_dir):
     """The IVF argmax must reduce map-side (partial/final HashAggregate
-    around the exchange), never sort C rows per vector through a window."""
+    around the exchange), never sort C rows per vector through a window.
+    At test scale (N < MATMUL_ASSIGN_MIN_N) the auto strategy picks the
+    pure-Catalyst HOF form — this pins BOTH the small-N choice and its
+    map-side-combine shape."""
     plan = plan_of(REGISTRY["knn_ivf_cosine"].spark(spark, sf_dir))
     assert "partial_max_by" in plan
+
+
+def test_ivf_matmul_assignment_zero_shuffle_and_parity(spark, sf_dir):
+    """The large-N assignment strategy (Arrow-batched matmul kernel)
+    ships ZERO shuffle bytes — scan → quantize → MapInPandas with no
+    hash-partitioned Exchange (the only Exchange allowed is the
+    round-robin spread_small_scan repartition of the one-row-group
+    fixture) — and returns rows bit-identical to the Catalyst max_by
+    form (same exact int64 dots, same IEEE operation order)."""
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    emb = sim._with_quantized(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = sim.ivf_cell_assignments_matmul(emb, centroid_mod=37)
+    plan = plan_of(assigned)
+    assert "hashpartitioning" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+    hof_assigned, _ = sim.ivf_cell_assignments(emb, centroid_mod=37)
+    a = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    b = {r["vec_id"]: r["cell_id"] for r in hof_assigned.collect()}
+    assert a == b and len(a) > 0
 
 
 def test_tfidf_bucketed_index_join_no_shuffle(spark, sf_dir):

@@ -1,8 +1,13 @@
 """Similarity search over embedding columns (beyond-reference surface).
 
-Vectors are `array<float>`; all math happens through higher-order
-functions (zip_with/aggregate/transform) — JVM-side, no UDFs, no
-collect. Two search paths:
+Vectors are `array<float>`. Scoring math has two physical forms, chosen
+cost-based from the corpus count (the same plan-time statistic that
+sizes the centroid set): at small N·C/N·Q, Catalyst higher-order
+functions (zip_with/aggregate/transform — JVM-side, no Python stage);
+at scale, Arrow-batched integer GEMM kernels (mapInPandas, broadcast
+matrices, zero shuffle) — bit-identical rows either way, since both
+compute the same exact int64 dot products in the same IEEE operation
+order. Two search paths:
 
 - brute-force top-k: exact baseline; Q broadcast queries × N corpus scan,
   per-query heap via window rank. Cost O(Q·N) — right answer for small Q
@@ -32,6 +37,13 @@ from ..sources.catalog import load_table
 
 QUANT_SCALE = 1_000_000
 MIN_CENTROID_MOD = 37
+
+# N·Q scored-pair count above which brute-force ground truth switches
+# from the Catalyst crossJoin+window form (shuffles all N·Q scored rows)
+# to the per-partition GEMM + distributive partial top-k form (shuffles
+# #partitions·Q·(k+1) rows). sf0.1 (3 k × 30 = 90 k pairs) stays
+# Catalyst; the 30x probe (90 k × 900 = 81 M pairs) takes the kernel.
+BRUTE_MATMUL_MIN_PAIRS = 2_000_000
 
 # Corpus size above which the IVF assignment switches from the pure
 # Catalyst crossJoin+max_by form to the Arrow-batched matmul kernel.
@@ -120,18 +132,34 @@ def sql_qcos(vec_a: str, vec_b: str, n2_a: str, n2_b: str) -> str:
 # ----------------------------------------------------------- brute force
 
 def knn_brute_force(
-    spark: SparkSession, sf_dir: str, query_mod: int = 100, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for query vectors (vec_id % query_mod
     == 0), self-matches excluded. Deterministic cutoff: rank over
     (score DESC, neighbor id).
 
     Broadcast bound: the query side is |corpus|/query_mod vectors and is
-    broadcast, so this operator assumes the QUERY SET fits in executor
-    memory (e.g. ≤ a few hundred MB of vectors). That is the contract of
-    brute-force ground truth — a corpus-sized query set must instead go
-    through the IVF/LSH paths, which shuffle-join on bucket keys."""
+    broadcast (or collected, matmul path), so this operator assumes the
+    QUERY SET fits in executor memory (e.g. ≤ a few hundred MB of
+    vectors). That is the contract of brute-force ground truth — a
+    corpus-sized query set must instead go through the IVF/LSH paths,
+    which shuffle-join on bucket keys.
+
+    ``strategy`` picks the physical form (both bit-identical):
+    "catalyst" (crossJoin + window — no Python stage, wins while N·Q is
+    small), "matmul" (per-partition GEMM + distributive partial top-k,
+    see knn_brute_force_matmul — the scale shape), or "auto" (cost-based
+    on N·Q, the same plan-time statistic style as the IVF assignment)."""
     emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    if strategy == "auto":
+        n = emb.count()
+        strategy = "matmul" if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS else "catalyst"
+    if strategy == "matmul":
+        return knn_brute_force_matmul(emb, query_mod, k)
     q = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),
@@ -154,6 +182,70 @@ def knn_brute_force(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_brute_force_matmul(
+    emb: DataFrame, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """Large-N physical strategy for :func:`knn_brute_force`: the query
+    matrix is collected once (same fits-in-memory contract as the
+    broadcast form) and each corpus partition computes its scores as ONE
+    integer GEMM per Arrow batch, emitting only its per-batch top-(k+1)
+    candidates per query. The final exact top-k window then ranks
+    #partitions·Q·(k+1) rows instead of shuffling all N·Q scored pairs —
+    the distributive-top-k shape that makes exact ground truth feasible
+    on a big corpus. Bit-identical to the Catalyst form: exact int64
+    dots, the same IEEE operation order (dot / sqrt(q_norm) /
+    sqrt(corpus_norm)), and per-batch selection under the same strict
+    total order (cosine DESC, neighbor_id ASC) that ranks the final
+    window, so partial top-k loses nothing."""
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "qvec", "qnorm2")
+        .collect()
+    )
+    qmat = np.array([r["qvec"] for r in q_rows], dtype=np.int64)
+    qsqrt = np.sqrt(np.array([r["qnorm2"] for r in q_rows], dtype=np.int64).astype(np.float64))
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((qmat, qsqrt, qids))
+
+    def partial_topk(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qmat, qsqrt, qids = bc.value
+        m = k + 1  # self-match removed post-selection
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            nsqrt = np.sqrt(pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64))
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy()
+            cos = (x @ qmat.T).astype(np.float64) / qsqrt[None, :] / nsqrt[:, None]
+            out = {"query_id": [], "neighbor_id": [], "neighbor_label": [], "cosine": []}
+            for j in range(qids.shape[0]):
+                order = np.lexsort((vec_ids, -cos[:, j]))[:m]
+                keep = order[vec_ids[order] != qids[j]][:k]
+                out["query_id"].extend([int(qids[j])] * keep.shape[0])
+                out["neighbor_id"].extend(vec_ids[keep].tolist())
+                out["neighbor_label"].extend(labels[keep].tolist())
+                out["cosine"].extend(cos[keep, j].tolist())
+            yield pd.DataFrame(out)
+
+    candidates = emb.select("vec_id", "label", "qvec", "qnorm2").mapInPandas(
+        partial_topk,
+        schema="query_id long, neighbor_id long, neighbor_label int, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -160,6 +160,26 @@ def test_ivf_matmul_assignment_zero_shuffle_and_parity(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_brute_force_matmul_partial_topk_parity(spark, sf_dir):
+    """The GEMM + distributive-partial-top-k brute-force form returns
+    rows bit-identical to the Catalyst crossJoin+window form, and its
+    final window ranks only #partitions·Q·(k+1) candidate rows (the
+    MapInPandas stage pre-selects per batch)."""
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    a = sorted(
+        sim.knn_brute_force(spark, sf_dir, strategy="catalyst").collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    b = sorted(
+        sim.knn_brute_force(spark, sf_dir, strategy="matmul").collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    assert len(a) > 0 and a == b
+    plan = plan_of(sim.knn_brute_force(spark, sf_dir, strategy="matmul"))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
 def test_tfidf_bucketed_index_join_no_shuffle(spark, sf_dir):
     """The materialized TF-IDF index (bucketed+sorted by term) serves a
     query-batch join with NO Exchange on either side — the pay-once

@@ -359,3 +359,143 @@ def histogram_quantiles_sql(
     )
     {probes}
 ) hq"""
+
+
+# ------------------------------------------- HyperLogLog (deterministic)
+
+HLL_M = 64  # registers (p = 6)
+HLL_W = 26  # remaining hash bits after the bucket index (32 - 6)
+HLL_RHO_MAX = HLL_W + 1
+HLL_ALPHA_PPM = 709_000  # alpha_64 = 0.709, parts-per-million
+# alpha * m^2 * 2^rho_max, the integer numerator of the raw estimate
+_HLL_EST_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+
+
+def hll_distinct_registers(
+    events: DataFrame, group_col: str = "event_type", key_col: str = "user_id"
+) -> DataFrame:
+    """Register-level HyperLogLog distinct-count sketch, fully
+    deterministic across engines — the companion to the engine-opaque
+    `approx_count_distinct` entry (plans/analytics.py:380): there the
+    oracle can only pin an error BOUND on Spark's internal HLL++; here
+    the sketch itself is rebuilt bit-for-bit by DuckDB (same md5 hash
+    family as every sketch in this repo — functions/hashing.py), so the
+    register states AND the estimate hash-match exactly.
+
+    Construction (classic Flajolet HLL, m=64 / p=6 on a 32-bit hash):
+    bucket = h mod 64, rho = leading-zero count of the remaining 26-bit
+    word + 1 (27 for an all-zero word), register M_b = max(rho). The
+    harmonic denominator sum(2^-M_b) is kept EXACT as the integer
+    S = sum(2^(27 - M_b)) (empty registers contribute 2^27), and the raw
+    estimate alpha*m^2/sum(2^-M) becomes the pure-integer
+    (alpha_ppm * m^2 * 2^27) div (1e6 * S) — no libm, no float division,
+    so cross-engine parity is exact (the DSIR entry's integer-rational
+    trick applied to HLL). Small-range (linear-counting) correction is
+    deliberately NOT folded into the pinned value — ln() is libm — but
+    its input V is derivable from the emitted nonzero_registers.
+
+    Plan shape / scale contract: registers are a groupBy(grp, bucket)
+    max — partial aggregation caps every task's shuffle output at
+    |groups| x 64 rows regardless of row count (registers merge by MAX:
+    associative, commutative — the same mergeable-sketch contract as the
+    CMS cells). The empty-bucket fill joins the |groups|-row dim against
+    a broadcast 64-row series; the exact count (verification column)
+    runs beside it and broadcast-joins back.
+
+    Output per group: (group, exact_keys, nonzero_registers,
+    harmonic_scaled, hll_raw_est)."""
+    reg = hll_registers(events, group_col, key_col)
+    exact = events.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(key_col).alias("exact_keys")
+    )
+    return hll_estimate(reg, exact)
+
+
+def hll_registers(
+    events: DataFrame, group_col: str = "event_type", key_col: str = "user_id"
+) -> DataFrame:
+    """The sketch itself: per-(grp, bucket) register maxima — the
+    mergeable partial (registers merge by MAX across partitions, files,
+    or micro-batches; see streaming_hll_partials)."""
+    from ..functions.hashing import portable_hash32
+
+    h = portable_hash32(F.col(key_col).cast("string"))
+    rho_df = events.select(
+        F.col(group_col).alias("grp"),
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        (
+            F.lit(HLL_RHO_MAX)
+            - F.when(F.shiftright(h, 6) == 0, F.lit(0)).otherwise(
+                F.length(F.conv(F.shiftright(h, 6).cast("string"), 10, 2))
+            )
+        ).alias("rho"),
+    )
+    return rho_df.groupBy("grp", "bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(reg: DataFrame, exact: DataFrame) -> DataFrame:
+    """Estimate assembly over a (grp, bucket, m) register table: fill
+    empty buckets from a broadcast 64-row series, fold the exact-integer
+    harmonic sum, broadcast-join the verification columns."""
+    spark = reg.sparkSession
+    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    full = (
+        reg.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(buckets))
+        .join(reg, ["grp", "bucket"], "left")
+        .withColumn("m", F.coalesce(F.col("m"), F.lit(0)))
+    )
+    agg = full.groupBy("grp").agg(
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("nonzero_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - m)")).alias("harmonic_scaled"),
+    )
+    return (
+        exact.join(F.broadcast(agg), "grp")
+        .withColumn(
+            "hll_raw_est",
+            F.expr(f"{_HLL_EST_NUM} div (1000000 * harmonic_scaled)"),
+        )
+        .orderBy("grp")
+    )
+
+
+def hll_distinct_registers_sql(
+    source: str = "events", group_col: str = "event_type", key_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct_registers` — rebuilds the
+    identical registers and integer estimate."""
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""(
+    WITH hll_rho AS (
+        SELECT {group_col} AS grp, h % {HLL_M} AS bucket,
+            {HLL_RHO_MAX} - (CASE WHEN h // {HLL_M} = 0 THEN 0
+                ELSE length(bin(h // {HLL_M})) END) AS rho
+        FROM (SELECT {group_col}, {h} AS h FROM {source})
+    ),
+    hll_reg AS (
+        SELECT grp, bucket, MAX(rho) AS m FROM hll_rho GROUP BY 1, 2
+    ),
+    hll_full AS (
+        SELECT g.grp, b.bucket, COALESCE(r.m, 0) AS m
+        FROM (SELECT DISTINCT grp FROM hll_reg) g
+        CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) b
+        LEFT JOIN hll_reg r ON r.grp = g.grp AND r.bucket = b.bucket
+    ),
+    hll_agg AS (
+        SELECT grp,
+            SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS nonzero_registers,
+            SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS harmonic_scaled
+        FROM hll_full GROUP BY 1
+    ),
+    hll_exact AS (
+        SELECT {group_col} AS grp, COUNT(DISTINCT {key_col}) AS exact_keys
+        FROM {source} GROUP BY 1
+    )
+    SELECT e.grp, e.exact_keys, a.nonzero_registers, a.harmonic_scaled,
+        {_HLL_EST_NUM} // (1000000 * a.harmonic_scaled) AS hll_raw_est
+    FROM hll_exact e JOIN hll_agg a USING (grp)
+    ORDER BY grp
+) hll"""

@@ -235,3 +235,90 @@ def redact_pii_sql(relation: str = "pii_docs") -> str:
                            '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
     FROM {relation}
 ) s"""
+
+
+# --------------------------------------------- dictionary keyword tagging
+
+# Frozen single-token dictionary (term -> topic category) so the oracle
+# can inline it as a VALUES list. Single-token terms make FlashText /
+# Aho-Corasick dictionary tagging collapse to a token equi-join — the
+# Spark-native shape; multi-token phrases would join on shingles the
+# same way (functions/text.py shingles_of_tokens).
+KEYWORD_DICT = {
+    "storage": ["scan", "table", "row", "column", "part"],
+    "compute": ["join", "hash", "agg", "sort", "merge", "filter", "group"],
+    "streaming": ["stream", "batch", "window"],
+    "tuning": ["slow", "fast", "small", "big"],
+}
+
+
+def keyword_tagging(docs: DataFrame) -> DataFrame:
+    """Dictionary-based topic tagging (the FlashText-style keyword pass
+    a training-data pipeline uses for domain labeling / filtering):
+    every corpus token is matched against a broadcast (term, category)
+    dictionary, then rolled up to per-(lang, category) coverage.
+
+    Plan shape / scale contract: the dictionary is O(terms) and
+    BROADCAST — the 100 TB corpus side never shuffles for the match
+    (explode is map-side, the join is BroadcastHashJoin). Both
+    aggregations carry partial map-side combine, so shuffle rows cap at
+    docs x categories (first agg) then langs x categories (second) —
+    never at token granularity. Coverage ratio is integer permille
+    (1000·tagged div lang_docs), keeping cross-engine parity exact.
+
+    Output per (lang, category): (lang, category, tagged_docs,
+    total_hits, tagged_permille)."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(t, c) for c, ts in sorted(KEYWORD_DICT.items()) for t in ts],
+        "term string, category string",
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = (
+        toks.join(F.broadcast(dim), "term")
+        .groupBy("doc_id", "lang", "category")
+        .agg(F.count("*").alias("hits"))
+    )
+    lang_docs = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    return (
+        per_doc.groupBy("lang", "category")
+        .agg(
+            F.count("*").alias("tagged_docs"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .join(F.broadcast(lang_docs), "lang")
+        .withColumn(
+            "tagged_permille", F.expr("(tagged_docs * 1000) div lang_docs")
+        )
+        .select("lang", "category", "tagged_docs", "total_hits", "tagged_permille")
+        .orderBy("lang", "category")
+    )
+
+
+def keyword_tagging_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`keyword_tagging` (same frozen dictionary)."""
+    values = ", ".join(
+        f"('{t}', '{c}')" for c, ts in sorted(KEYWORD_DICT.items()) for t in ts
+    )
+    return f"""(
+    WITH kw_dict AS (SELECT * FROM (VALUES {values}) d(term, category)),
+    kw_toks AS (
+        SELECT doc_id, lang,
+            unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM {source}
+    ),
+    kw_doc AS (
+        SELECT doc_id, lang, category, COUNT(*) AS hits
+        FROM kw_toks JOIN kw_dict USING (term)
+        GROUP BY 1, 2, 3
+    ),
+    kw_lang AS (SELECT lang, COUNT(*) AS lang_docs FROM {source} GROUP BY 1)
+    SELECT d.lang, d.category, COUNT(*) AS tagged_docs,
+        SUM(d.hits) AS total_hits,
+        (COUNT(*) * 1000) // l.lang_docs AS tagged_permille
+    FROM kw_doc d JOIN kw_lang l USING (lang)
+    GROUP BY d.lang, d.category, l.lang_docs
+    ORDER BY 1, 2
+) kw"""

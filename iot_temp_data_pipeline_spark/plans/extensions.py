@@ -811,6 +811,45 @@ CMS_ORACLE = sql_select(CMS_SPEC, sk.cms_token_frequencies_sql("documents"))
 
 EXTENSIONS["cms_frequency_check"] = QuerySpec(_cms_frequencies, CMS_ORACLE)
 
+HLL_REG_SPEC = [
+    ("grp", ""),
+    ("exact_keys", "long"),
+    ("nonzero_registers", "long"),
+    ("harmonic_scaled", "long"),
+    ("hll_raw_est", "long"),
+]
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        sk.hll_distinct_registers(load_table(spark, sf_dir, "events")), HLL_REG_SPEC
+    )
+
+
+HLL_REG_ORACLE = sql_select(HLL_REG_SPEC, sk.hll_distinct_registers_sql("events"))
+
+EXTENSIONS["hll_register_sketch"] = QuerySpec(_hll_registers, HLL_REG_ORACLE)
+
+KEYWORD_TAG_SPEC = [
+    ("lang", ""),
+    ("category", ""),
+    ("tagged_docs", "long"),
+    ("total_hits", "long"),
+    ("tagged_permille", "long"),
+]
+
+
+def _keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.keyword_tagging(load_table(spark, sf_dir, "documents")),
+        KEYWORD_TAG_SPEC,
+    )
+
+
+KEYWORD_TAG_ORACLE = sql_select(KEYWORD_TAG_SPEC, ta.keyword_tagging_sql("documents"))
+
+EXTENSIONS["keyword_tagging"] = QuerySpec(_keyword_tagging, KEYWORD_TAG_ORACLE)
+
 BPE_SPEC = [
     ("round", "long"),
     ("pa", ""),

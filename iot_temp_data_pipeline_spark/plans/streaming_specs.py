@@ -789,8 +789,84 @@ def _cms_stream_oracle() -> str:
     return sql_select(CMS_STREAM_SPEC, sk.cms_token_frequencies_sql("documents"))
 
 
+# --------------------------------------------------------- HLL sketch
+
+HLL_STREAM_SPEC = [
+    ("grp", ""),
+    ("exact_keys", "long"),
+    ("nonzero_registers", "long"),
+    ("harmonic_scaled", "long"),
+    ("hll_raw_est", "long"),
+]
+
+_HLL_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained BY THE STREAM: each micro-batch
+    appends its own (grp, bucket, m) register partial via foreachBatch —
+    at most |groups|×64 rows per batch regardless of batch size — and
+    the read side merges partials by MAX per register (HLL's defining
+    mergeability). Registers are a pure function of the key SET
+    (arrival-order, batching, AND duplication independent — max is
+    idempotent), so the BATCH oracle pins the streamed sketch exactly;
+    this is the distinct-count companion to streaming_cms_partials
+    (whose cells merge by SUM and tolerate no duplication)."""
+    from ..operators import sketches as sk
+
+    work = workdir("hll")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    materialize_landing(ev, f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_HLL_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            sk.hll_registers(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("grp", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count_distinct("user_id").alias("exact_keys"))
+    )
+    return shape(sk.hll_estimate(merged, exact), HLL_STREAM_SPEC)
+
+
+def _hll_stream_oracle() -> str:
+    from ..operators import sketches as sk
+
+    return sql_select(HLL_STREAM_SPEC, sk.hll_distinct_registers_sql("events"))
+
+
 STREAMING: dict[str, QuerySpec] = {
     "streaming_cms_partials": QuerySpec(_streaming_cms, _cms_stream_oracle()),
+    "streaming_hll_partials": QuerySpec(_streaming_hll, _hll_stream_oracle()),
     "streaming_session_windows": QuerySpec(_streaming_sessions, SSESSION_ORACLE),
     "streaming_outer_interval_join": QuerySpec(
         _streaming_outer_join, OUTER_JOIN_ORACLE

@@ -240,3 +240,22 @@ def test_substring_span_merge_single_sort(spark, sf_dir):
     assert plan.count("Window") >= 1
     # one sort for the shared window spec (+1 slack for an AQE variant)
     assert plan.count("Sort ") <= 2
+
+
+def test_keyword_tagging_dictionary_broadcast(spark, sf_dir):
+    """The keyword dictionary join broadcasts (the corpus side must
+    never shuffle for the match) and the rollups stay hash-aggregated —
+    no SortMergeJoin anywhere in the tagging plan."""
+    plan = plan_of(REGISTRY["keyword_tagging"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_register_sketch_broadcast_assembly(spark, sf_dir):
+    """HLL estimate assembly: the bucket fill and the verification-side
+    join both broadcast (register tables are |groups|x64 rows — nothing
+    there may ever shuffle the events side a second time)."""
+    plan = plan_of(REGISTRY["hll_register_sketch"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

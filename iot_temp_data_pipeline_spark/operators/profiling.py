@@ -1,0 +1,346 @@
+"""Distribution profiling & cleaning operators (beyond-reference
+surface): the dataset-health checks a large-scale training-data
+pipeline runs between ingest and training — cohort drift detection,
+percentile winsorization, and key-skew diagnostics.
+
+All three stay in exact integer arithmetic (cents / ppm / permille) so
+the DuckDB oracle reproduces every value bit-for-bit — the same
+integer-rational discipline as the DSIR and HLL entries. All three are
+built from grouped aggregations whose shuffle size is bounded by the
+HISTOGRAM (distinct bins / distinct keys), never the row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import exact_long_sum
+
+DRIFT_BIN_CENTS = 5_000  # $50 equi-width value bins
+WINSOR_LO_PCT = 1
+WINSOR_HI_PCT = 99
+SKEW_TOPN = 10
+
+
+# ---------------------------------------------------------- cohort drift
+
+def value_drift_chi2(events: DataFrame, width: int = DRIFT_BIN_CENTS) -> DataFrame:
+    """Two-cohort distribution-drift check per event type — the
+    train/serve (or yesterday/today) drift gate run before a new data
+    slice is admitted. Cohorts are the first and second halves of the
+    time range (split at the midpoint of [min ts, max ts], a 1-row
+    broadcast like the anomaly chain's global stats); each cohort's
+    `value` distribution is binned into integer-cent equi-width bins
+    and compared with a chi-square-style statistic on exact ppm shares:
+
+        chi2_ppm = sum over bins of (s1 - s2)^2 div (s1 + s2),
+        s_i = (o_i * 1e6) div n_i      (parts-per-million, floored)
+
+    Shares are floored ppm integers, so the statistic is scale-bounded
+    (no o1*n2 cross products that overflow int64 at 100 TB row counts)
+    and bit-exact cross-engine. PSI's ln() term is deliberately avoided
+    (libm — cross-engine risk); on ppm shares chi-square is the standard
+    libm-free alternative and is monotone in the same drift direction.
+
+    Plan shape: one scan → groupBy(event_type, cohort, bin) with
+    map-side combine (shuffle rows capped at types x 2 x bins), cohort
+    totals rolled up FROM the binned table (no second scan), bins
+    full-outer-merged per type so a bin present in only one cohort
+    still contributes its full (s1 - 0)^2 term.
+
+    Output per event_type: (event_type, n_ref, n_cur, n_bins,
+    chi2_ppm)."""
+    mid = events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "mid_us"
+        )
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    binned = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.when(F.unix_micros(F.col("ts")) < F.col("mid_us"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("cohort"),
+            (cents / width).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "cohort", "bin")
+        .agg(F.count("*").alias("o"))
+    )
+    totals = binned.groupBy("event_type", "cohort").agg(
+        F.sum("o").alias("n")
+    )
+    shares = (
+        binned.join(totals, ["event_type", "cohort"])
+        .select(
+            "event_type",
+            "bin",
+            "cohort",
+            F.expr("(o * 1000000) div n").alias("s"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, F.col("s")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("s")).otherwise(0)).alias("s2"),
+        )
+        .filter(F.col("s1") + F.col("s2") > 0)
+        .withColumn(
+            "term", F.expr("((s1 - s2) * (s1 - s2)) div (s1 + s2)")
+        )
+    )
+    wide_totals = totals.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("n")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("n")).otherwise(0)).alias("n_cur"),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("term").alias("chi2_ppm"),
+        )
+        .join(F.broadcast(wide_totals), "event_type")
+        .select("event_type", "n_ref", "n_cur", "n_bins", "chi2_ppm")
+        .orderBy("event_type")
+    )
+
+
+def value_drift_chi2_sql(source: str = "events", width: int = DRIFT_BIN_CENTS) -> str:
+    """DuckDB twin of :func:`value_drift_chi2`."""
+    return f"""(
+    WITH dr_mid AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+        FROM {source}
+    ),
+    dr_binned AS (
+        SELECT event_type,
+            CASE WHEN epoch_us(ts) < (SELECT mid_us FROM dr_mid)
+                 THEN 0 ELSE 1 END AS cohort,
+            CAST(ROUND(value * 100) AS BIGINT) // {width} AS bin,
+            COUNT(*) AS o
+        FROM {source}
+        GROUP BY 1, 2, 3
+    ),
+    dr_totals AS (
+        SELECT event_type, cohort, SUM(o) AS n FROM dr_binned GROUP BY 1, 2
+    ),
+    dr_shares AS (
+        SELECT b.event_type, b.bin,
+            SUM(CASE WHEN b.cohort = 0 THEN (b.o * 1000000) // t.n ELSE 0 END)
+                AS s1,
+            SUM(CASE WHEN b.cohort = 1 THEN (b.o * 1000000) // t.n ELSE 0 END)
+                AS s2
+        FROM dr_binned b JOIN dr_totals t
+            ON b.event_type = t.event_type AND b.cohort = t.cohort
+        GROUP BY 1, 2
+    ),
+    dr_terms AS (
+        SELECT event_type, ((s1 - s2) * (s1 - s2)) // (s1 + s2) AS term
+        FROM dr_shares WHERE s1 + s2 > 0
+    ),
+    dr_wide AS (
+        SELECT event_type,
+            SUM(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS n_ref,
+            SUM(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS n_cur
+        FROM dr_totals GROUP BY 1
+    )
+    SELECT t.event_type, w.n_ref, w.n_cur,
+        COUNT(*) AS n_bins, SUM(t.term) AS chi2_ppm
+    FROM dr_terms t JOIN dr_wide w USING (event_type)
+    GROUP BY t.event_type, w.n_ref, w.n_cur
+    ORDER BY t.event_type
+) dr"""
+
+
+# --------------------------------------------------------- winsorization
+
+def winsorize_values(
+    events: DataFrame, lo_pct: int = WINSOR_LO_PCT, hi_pct: int = WINSOR_HI_PCT
+) -> DataFrame:
+    """Percentile winsorization (outlier clipping) of `value` per event
+    type — the tail-clamping cleanup a feature/reward pipeline applies
+    before normalization. Cut points are EXACT percentiles on integer
+    cents with the deterministic lower-value rule (smallest cents whose
+    running count reaches ceil(p·n/100)) — the histogram-quantile
+    entry's rule applied to the exact value CDF.
+
+    Plan shape: one scan → groupBy(event_type, cents) with map-side
+    combine (shuffle capped at types x distinct cents — value-range
+    bounded, not row bounded), per-type cumulative window over that
+    grouped table, threshold rows broadcast back onto the grouped table
+    (NOT the raw rows — clip totals are computed from (cents, cnt)
+    pairs, so the raw scan is never re-shuffled).
+
+    Output per event_type: (event_type, n, lo_cents, hi_cents,
+    clipped_lo, clipped_hi, sum_cents_winsorized)."""
+    cents_tab = (
+        events.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = cents_tab.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    cuts = (
+        cdf.select(
+            "event_type",
+            "cents",
+            "cum",
+            "n",
+            F.explode(
+                F.array(F.lit(int(lo_pct)), F.lit(int(hi_pct)))
+            ).alias("p"),
+        )
+        .filter(F.col("cum") >= F.expr("(n * p + 99) div 100"))
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("p") == lo_pct, F.col("cents"))).alias("lo_cents"),
+            F.min(F.when(F.col("p") == hi_pct, F.col("cents"))).alias("hi_cents"),
+        )
+    )
+    clipped = F.greatest(
+        F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents"))
+    )
+    return (
+        cents_tab.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), F.col("cnt")).otherwise(0))
+            .alias("clipped_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(0))
+            .alias("clipped_hi"),
+            exact_long_sum(clipped * F.col("cnt")).alias("sum_cents_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "clipped_lo",
+            "clipped_hi",
+            "sum_cents_winsorized",
+        )
+        .orderBy("event_type")
+    )
+
+
+def winsorize_values_sql(
+    source: str = "events", lo_pct: int = WINSOR_LO_PCT, hi_pct: int = WINSOR_HI_PCT
+) -> str:
+    """DuckDB twin of :func:`winsorize_values`."""
+    return f"""(
+    WITH wz_tab AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            COUNT(*) AS cnt
+        FROM {source} GROUP BY 1, 2
+    ),
+    wz_cdf AS (
+        SELECT event_type, cents, cnt,
+            SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM wz_tab
+    ),
+    wz_cuts AS (
+        SELECT event_type, n,
+            MIN(CASE WHEN p = {lo_pct} THEN cents END) AS lo_cents,
+            MIN(CASE WHEN p = {hi_pct} THEN cents END) AS hi_cents
+        FROM (SELECT *, unnest([{lo_pct}, {hi_pct}]) AS p FROM wz_cdf) e
+        WHERE cum >= (n * p + 99) // 100
+        GROUP BY 1, 2
+    )
+    SELECT t.event_type, c.n, c.lo_cents, c.hi_cents,
+        SUM(CASE WHEN t.cents < c.lo_cents THEN t.cnt ELSE 0 END)
+            AS clipped_lo,
+        SUM(CASE WHEN t.cents > c.hi_cents THEN t.cnt ELSE 0 END)
+            AS clipped_hi,
+        SUM(GREATEST(c.lo_cents, LEAST(c.hi_cents, t.cents)) * t.cnt)
+            AS sum_cents_winsorized
+    FROM wz_tab t JOIN wz_cuts c USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+) wz"""
+
+
+# ----------------------------------------------------- key-skew profile
+
+def key_skew_diagnostics(events: DataFrame, topn: int = SKEW_TOPN) -> DataFrame:
+    """Shuffle-key skew profile per event type over the join/agg key
+    (user_id) — the diagnostic run BEFORE picking a partitioning
+    strategy (SKEW.md's decision input): a key whose top-1 share is
+    hundreds of permille needs salting / AQE skew splitting; a flat
+    profile can hash-partition as-is.
+
+    Plan shape: one scan → groupBy(event_type, user_id) with map-side
+    combine (shuffle capped at types x distinct keys), then ALL
+    diagnostics — row/key counts, hottest-key size, top-1/top-n
+    permille concentrations — come from one ranking window over that
+    grouped (types x keys)-row table; raw rows are never re-shuffled.
+    Ties broken by key id for a deterministic top-n.
+
+    Output per event_type: (event_type, n_rows, n_keys, max_key_rows,
+    top1_permille, topn_permille)."""
+    per_key = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("k_rows")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("k_rows").desc(), F.col("user_id")
+    )
+    ranked = per_key.withColumn("rnk", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum("k_rows").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("k_rows").alias("max_key_rows"),
+            F.sum(F.when(F.col("rnk") == 1, F.col("k_rows")).otherwise(0)).alias(
+                "top1_rows"
+            ),
+            F.sum(F.when(F.col("rnk") <= topn, F.col("k_rows")).otherwise(0)).alias(
+                "topn_rows"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.expr("(top1_rows * 1000) div n_rows").alias("top1_permille"),
+            F.expr("(topn_rows * 1000) div n_rows").alias("topn_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def key_skew_diagnostics_sql(source: str = "events", topn: int = SKEW_TOPN) -> str:
+    """DuckDB twin of :func:`key_skew_diagnostics`."""
+    return f"""(
+    WITH sk_key AS (
+        SELECT event_type, user_id, COUNT(*) AS k_rows
+        FROM {source} GROUP BY 1, 2
+    ),
+    sk_rank AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY k_rows DESC, user_id) AS rnk
+        FROM sk_key
+    )
+    SELECT event_type,
+        SUM(k_rows) AS n_rows,
+        COUNT(*) AS n_keys,
+        MAX(k_rows) AS max_key_rows,
+        (SUM(CASE WHEN rnk = 1 THEN k_rows ELSE 0 END) * 1000)
+            // SUM(k_rows) AS top1_permille,
+        (SUM(CASE WHEN rnk <= {topn} THEN k_rows ELSE 0 END) * 1000)
+            // SUM(k_rows) AS topn_permille
+    FROM sk_rank
+    GROUP BY event_type
+    ORDER BY event_type
+) sk"""

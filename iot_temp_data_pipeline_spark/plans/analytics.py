@@ -656,3 +656,80 @@ _PROFILE_SQL_BRANCHES = "\n    UNION ALL\n".join(
 PROFILE_SQL = sql_select(PROFILE_SPEC, f"(\n{_PROFILE_SQL_BRANCHES}\n) prof")
 
 ANALYTICS["profile_events_columns"] = QuerySpec(profile_events, PROFILE_SQL)
+
+
+# ------------------------------------- drift / winsorize / skew profile
+
+DRIFT_SPEC = [
+    ("event_type", ""),
+    ("n_ref", "long"),
+    ("n_cur", "long"),
+    ("n_bins", "long"),
+    ("chi2_ppm", "long"),
+]
+
+
+def _value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as pf
+
+    return shape(pf.value_drift_chi2(load_table(spark, sf_dir, "events")), DRIFT_SPEC)
+
+
+def _drift_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(DRIFT_SPEC, pf.value_drift_chi2_sql("events"))
+
+
+ANALYTICS["drift_value_chi2"] = QuerySpec(_value_drift, _drift_oracle())
+
+WINSOR_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("lo_cents", "long"),
+    ("hi_cents", "long"),
+    ("clipped_lo", "long"),
+    ("clipped_hi", "long"),
+    ("sum_cents_winsorized", "long"),
+]
+
+
+def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as pf
+
+    return shape(pf.winsorize_values(load_table(spark, sf_dir, "events")), WINSOR_SPEC)
+
+
+def _winsor_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(WINSOR_SPEC, pf.winsorize_values_sql("events"))
+
+
+ANALYTICS["winsorize_event_values"] = QuerySpec(_winsorize, _winsor_oracle())
+
+SKEW_SPEC = [
+    ("event_type", ""),
+    ("n_rows", "long"),
+    ("n_keys", "long"),
+    ("max_key_rows", "long"),
+    ("top1_permille", "long"),
+    ("topn_permille", "long"),
+]
+
+
+def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as pf
+
+    return shape(
+        pf.key_skew_diagnostics(load_table(spark, sf_dir, "events")), SKEW_SPEC
+    )
+
+
+def _skew_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(SKEW_SPEC, pf.key_skew_diagnostics_sql("events"))
+
+
+ANALYTICS["skew_key_diagnostics"] = QuerySpec(_key_skew, _skew_oracle())

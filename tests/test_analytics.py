@@ -142,3 +142,63 @@ def test_connected_components_star_matches_propagation(spark):
         for r in connected_components_star(edges).collect()
     }
     assert a == b
+
+
+def test_winsorize_bounds_and_counts(spark, sf_dir):
+    """Winsorization invariants: lo <= hi, and each clipped tail holds
+    at most the percentile mass its cut targets (ceil-rank rule)."""
+    from iot_temp_data_pipeline_spark.operators.profiling import winsorize_values
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = winsorize_values(ev).collect()
+    assert rows
+    for r in rows:
+        assert r["lo_cents"] <= r["hi_cents"]
+        # ceil(p*n/100) rule: at most p% of rows strictly below the cut
+        assert r["clipped_lo"] <= (r["n"] * 1 + 99) // 100
+        assert r["clipped_hi"] <= r["n"] - (r["n"] * 99 + 99) // 100 + 1
+
+
+def test_key_skew_permille_sane(spark, sf_dir):
+    """Skew profile invariants: top1 <= topn <= 1000 permille; hottest
+    key accounts for exactly top1 share; key count never exceeds rows."""
+    from iot_temp_data_pipeline_spark.operators.profiling import key_skew_diagnostics
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for r in key_skew_diagnostics(ev).collect():
+        assert 0 < r["top1_permille"] <= r["topn_permille"] <= 1000
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["max_key_rows"] >= r["top1_permille"] * r["n_rows"] // 1000
+
+
+def test_drift_identical_cohorts_zero(spark):
+    """A distribution compared against itself drifts zero: build a
+    symmetric frame where both time halves hold identical values, so
+    every bin's ppm shares match and chi2_ppm == 0."""
+    import datetime
+
+    from iot_temp_data_pipeline_spark.operators.profiling import value_drift_chi2
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for half in (0, 1):
+        for i in range(50):
+            rows.append(
+                (
+                    i,
+                    base + datetime.timedelta(hours=half * 100 + i),
+                    1,
+                    "t",
+                    float(i % 7) * 10.0,
+                    "{}",
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = value_drift_chi2(ev).collect()
+    assert len(out) == 1
+    assert out[0]["chi2_ppm"] == 0
+    assert out[0]["n_ref"] == out[0]["n_cur"] == 50

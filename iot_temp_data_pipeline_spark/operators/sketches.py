@@ -499,3 +499,104 @@ def hll_distinct_registers_sql(
     FROM hll_exact e JOIN hll_agg a USING (grp)
     ORDER BY grp
 ) hll"""
+
+
+# --------------------------------------- CMS join-cardinality estimate
+
+def join_size_cms(
+    left_items: DataFrame,
+    right_items: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches —
+    the planner statistic that decides broadcast vs shuffle vs skew
+    mitigation at 100 TB WITHOUT touching the data twice: each side is
+    sketched independently (mergeable, partial-aggregated, depth×width
+    bounded), and |A ⋈ B| is estimated by the classic sketch inner
+    product — per lane j, sum over columns of cntA·cntB; min over
+    lanes. Collisions only ever ADD phantom pairs, so every lane (and
+    hence the min) upper-bounds the true join size: estimate >= exact,
+    always. Both the estimate and the exact count are pure integer
+    functions of the data, so the oracle reproduces them bit-for-bit
+    (md5 hash family, functions/hashing.py).
+
+    Inputs are single-column ``item`` string DataFrames (the join key,
+    canonically stringified). The exact count — emitted as ground truth
+    — is Σ_k cntA(k)·cntB(k) over matching keys: computed from the two
+    per-key count tables (shuffle bounded by DISTINCT keys, never rows).
+
+    Output (one row): (n_left, n_right, exact_join_rows, cms_estimate,
+    overestimates)."""
+    ca = cms_cells(left_items, width, depth).withColumnRenamed("cnt", "cnt_a")
+    cb = cms_cells(right_items, width, depth).withColumnRenamed("cnt", "cnt_b")
+    lanes = (
+        ca.join(cb, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("lane_est"))
+    )
+    est = lanes.agg(F.min("lane_est").alias("cms_estimate"))
+    ka = left_items.groupBy("item").agg(F.count("*").alias("cnt_a"))
+    kb = right_items.groupBy("item").agg(F.count("*").alias("cnt_b"))
+    exact = (
+        ka.join(kb, "item")
+        .agg(F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0)).alias(
+            "exact_join_rows"
+        ))
+    )
+    na = left_items.agg(F.count("*").alias("n_left"))
+    nb = right_items.agg(F.count("*").alias("n_right"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .withColumn(
+            "overestimates", F.col("cms_estimate") >= F.col("exact_join_rows")
+        )
+    )
+
+
+def join_size_cms_sql(
+    left_expr: str,
+    right_expr: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> str:
+    """DuckDB twin of :func:`join_size_cms`. ``left_expr`` /
+    ``right_expr`` are full `SELECT <key-as-varchar> AS item FROM ...`
+    subqueries."""
+    from ..functions.hashing import portable_hash32_sql
+
+    lanes = ", ".join(str(j) for j in range(depth))
+    h = portable_hash32_sql("item", seed=0).replace("'0:'", "j || ':'")
+    return f"""(
+    WITH js_a AS ({left_expr}),
+    js_b AS ({right_expr}),
+    js_lanes AS (SELECT unnest([{lanes}]) AS j),
+    js_ca AS (
+        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt_a
+        FROM js_a CROSS JOIN js_lanes GROUP BY 1, 2
+    ),
+    js_cb AS (
+        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt_b
+        FROM js_b CROSS JOIN js_lanes GROUP BY 1, 2
+    ),
+    js_est AS (
+        SELECT MIN(lane_est) AS cms_estimate FROM (
+            SELECT j, SUM(cnt_a * cnt_b) AS lane_est
+            FROM js_ca JOIN js_cb USING (j, col) GROUP BY 1
+        )
+    ),
+    js_exact AS (
+        SELECT COALESCE(SUM(a.cnt_a * b.cnt_b), 0) AS exact_join_rows
+        FROM (SELECT item, COUNT(*) AS cnt_a FROM js_a GROUP BY 1) a
+        JOIN (SELECT item, COUNT(*) AS cnt_b FROM js_b GROUP BY 1) b
+            USING (item)
+    )
+    SELECT (SELECT COUNT(*) FROM js_a) AS n_left,
+        (SELECT COUNT(*) FROM js_b) AS n_right,
+        (SELECT exact_join_rows FROM js_exact) AS exact_join_rows,
+        (SELECT cms_estimate FROM js_est) AS cms_estimate,
+        (SELECT cms_estimate FROM js_est)
+            >= (SELECT exact_join_rows FROM js_exact) AS overestimates
+) js"""

@@ -322,3 +322,92 @@ def keyword_tagging_sql(source: str = "documents") -> str:
     GROUP BY d.lang, d.category, l.lang_docs
     ORDER BY 1, 2
 ) kw"""
+
+
+# ------------------------------------------- unigram LM surprisal bits
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Corpus-LM quality scoring — the libm-free analog of the KenLM
+    perplexity filters production corpora use: each token's surprisal
+    under the corpus's own unigram model, in floor-log2 bits
+    (floor(log2 N) - floor(log2 tc), both exact via binary bit length),
+    rolled up per language. High mean surprisal = rare-token-heavy
+    text (OCR noise, boilerplate soup); low = stopword soup. Exact
+    log2 would need libm (ln) — cross-engine risk the integer HLL/DSIR
+    entries also avoid — and floor-bits preserves the decision
+    ordering at the power-of-two granularity quality gates bin by
+    anyway.
+
+    Plan shape (the TF-IDF single-exchange trick): tokens aggregate
+    ONCE by (term, lang) with map-side combine — the only data-sized
+    shuffle, bounded by vocab x langs; the global vocabulary and the
+    grand total re-aggregate FROM that table, so the corpus never
+    shuffles twice and the vocabulary is never broadcast (heavy-tailed
+    vocabularies don't fit an executor at 100 TB; the join key is the
+    partitioning both sides already share).
+
+    Output per lang: (lang, n_docs, n_tokens, total_bits,
+    mean_centibits)."""
+    tl = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "lang")
+        .agg(F.count("*").alias("k"))
+    )
+    vocab = tl.groupBy("term").agg(F.sum("k").alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("n_total"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    scored = (
+        tl.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "k",
+            ((bitlen(F.col("n_total")) - bitlen(F.col("tc"))) * F.col("k")).alias(
+                "bits"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+        )
+    )
+    n_docs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        scored.join(F.broadcast(n_docs), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "total_bits",
+            F.expr("(total_bits * 100) div n_tokens").alias("mean_centibits"),
+        )
+        .orderBy("lang")
+    )
+
+
+def unigram_surprisal_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_surprisal`."""
+    return f"""(
+    WITH us_tl AS (
+        SELECT term, lang, COUNT(*) AS k FROM (
+            SELECT lang,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM {source}
+        ) GROUP BY 1, 2
+    ),
+    us_vocab AS (SELECT term, SUM(k) AS tc FROM us_tl GROUP BY 1),
+    us_total AS (SELECT SUM(tc) AS n_total FROM us_vocab),
+    us_scored AS (
+        SELECT t.lang, SUM(t.k) AS n_tokens,
+            SUM((length(bin((SELECT n_total FROM us_total)))
+                 - length(bin(v.tc))) * t.k) AS total_bits
+        FROM us_tl t JOIN us_vocab v USING (term)
+        GROUP BY 1
+    ),
+    us_docs AS (SELECT lang, COUNT(*) AS n_docs FROM {source} GROUP BY 1)
+    SELECT s.lang, d.n_docs, s.n_tokens, s.total_bits,
+        (s.total_bits * 100) // s.n_tokens AS mean_centibits
+    FROM us_scored s JOIN us_docs d USING (lang)
+    ORDER BY s.lang
+) us"""

@@ -850,6 +850,55 @@ KEYWORD_TAG_ORACLE = sql_select(KEYWORD_TAG_SPEC, ta.keyword_tagging_sql("docume
 
 EXTENSIONS["keyword_tagging"] = QuerySpec(_keyword_tagging, KEYWORD_TAG_ORACLE)
 
+JOINSIZE_SPEC = [
+    ("n_left", "long"),
+    ("n_right", "long"),
+    ("exact_join_rows", "long"),
+    ("cms_estimate", "long"),
+    ("overestimates", ""),
+]
+
+
+def _join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    right = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("item")
+    )
+    return shape(sk.join_size_cms(left, right), JOINSIZE_SPEC)
+
+
+JOINSIZE_ORACLE = sql_select(
+    JOINSIZE_SPEC,
+    sk.join_size_cms_sql(
+        "SELECT CAST(user_id AS VARCHAR) AS item FROM events",
+        "SELECT CAST(c_custkey AS VARCHAR) AS item FROM customer",
+    ),
+)
+
+EXTENSIONS["join_cardinality_cms"] = QuerySpec(_join_size_cms, JOINSIZE_ORACLE)
+
+SURPRISAL_SPEC = [
+    ("lang", ""),
+    ("n_docs", "long"),
+    ("n_tokens", "long"),
+    ("total_bits", "long"),
+    ("mean_centibits", "long"),
+]
+
+
+def _unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.unigram_surprisal(load_table(spark, sf_dir, "documents")),
+        SURPRISAL_SPEC,
+    )
+
+
+SURPRISAL_ORACLE = sql_select(SURPRISAL_SPEC, ta.unigram_surprisal_sql("documents"))
+
+EXTENSIONS["unigram_surprisal_bits"] = QuerySpec(_unigram_surprisal, SURPRISAL_ORACLE)
+
 BPE_SPEC = [
     ("round", "long"),
     ("pa", ""),

@@ -612,3 +612,106 @@ TT_SQL = sql_select(
 
 
 FORMATS["timetravel_upsert"] = QuerySpec(timetravel_upsert, TT_SQL)
+
+
+# ---------------------------------------------------- compaction (OPTIMIZE)
+
+COMPACT_SPEC = [
+    ("snapshot_version", "long"),
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("compaction_shrank", ""),
+]
+
+
+def compact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (sources/versioned.py::compact):
+    events → versioned table deliberately committed as many small
+    range-clustered files → COW upsert (leaves the usual post-MERGE
+    mixed layout) → OPTIMIZE-style compaction into few full files. The
+    oracle pins that compaction is a PURE LAYOUT change: the per-type
+    aggregates of the pre-compaction snapshot (v2) and the compacted
+    snapshot (v3) hash-identically against the same MERGE algebra, and
+    the file count strictly shrank (flag TRUE on every row)."""
+    from ..sources.versioned import (
+        compact,
+        create_table,
+        file_count,
+        read_version,
+        upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    table = f"{workdir('compaction')}/events_versioned"
+    create_table(spark, base, table, layout_col="event_date", n_files=16)
+    in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
+    updates = in_window.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value_centi", F.col("value_centi") + UPSERT_BUMP
+    )
+    upsert(
+        spark, table, updates, key_cols=["event_id"], layout_col="event_date",
+        n_files=8,
+    )
+    v3, _, _ = compact(
+        spark, table, layout_col="event_date", small_rows=10**9, n_files=2
+    )
+    shrank = file_count(table, v3) < file_count(table, 2)
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.lit(v).cast("long").alias("snapshot_version"),
+            F.count("*").alias("n"),
+            F.sum("value_centi").alias("sum_centi"),
+            F.lit(shrank).alias("compaction_shrank"),
+        )
+
+    df = (
+        agg(read_version(spark, table, version=2), 2)
+        .unionByName(agg(read_version(spark, table, version=v3), 3))
+        .select(
+            "snapshot_version", "event_type", "n", "sum_centi",
+            "compaction_shrank",
+        )
+        .orderBy("snapshot_version", "event_type")
+    )
+    return shape(df, COMPACT_SPEC)
+
+
+COMPACT_SQL = sql_select(
+    COMPACT_SPEC,
+    f"""(
+    WITH base AS (
+        SELECT event_id, event_type, {_CENTI} AS value_centi,
+               strftime(ts, '%Y-%m-%d') AS event_date
+        FROM events
+    ),
+    upd AS (
+        SELECT event_id, event_type, value_centi + {UPSERT_BUMP} AS value_centi,
+               event_date
+        FROM base
+        WHERE event_id % 7 = 0
+          AND event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT 2 AS snapshot_version, event_type, COUNT(*) AS n,
+           SUM(value_centi) AS sum_centi, TRUE AS compaction_shrank
+    FROM v2 GROUP BY event_type
+    UNION ALL
+    SELECT 3, event_type, COUNT(*), SUM(value_centi), TRUE
+    FROM v2 GROUP BY event_type
+    ORDER BY snapshot_version, event_type
+) s""",
+)
+
+FORMATS["compact_versioned_files"] = QuerySpec(compact_versioned, COMPACT_SQL)

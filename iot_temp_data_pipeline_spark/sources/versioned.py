@@ -245,6 +245,49 @@ def upsert(
     return current + 1
 
 
+def compact(
+    spark: SparkSession,
+    table: str,
+    layout_col: str,
+    small_rows: int,
+    n_files: int = 2,
+) -> tuple[int, int, int]:
+    """OPTIMIZE analog: bin-pack small files into range-clustered
+    full-size ones, committing a NEW version with bit-identical rows —
+    a pure layout change (the small-files problem is the chronic
+    failure mode of streaming/CDC ingest into a lakehouse table: every
+    micro-batch commit leaves files far below target size, and scan
+    task count grows with file count, not data size).
+
+    Files with rows >= ``small_rows`` carry into the new version BY
+    REFERENCE (compaction pays for the small tail, not the table —
+    same COW economics as upsert); the small ones are read once and
+    rewritten through the same range-clustered writer, so per-file
+    stats pruning keeps working on the compacted layout. Old versions
+    stay readable until expired (time travel across compaction).
+
+    Returns (new_version, n_compacted, n_carried)."""
+    vs = versions(table)
+    current = vs[-1]
+    man = _read_manifest(table, current)
+    small = [e for e in man["files"] if e["rows"] < small_rows]
+    kept = [e for e in man["files"] if e["rows"] >= small_rows]
+    if len(small) <= 1:
+        # nothing to pack: commit a no-op version (all files by
+        # reference) so callers get uniform version bookkeeping
+        _commit(table, current + 1, man["files"], layout_col)
+        return current + 1, 0, len(man["files"])
+    df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in small])
+    new_entries = _write_files(df, table, layout_col, n_files)
+    _commit(table, current + 1, kept + new_entries, layout_col)
+    return current + 1, len(small), len(kept)
+
+
+def file_count(table: str, version: int) -> int:
+    """Number of data files a committed version references."""
+    return len(_read_manifest(table, version)["files"])
+
+
 def expire_versions(table: str, keep_last: int = 2) -> list[int]:
     """Retention for the commit log: drop old manifests and any data
     file no surviving manifest references (the VACUUM analog).

@@ -202,3 +202,21 @@ def test_drift_identical_cohorts_zero(spark):
     assert len(out) == 1
     assert out[0]["chi2_ppm"] == 0
     assert out[0]["n_ref"] == out[0]["n_cur"] == 50
+
+
+def test_join_size_cms_upper_bound_under_skew(spark):
+    """CMS join-size estimate must upper-bound the true join size even
+    under heavy key skew (one hot key on both sides — the case where
+    sampling-based estimators fail worst)."""
+    from iot_temp_data_pipeline_spark.operators.sketches import join_size_cms
+
+    left = spark.createDataFrame(
+        [("hot",)] * 500 + [(f"l{i}",) for i in range(200)], "item string"
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 300 + [(f"r{i}",) for i in range(100)], "item string"
+    )
+    row = join_size_cms(left, right).collect()[0]
+    assert row["exact_join_rows"] == 500 * 300
+    assert row["overestimates"]
+    assert row["cms_estimate"] >= row["exact_join_rows"]

@@ -175,3 +175,49 @@ def test_expire_prunes_tmp_manifests_and_empty_write_dirs(spark, table):
     assert not os.path.exists(orphan)
     for d in glob.glob(os.path.join(table, "data", "w*")):
         assert os.listdir(d), f"empty write dir survived VACUUM: {d}"
+
+
+def test_compact_shrinks_files_preserves_rows_and_history(spark, table):
+    """OPTIMIZE analog: compaction bin-packs the 8 small files into 2,
+    rows stay bit-identical, pre-compaction snapshots remain readable
+    (time travel across a layout change), and stats pruning still works
+    on the compacted layout."""
+    from iot_temp_data_pipeline_spark.sources.versioned import compact, file_count
+
+    v2, n_comp, n_kept = compact(
+        spark, table, layout_col="day", small_rows=10**9, n_files=2
+    )
+    assert v2 == 2 and n_comp == 8 and n_kept == 0
+    assert file_count(table, 2) < file_count(table, 1)
+    before = sorted(read_version(spark, table, version=1).collect())
+    after = sorted(read_version(spark, table, version=2).collect())
+    assert before == after
+    # pruning is FILE-granular: the compacted layout has 2 range files,
+    # so the [0,5] predicate keeps the low-range file (a superset of the
+    # matching rows) and skips the high-range one entirely
+    pruned = read_version(spark, table, version=2, layout_between=(0, 5))
+    n_match = sum(1 for i in range(1000) if i % 20 <= 5)
+    assert n_match <= pruned.count() < 1000
+    assert pruned.filter("day <= 5").count() == n_match
+
+
+def test_compact_carries_large_files_by_reference(spark, table):
+    """Files above the small-rows threshold are NOT rewritten — their
+    manifest entries carry into the new version unchanged (compaction
+    pays for the small tail only)."""
+    from iot_temp_data_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        compact,
+    )
+
+    man1 = _read_manifest(table, 1)
+    big_paths = {e["path"] for e in man1["files"] if e["rows"] >= 100}
+    assert big_paths  # fixture: 1000 rows over 8 range files
+    small_rows = 100
+    v2, n_comp, n_kept = compact(
+        spark, table, layout_col="day", small_rows=small_rows, n_files=1
+    )
+    man2 = _read_manifest(table, v2)
+    carried = {e["path"] for e in man2["files"]} & big_paths
+    assert carried == big_paths
+    assert n_kept == len(big_paths)

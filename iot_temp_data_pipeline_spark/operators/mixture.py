@@ -1,0 +1,174 @@
+"""Data-mixture token-budget solver (beyond-reference surface): given
+per-domain target weights and a global token budget, compute how many
+tokens to draw from each domain, respecting each domain's availability
+— the allocation step every LLM pre-training data recipe runs before
+sampling (the "mixture weights" table of a training run).
+
+Semantics — capped waterfilling, the standard allocation rule:
+
+- each domain d has ``avail_d`` tokens (whitespace tokens, the same
+  tokenizer as text_stats) and an integer preference weight ``w_d``;
+- the budget ``B`` (a fixed fraction of total corpus tokens) is split
+  pro-rata by weight, but a domain is never allocated more than it has
+  (epoch cap 1.0 — no upsampling);
+- domains whose pro-rata ask exceeds their availability FREEZE at
+  ``avail_d`` and their unused ask is redistributed pro-rata among the
+  unfrozen domains — repeated for a FIXED number of rounds (2 freeze
+  rounds + final assignment), which is exact whenever at most two
+  "waterline" levels bind (and deterministic always).
+
+Everything is integer arithmetic: ``(w·R) // W`` floor division, so
+DuckDB reproduces every allocation bit-for-bit. Weights come from a
+deterministic rule on the source name (numeric suffix % 5 + 1) rather
+than a config file, so the oracle needs no side channel.
+
+Execution shape: one groupBy(source) over the corpus (map-side combined
+to |domains| rows), then three 1-row broadcast cross joins carrying the
+scalar state (B, W, R2, W2, R3, W3) — the J1 pattern; nothing leaves
+the JVM and nothing is collected. At 100 TB the only corpus-sized pass
+is the first aggregation.
+
+Cited parity anchor: reference has no mixture surface; extends the
+training-data brief (SURVEY.md §2 extension block — sampling weights /
+domain capping family, see operators/quality.py domain caps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.catalog import load_table
+
+BUDGET_NUM = 7   # budget = 7/10 of total corpus tokens
+BUDGET_DEN = 10
+N_WEIGHT_CLASSES = 5  # w_d = (numeric suffix of source) % 5 + 1
+
+
+def _weight(source: F.Column) -> F.Column:
+    suffix = F.substring(source, 4, 10).cast("long")
+    return (suffix % N_WEIGHT_CLASSES + 1).cast("long")
+
+
+def mixture_token_budget(docs: DataFrame) -> DataFrame:
+    """(source, weight, avail_tokens, alloc_tokens, frozen_round,
+    utilization_pct): the per-domain sampling plan. frozen_round = 1 or
+    2 when the domain's availability bound, 0 when it received its
+    final pro-rata share."""
+    avail = (
+        docs.select(
+            "source", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("avail"))
+        .withColumn("w", _weight(F.col("source")))
+    )
+    tot = avail.agg(
+        F.sum("avail").alias("total"), F.sum("w").alias("w_all")
+    ).select(
+        F.expr(f"(total * {BUDGET_NUM}) div {BUDGET_DEN}").alias("budget"),
+        "w_all",
+    )
+    r1 = avail.crossJoin(F.broadcast(tot)).withColumn(
+        "frozen1",
+        F.expr("(w * budget) div w_all") >= F.col("avail"),
+    )
+    s2 = r1.agg(
+        F.first("budget").alias("budget"),
+        F.sum(F.when(F.col("frozen1"), F.col("avail")).otherwise(0)).alias(
+            "taken1"
+        ),
+        F.sum(F.when(F.col("frozen1"), 0).otherwise(F.col("w"))).alias("w2"),
+    ).select(
+        (F.col("budget") - F.col("taken1")).alias("r2"), "w2"
+    )
+    r2 = r1.crossJoin(F.broadcast(s2)).withColumn(
+        "frozen2",
+        (~F.col("frozen1")) & (F.expr("(w * r2) div w2") >= F.col("avail")),
+    )
+    s3 = r2.agg(
+        F.first("r2").alias("r2x"),
+        F.sum(F.when(F.col("frozen2"), F.col("avail")).otherwise(0)).alias(
+            "taken2"
+        ),
+        F.sum(
+            F.when(F.col("frozen1") | F.col("frozen2"), 0).otherwise(F.col("w"))
+        ).alias("w3"),
+    ).select((F.col("r2x") - F.col("taken2")).alias("r3"), "w3")
+    final = r2.crossJoin(F.broadcast(s3)).withColumn(
+        "alloc",
+        F.when(F.col("frozen1") | F.col("frozen2"), F.col("avail")).otherwise(
+            F.least(F.col("avail"), F.expr("(w * r3) div w3"))
+        ),
+    )
+    return final.select(
+        "source",
+        F.col("w").alias("weight"),
+        F.col("avail").alias("avail_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.when(F.col("frozen1"), 1)
+        .when(F.col("frozen2"), 2)
+        .otherwise(0)
+        .cast("long")
+        .alias("frozen_round"),
+        F.round(
+            F.col("alloc").cast("double") / F.col("avail").cast("double") * 100,
+            4,
+        ).alias("utilization_pct"),
+    ).orderBy("source")
+
+
+# Integer-division parity note: Spark ``div`` and DuckDB ``//`` are both
+# exact integer division truncating toward zero; every operand here is
+# non-negative, so both equal mathematical floor — no float in the
+# allocation path.
+def mixture_token_budget_sql(docs_table: str = "documents") -> str:
+    w = f"(CAST(SUBSTR(source, 4) AS BIGINT) % {N_WEIGHT_CLASSES} + 1)"
+    return f"""(
+    WITH avail AS (
+        SELECT source,
+            SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS avail,
+            {w} AS w
+        FROM {docs_table}
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT (SUM(avail) * {BUDGET_NUM}) // {BUDGET_DEN} AS budget,
+               SUM(w) AS w_all
+        FROM avail
+    ),
+    r1 AS (
+        SELECT a.*, t.budget,
+               (a.w * t.budget) // t.w_all >= a.avail AS frozen1
+        FROM avail a CROSS JOIN tot t
+    ),
+    s2 AS (
+        SELECT ANY_VALUE(budget)
+                 - SUM(CASE WHEN frozen1 THEN avail ELSE 0 END) AS r2,
+               SUM(CASE WHEN frozen1 THEN 0 ELSE w END) AS w2
+        FROM r1
+    ),
+    r2 AS (
+        SELECT r1.*, s2.r2 AS rem2, s2.w2,
+               NOT frozen1 AND (w * s2.r2) // s2.w2 >= avail AS frozen2
+        FROM r1 CROSS JOIN s2
+    ),
+    s3 AS (
+        SELECT ANY_VALUE(rem2) - SUM(CASE WHEN frozen2 THEN avail ELSE 0 END) AS r3,
+               SUM(CASE WHEN frozen1 OR frozen2 THEN 0 ELSE w END) AS w3
+        FROM r2
+    )
+    SELECT r2.source,
+           r2.w AS weight,
+           r2.avail AS avail_tokens,
+           CASE WHEN frozen1 OR frozen2 THEN avail
+                ELSE LEAST(avail, (w * s3.r3) // s3.w3) END AS alloc_tokens,
+           CASE WHEN frozen1 THEN 1 WHEN frozen2 THEN 2 ELSE 0 END
+               AS frozen_round,
+           ROUND(CAST(CASE WHEN frozen1 OR frozen2 THEN avail
+                      ELSE LEAST(avail, (w * s3.r3) // s3.w3) END AS DOUBLE)
+                 / CAST(avail AS DOUBLE) * 100, 4) AS utilization_pct
+    FROM r2 CROSS JOIN s3
+    ORDER BY source
+) s"""

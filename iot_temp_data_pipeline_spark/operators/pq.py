@@ -1,0 +1,436 @@
+"""Product-quantization ANN over the embeddings table (beyond-reference
+surface: the ANN family's memory-bound scale path).
+
+PQ is the standard trick for ANN over corpora whose raw vectors don't
+fit executor memory: split each D-dim vector into M subvectors, learn a
+small per-subspace codebook (k-means on the subspace), and store each
+vector as M one-byte codes — a 64-dim float vector becomes 8 bytes.
+Search runs Asymmetric Distance Computation (ADC): the query keeps its
+exact subvectors, each candidate contributes only codebook lookups, so
+the scan touches codes, not vectors.
+
+Determinism (the oracle story, same playbook as operators/clustering.py):
+
+- vectors are integer-quantized (similarity.quantize);
+- codebook seeds are a FIXED rule — the ``NCENT`` lowest vec_ids with
+  ``vec_id % SEED_MOD == SEED_REM`` — not a random sample;
+- one Lloyd refinement step runs with exact int64 squared-L2 distances
+  (ties to the smallest code), and the refined centroid is the
+  per-dimension ``floor(sum/count)`` — floor of ONE IEEE division of
+  exact small ints, identical in any engine;
+- encoding and ADC are then PURE int64 arithmetic end-to-end: there is
+  no float anywhere in the scored path, so DuckDB reproduces every
+  distance bit-for-bit.
+
+Execution shape (the 100 TB plan):
+
+- both codebooks are tiny (M·NCENT·SUBDIM ints ≈ 8 KB) — they are
+  collected as a driver digest (the sanctioned k-row pattern) and
+  inlined as LITERAL arrays/maps, so encoding is a single map-side
+  projection over the corpus: no shuffle, no join, no Python;
+- the refinement pass is one explode(M)/groupBy(j, code) — map-side
+  combine reduces it to ≤ M·NCENT rows;
+- ADC search broadcasts the query set (same contract as
+  knn_brute_force: queries fit in memory, the corpus streams) and the
+  only shuffle is the final per-query top-k window. Per-pair work is
+  M map lookups + M·SUBDIM int ops on 8-byte codes — the point of PQ.
+
+Cited parity anchor: reference has no ANN surface; extends SURVEY.md §2
+extension block (similarity-search family: brute force / IVF / LSH /
+PQ + recall checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .similarity import QUANT_SQL, _with_quantized, qcosine, sql_qcos
+
+M = 8           # subspaces
+SUBDIM = 8      # dims per subspace (M * SUBDIM == EMB_DIM == 64)
+NCENT = 64      # centroids per subspace
+SEED_MOD = 7    # deterministic seed rule: vec_id % SEED_MOD == SEED_REM
+SEED_REM = 3
+PQ_QUERY_MOD = 100
+PQ_K = 5
+PQ_RERANK_R = 50  # ADC shortlist size fed to the exact rerank stage
+
+UNIT_SCALE = 1024  # re-quantization scale for unit-normalized vectors
+
+Codebook = dict[int, list[tuple[int, list[int]]]]  # j -> [(code, cent)]
+
+
+def _with_unit(q: DataFrame) -> DataFrame:
+    """PQ ranks by subspace L2, ground truth is cosine — so vectors are
+    unit-normalized first (L2 on unit vectors is monotone with cosine).
+    The normalized coordinate is re-quantized from EXACT integers:
+    ``round(qv·UNIT_SCALE / sqrt(qnorm2))`` is three IEEE ops in a fixed
+    order on exact int64 inputs, so DuckDB reproduces it bit-for-bit."""
+    uv = F.transform(
+        F.col("qvec"),
+        lambda v: F.round(
+            v.cast("double") * UNIT_SCALE / F.sqrt(F.col("qnorm2").cast("double"))
+        ).cast("long"),
+    )
+    return q.select("vec_id", "qvec", "qnorm2", uv.alias("uvec"))
+
+
+def _subvec(qvec: Column, j: int) -> Column:
+    return F.slice(qvec, j * SUBDIM + 1, SUBDIM)
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two integer vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cb_entries(cb_j: list[tuple[int, list[int]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(code).cast("int").alias("code"),
+                F.array(*[F.lit(v).cast("long") for v in cent]).alias("cent"),
+            )
+            for code, cent in sorted(cb_j)
+        ]
+    )
+
+
+def _argmin_code(sub: Column, cb_j: list[tuple[int, list[int]]]) -> Column:
+    """code = argmin_c ‖sub − cent_c‖² over the literal codebook; a fold
+    in ascending-code order with strict ``<`` keeps the smallest code on
+    ties — same total order as the SQL twin's ORDER BY dist, code."""
+    init = F.struct(
+        F.lit(2**62).cast("long").alias("d"),
+        F.lit(-1).cast("int").alias("code"),
+    )
+    best = F.aggregate(
+        _cb_entries(cb_j),
+        init,
+        lambda acc, e: F.when(
+            _l2(sub, e["cent"]) < acc["d"],
+            F.struct(_l2(sub, e["cent"]).alias("d"), e["code"].alias("code")),
+        ).otherwise(acc),
+    )
+    return best["code"]
+
+
+def _cb_lookup(cb_j: list[tuple[int, list[int]]], code: Column) -> Column:
+    """Literal map<code, cent> lookup — map-side, no join."""
+    codes = F.array(*[F.lit(c).cast("int") for c, _ in sorted(cb_j)])
+    cents = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in cent])
+            for _, cent in sorted(cb_j)
+        ]
+    )
+    return F.element_at(F.map_from_arrays(codes, cents), code)
+
+
+def _seed_codebook(q: DataFrame) -> Codebook:
+    """NCENT deterministic seed vectors → per-subspace init codebook.
+    Driver digest: ≤ NCENT rows collected, inlined as literals."""
+    rows = (
+        q.filter(F.col("vec_id") % SEED_MOD == SEED_REM)
+        .orderBy("vec_id")
+        .limit(NCENT)
+        .select("uvec")
+        .collect()
+    )
+    return {
+        j: [
+            (i, list(r["uvec"][j * SUBDIM : (j + 1) * SUBDIM]))
+            for i, r in enumerate(rows)
+        ]
+        for j in range(M)
+    }
+
+
+def _refine(q: DataFrame, cb0: Codebook) -> Codebook:
+    """One Lloyd step: assign every subvector to its nearest seed
+    centroid, re-center as per-dim floor(sum/count). One explode(M) +
+    one groupBy(j, code) — map-side combine leaves ≤ M·NCENT rows."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                _subvec(F.col("uvec"), j).alias("sub"),
+            )
+            for j in range(M)
+        ]
+    )
+    ex = q.select(F.explode(sub_structs).alias("e")).select(
+        F.col("e.j").alias("j"), F.col("e.sub").alias("sub")
+    )
+    code = None
+    for j in range(M):
+        c = _argmin_code(F.col("sub"), cb0[j])
+        code = (
+            F.when(F.col("j") == j, c)
+            if code is None
+            else code.when(F.col("j") == j, c)
+        )
+    aggs = [F.count(F.lit(1)).alias("c")] + [
+        F.sum(F.element_at(F.col("sub"), d + 1)).alias(f"s{d}")
+        for d in range(SUBDIM)
+    ]
+    st = ex.withColumn("code", code).groupBy("j", "code").agg(*aggs)
+    cent = F.array(
+        *[
+            F.floor(F.col(f"s{d}").cast("double") / F.col("c")).cast("long")
+            for d in range(SUBDIM)
+        ]
+    )
+    rows = st.select("j", "code", cent.alias("cent")).collect()
+    cb: Codebook = {j: [] for j in range(M)}
+    for r in rows:
+        cb[int(r["j"])].append((int(r["code"]), list(r["cent"])))
+    return cb
+
+
+def train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Codebook]:
+    """(quantized corpus, refined codebook). Two driver digests total:
+    the NCENT seed rows and the ≤ M·NCENT refined centroid rows."""
+    q = _with_unit(_with_quantized(load_table(spark, sf_dir, "embeddings")))
+    q = q.localCheckpoint(eager=False)
+    cb0 = _seed_codebook(q)
+    return q, _refine(q, cb0)
+
+
+def pq_encode(q: DataFrame, cb: Codebook) -> DataFrame:
+    """(vec_id, c0..c{M-1}): single map-side projection — the corpus is
+    never shuffled and never leaves the JVM."""
+    return q.select(
+        "vec_id",
+        *[
+            _argmin_code(_subvec(F.col("uvec"), j), cb[j]).alias(f"c{j}")
+            for j in range(M)
+        ],
+    )
+
+
+def knn_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+) -> DataFrame:
+    """ADC top-k: queries keep exact subvectors, candidates contribute
+    codebook lookups only. adc_dist is EXACT int64 (no float in the
+    scored path); rank ties break on neighbor_id."""
+    q, cb = train_codebook(spark, sf_dir)
+    enc = pq_encode(q, cb)
+    queries = (
+        q.filter(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("uvec").alias("q_uvec"))
+    )
+    adc = F.lit(0).cast("long")
+    for j in range(M):
+        adc = adc + _l2(
+            _subvec(F.col("q_uvec"), j), _cb_lookup(cb[j], F.col(f"c{j}"))
+        )
+    pairs = (
+        enc.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_pq_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+    r: int = PQ_RERANK_R,
+) -> DataFrame:
+    """The production PQ architecture (IVFADC-with-rerank shape): the
+    ADC scan produces a top-``r`` shortlist per query from codes alone,
+    then ONLY the shortlisted raw vectors are fetched and re-scored with
+    the exact quantized cosine. At scale the expensive full-vector read
+    is bounded at Q·r rows regardless of corpus size; the shortlist
+    boundary is deterministic (adc_dist, neighbor_id total order) and
+    the rerank cosine is the same exact-int single-division form as
+    knn_brute_force, so the whole pipeline stays bit-reproducible."""
+    q, cb = train_codebook(spark, sf_dir)
+    enc = pq_encode(q, cb)
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uvec").alias("q_uvec"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    adc = F.lit(0).cast("long")
+    for j in range(M):
+        adc = adc + _l2(
+            _subvec(F.col("q_uvec"), j), _cb_lookup(cb[j], F.col(f"c{j}"))
+        )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        enc.crossJoin(F.broadcast(queries.select("query_id", "q_uvec")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= r)
+        .select("query_id", "neighbor_id")
+    )
+    nb = q.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
+    rer = (
+        shortlist.join(nb, "neighbor_id")
+        .join(
+            F.broadcast(queries.select("query_id", "q_qvec", "q_qnorm2")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(
+                F.col("q_qvec"),
+                F.col("qvec"),
+                F.col("q_qnorm2"),
+                F.col("qnorm2"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# SQL twins ------------------------------------------------------------
+#
+# The oracle recomputes the ENTIRE pipeline — seeds, refinement, encode,
+# ADC — from the parquet, independently of the collected digests; both
+# sides are exact-integer so every adc_dist matches bit-for-bit.
+
+def _sql_sub_l2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {SUBDIM}),"
+        f" d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+    )
+
+
+def pq_cte_sql(query_mod: int = PQ_QUERY_MOD) -> str:
+    """CTE chain (expects the similarity QUANT_SQL prelude in scope):
+    subs → seeds → cb0 → assign0 → refined → encode → pqueries → pairs."""
+    floor_cents = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(sub[{d + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for d in range(SUBDIM)
+    )
+    return f"""
+unormed AS (
+    SELECT vec_id,
+        list_transform(qvec, v -> CAST(ROUND(
+            CAST(v AS DOUBLE) * {UNIT_SCALE} / sqrt(CAST(qnorm2 AS DOUBLE))
+        ) AS BIGINT)) AS uvec
+    FROM qnormed
+),
+subs AS (
+    SELECT vec_id, j, list_slice(uvec, j * {SUBDIM} + 1, j * {SUBDIM} + {SUBDIM}) AS sub
+    FROM unormed, (SELECT unnest(generate_series(0, {M - 1})) AS j) js
+),
+seeds AS (
+    SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM unormed WHERE vec_id % {SEED_MOD} = {SEED_REM}
+    ORDER BY vec_id LIMIT {NCENT}
+),
+cb0 AS (
+    SELECT s.j, se.code, s.sub AS cent
+    FROM subs s JOIN seeds se USING (vec_id)
+),
+assign0 AS (
+    SELECT s.vec_id, s.j, s.sub, c.code,
+           {_sql_sub_l2("s.sub", "c.cent")} AS dist
+    FROM subs s JOIN cb0 c ON s.j = c.j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                               ORDER BY dist, c.code) = 1
+),
+refined AS (
+    SELECT j, code, [{floor_cents}] AS cent
+    FROM assign0 GROUP BY j, code
+),
+encode AS (
+    SELECT s.vec_id, s.j, r.code,
+           {_sql_sub_l2("s.sub", "r.cent")} AS dist
+    FROM subs s JOIN refined r ON s.j = r.j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                               ORDER BY dist, r.code) = 1
+),
+pqueries AS (
+    SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id % {query_mod} = 0
+),
+pq_pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           SUM({_sql_sub_l2("q.sub", "r.cent")}) AS adc_dist
+    FROM pqueries q
+    JOIN encode e ON e.j = q.j AND e.vec_id <> q.query_id
+    JOIN refined r ON r.j = e.j AND r.code = e.code
+    GROUP BY q.query_id, e.vec_id
+)"""
+
+
+def knn_pq_sql(k: int = PQ_K) -> str:
+    """Final subselect over the pq_cte_sql chain."""
+    return f"""(
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM pq_pairs
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
+def knn_pq_rerank_sql(k: int = PQ_K, r: int = PQ_RERANK_R) -> str:
+    """Shortlist-then-exact-rerank over the pq_cte_sql chain (also
+    needs the QUANT_SQL prelude's qnormed in scope)."""
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT s.query_id, s.neighbor_id, {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos} DESC, s.neighbor_id) AS rank
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS srank
+                FROM pq_pairs
+            ) t WHERE srank <= {r}
+        ) s
+        JOIN qnormed a ON a.vec_id = s.query_id
+        JOIN qnormed b ON b.vec_id = s.neighbor_id
+    ) ranked
+    WHERE rank <= {k}
+) s"""
+
+
+PQ_PRELUDE_SQL = "WITH " + QUANT_SQL.strip() + ",\n" + pq_cte_sql().strip()

@@ -906,3 +906,231 @@ def semantic_dedup_sql(
         COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors
     FROM assigned s LEFT JOIN dup_edges d ON s.vec_id = d.vec_id
 ) sd"""
+
+
+# ------------------------------------------- contrastive pair mining
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training (beyond-reference
+    surface): for each query vector, the best SAME-label neighbor (the
+    positive) and the best DIFFERENT-label neighbor (the hard negative)
+    by exact quantized cosine, plus the margin between them — the
+    triplet/contrastive batch-construction step of an embedding-model
+    training pipeline. Scale shape = knn_brute_force's: broadcast
+    query set over the streaming corpus; per-label top-1s come out of
+    ONE window over (query, same-label flag). margin is a single IEEE
+    subtraction of two deterministic doubles — oracle-exact."""
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("q_label")).alias("is_same"),
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_same").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("query_id", F.col("q_label").alias("label"))
+        .agg(
+            F.max(F.when(F.col("is_same"), F.col("neighbor_id"))).alias("pos_id"),
+            F.max(F.when(F.col("is_same"), F.col("cosine"))).alias("pos_cos"),
+            F.max(F.when(~F.col("is_same"), F.col("neighbor_id"))).alias("neg_id"),
+            F.max(F.when(~F.col("is_same"), F.col("cosine"))).alias("neg_cos"),
+        )
+        .withColumn("margin", F.col("pos_cos") - F.col("neg_cos"))
+        .orderBy("query_id")
+    )
+
+
+def hard_negative_mining_sql(query_mod: int = 100) -> str:
+    cos = sql_qcos("q.qvec", "n.qvec", "q.qnorm2", "n.qnorm2")
+    return f"""(
+    WITH hq AS (
+        SELECT vec_id AS query_id, label AS q_label, qvec, qnorm2
+        FROM qnormed WHERE vec_id % {query_mod} = 0
+    ),
+    hscored AS (
+        SELECT q.query_id, q.q_label, n.vec_id AS neighbor_id,
+               n.label = q.q_label AS is_same,
+               {cos} AS cosine
+        FROM hq q JOIN qnormed n ON n.vec_id <> q.query_id
+    ),
+    hbest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id, is_same
+                ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM hscored
+        ) t WHERE rn = 1
+    )
+    SELECT query_id, q_label AS label,
+           MAX(CASE WHEN is_same THEN neighbor_id END) AS pos_id,
+           MAX(CASE WHEN is_same THEN cosine END) AS pos_cos,
+           MAX(CASE WHEN NOT is_same THEN neighbor_id END) AS neg_id,
+           MAX(CASE WHEN NOT is_same THEN cosine END) AS neg_cos,
+           MAX(CASE WHEN is_same THEN cosine END)
+             - MAX(CASE WHEN NOT is_same THEN cosine END) AS margin
+    FROM hbest
+    GROUP BY query_id, q_label
+    ORDER BY query_id
+) s"""
+
+
+# ----------------------------------- Johnson–Lindenstrauss projection
+
+JL_DIM = 16
+JL_SEED_NS = "jl"
+
+
+def _jl_sign(d: int, i: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{JL_SEED_NS}:{d}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h & 1 else -1
+
+
+def jl_sign_matrix(dim_out: int = JL_DIM, dim_in: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (md5-derived, same scheme as the
+    LSH hyperplanes) — the Achlioptas database-friendly JL variant."""
+    return [[_jl_sign(d, i) for i in range(dim_in)] for d in range(dim_out)]
+
+
+def jl_project(qvec: Column, signs: list[list[int]]) -> Column:
+    """qvec (ints) → JL_DIM ints: p_d = Σ_i sign_{d,i}·qv_i — exact
+    int64, a pure map-side projection against literal rows."""
+    return F.array(
+        *[
+            qdot(qvec, F.array(*[F.lit(s).cast("long") for s in row]))
+            for row in signs
+        ]
+    )
+
+
+def jl_projection_recall(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """Recall@5 of brute-force search in the JL-projected space (64 →
+    16 dims) against full-space ground truth — the dimensionality-
+    reduction quality gate (JL lemma in action: 4× cheaper scans at
+    measurable recall cost). Both searches deterministic; the oracle
+    recomputes the projection from the same literal sign matrix."""
+    signs = jl_sign_matrix()
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    proj = emb.select(
+        "vec_id", jl_project(F.col("qvec"), signs).alias("pvec")
+    ).withColumn("pnorm2", qnorm2(F.col("pvec")))
+    q = proj.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pvec").alias("q_pvec"),
+        F.col("pnorm2").alias("q_pnorm2"),
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            qcosine(
+                F.col("q_pvec"), F.col("pvec"), F.col("q_pnorm2"), F.col("pnorm2")
+            ).alias("pcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    bf = knn_brute_force(spark, sf_dir, query_mod, k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("h")),
+            "query_id",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_recall_at_5"),
+        )
+    )
+
+
+def jl_projection_recall_sql(query_mod: int = 100, k: int = 5) -> str:
+    signs = jl_sign_matrix()
+    rows = ",\n        ".join(
+        f"({d}, [{', '.join(str(s) for s in row)}])"
+        for d, row in enumerate(signs)
+    )
+    pcos = sql_qcos("q.pvec", "p.pvec", "q.pnorm2", "p.pnorm2")
+    return f"""(
+    WITH jl_signs(d, srow) AS (VALUES
+        {rows}
+    ),
+    jproj AS (
+        SELECT n.vec_id,
+            list(CAST(list_sum(list_transform(
+                generate_series(1, len(n.qvec)),
+                i -> n.qvec[i] * s.srow[i])) AS BIGINT) ORDER BY s.d) AS pvec
+        FROM qnormed n CROSS JOIN jl_signs s
+        GROUP BY n.vec_id
+    ),
+    jnormed AS (
+        SELECT vec_id, pvec,
+            list_sum(list_transform(generate_series(1, len(pvec)),
+                                    i -> pvec[i] * pvec[i])) AS pnorm2
+        FROM jproj
+    ),
+    jq AS (
+        SELECT vec_id AS query_id, pvec, pnorm2 FROM jnormed
+        WHERE vec_id % {query_mod} = 0
+    ),
+    japprox AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, p.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {pcos} DESC, p.vec_id) AS rank
+            FROM jq q JOIN jnormed p ON p.vec_id <> q.query_id
+        ) t WHERE rank <= {k}
+    ),
+    jbf AS (
+        SELECT query_id, neighbor_id FROM {knn_brute_force_sql(query_mod, k)}
+    ),
+    jper_q AS (
+        SELECT jbf.query_id, COUNT(*) AS k,
+            SUM(CASE WHEN japprox.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM jbf
+        LEFT JOIN japprox ON jbf.query_id = japprox.query_id
+                         AND jbf.neighbor_id = japprox.neighbor_id
+        GROUP BY jbf.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
+    FROM jper_q
+) s"""

@@ -16,6 +16,8 @@ from ..operators import chunking as ck
 from ..operators import graph as gr
 from ..operators import clustering as km
 from ..operators import packing as pk
+from ..operators import mixture as mx
+from ..operators import pq
 from ..operators import quality as qa
 from ..operators import sketches as sk
 from ..operators import similarity as sim
@@ -1394,3 +1396,269 @@ WSAMPLE_ORACLE = sql_select(
 )
 
 EXTENSIONS["weighted_sample_topk"] = QuerySpec(_weighted_sample, WSAMPLE_ORACLE)
+
+
+# ----------------------------------------- product-quantization ANN (ADC)
+
+PQ_SPEC = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("adc_dist", "long"),
+    ("rank", "long"),
+]
+
+
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes + asymmetric-distance top-k (operators/pq.py): the
+    memory-bound ANN path — the corpus is scanned as M one-byte codes,
+    never as raw vectors. Exact int64 distances end-to-end, so the
+    oracle (which re-trains the codebook from scratch in SQL) matches
+    every adc_dist bit-for-bit."""
+    return shape(pq.knn_pq(spark, sf_dir), PQ_SPEC)
+
+
+KNN_PQ_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + pq.pq_cte_sql().strip()
+    + "\n"
+    + sql_select(PQ_SPEC, pq.knn_pq_sql())
+)
+
+EXTENSIONS["knn_pq_adc"] = QuerySpec(_knn_pq, KNN_PQ_ORACLE)
+
+
+PQ_RERANK_SPEC = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (top-R from codes alone) + exact-cosine rerank of
+    only the shortlisted vectors — the production PQ architecture; the
+    full-vector read is bounded at Q·R rows regardless of corpus size."""
+    return shape(pq.knn_pq_rerank(spark, sf_dir), PQ_RERANK_SPEC)
+
+
+KNN_PQ_RERANK_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + pq.pq_cte_sql().strip()
+    + "\n"
+    + sql_select(PQ_RERANK_SPEC, pq.knn_pq_rerank_sql())
+)
+
+EXTENSIONS["knn_pq_rerank"] = QuerySpec(_knn_pq_rerank, KNN_PQ_RERANK_ORACLE)
+
+
+PQ_RECALL_SPEC = [
+    ("n_queries", "long"),
+    ("mean_recall_at_5", "f4"),
+]
+
+
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ shortlist-rerank path against brute-force
+    ground truth — the quality dial a PQ deployment tunes (M, NCENT,
+    R) against. Same composition as ann_recall_check; both pipelines
+    deterministic. The fixture embeddings are isotropic (near-zero
+    label structure), the hard case for ANN — pure ADC@5 sits near
+    0.1 there, which is why the measured path is the rerank form."""
+    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq.knn_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    df = (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("h")),
+            "query_id",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_recall_at_5"),
+        )
+    )
+    return shape(df, PQ_RECALL_SPEC)
+
+
+PQ_RECALL_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + pq.pq_cte_sql().strip()
+    + sql_select(
+        PQ_RECALL_SPEC,
+        f"""(
+    WITH bf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_brute_force_sql()}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM {pq.knn_pq_rerank_sql()}
+    ),
+    per_q AS (
+        SELECT bf.query_id, COUNT(*) AS k,
+            SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM bf
+        LEFT JOIN approx ON bf.query_id = approx.query_id
+                        AND bf.neighbor_id = approx.neighbor_id
+        GROUP BY bf.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
+    FROM per_q
+) s""",
+    )
+)
+
+EXTENSIONS["pq_recall_check"] = QuerySpec(_pq_recall, PQ_RECALL_ORACLE)
+
+
+# ------------------------------------- data-mixture token-budget solver
+
+MIXTURE_SPEC = [
+    ("source", ""),
+    ("weight", "long"),
+    ("avail_tokens", "long"),
+    ("alloc_tokens", "long"),
+    ("frozen_round", "long"),
+    ("utilization_pct", "f4"),
+]
+
+
+def _mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-waterfilling allocation of a global token budget across
+    sources (operators/mixture.py) — the mixture-weights table of a
+    pre-training run. Pure integer allocation path, bit-exact oracle."""
+    return shape(
+        mx.mixture_token_budget(load_table(spark, sf_dir, "documents")),
+        MIXTURE_SPEC,
+    )
+
+
+MIXTURE_ORACLE = sql_select(MIXTURE_SPEC, mx.mixture_token_budget_sql())
+
+EXTENSIONS["mixture_token_budget"] = QuerySpec(_mixture_budget, MIXTURE_ORACLE)
+
+
+# -------------------------------- contrastive mining / JL / dup matrix
+
+HNM_SPEC = [
+    ("query_id", "long"),
+    ("label", "long"),
+    ("pos_id", "long"),
+    ("pos_cos", ""),
+    ("neg_id", "long"),
+    ("neg_cos", ""),
+    ("margin", ""),
+]
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.hard_negative_mining(spark, sf_dir), HNM_SPEC)
+
+
+HNM_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(HNM_SPEC, sim.hard_negative_mining_sql())
+)
+
+EXTENSIONS["hard_negative_mining"] = QuerySpec(_hard_negatives, HNM_ORACLE)
+
+
+JL_SPEC = [
+    ("n_queries", "long"),
+    ("mean_recall_at_5", "f4"),
+]
+
+
+def _jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.jl_projection_recall(spark, sf_dir), JL_SPEC)
+
+
+JL_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(JL_SPEC, sim.jl_projection_recall_sql())
+)
+
+EXTENSIONS["jl_projection_recall"] = QuerySpec(_jl_recall, JL_ORACLE)
+
+
+SRCMAT_SPEC = [
+    ("source_a", ""),
+    ("source_b", ""),
+    ("n_pairs", "long"),
+    ("max_jaccard", ""),
+]
+
+
+def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which sources duplicate each
+    other, from the n-gram Jaccard near-dup pairs — the curation
+    diagnostic that decides which feeds to drop or down-weight. The
+    source lookup joins against the slim (doc_id, source) projection;
+    pair sides are canonicalized (least/greatest) so the matrix is
+    upper-triangular."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    src = corpus.select("doc_id", "source")
+    df = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return shape(df, SRCMAT_SPEC)
+
+
+SRCMAT_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + sql_select(
+        SRCMAT_SPEC,
+        f"""(
+    SELECT LEAST(ca.source, cb.source) AS source_a,
+           GREATEST(ca.source, cb.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           MAX(s.jaccard) AS max_jaccard
+    FROM {dd.NGRAM_JACCARD_SQL}
+    JOIN corpus ca ON ca.doc_id = s.doc_a
+    JOIN corpus cb ON cb.doc_id = s.doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+) s""",
+    )
+)
+
+EXTENSIONS["dup_source_matrix"] = QuerySpec(_dup_source_matrix, SRCMAT_ORACLE)

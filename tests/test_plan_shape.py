@@ -259,3 +259,31 @@ def test_hll_register_sketch_broadcast_assembly(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_is_map_side_only(spark, sf_dir):
+    """PQ encoding must be a single map-side projection: the codebook is
+    inlined as literals, so the corpus is never shuffled, joined, or
+    sent to Python on its way to codes (operators/pq.py — at 100 TB the
+    encode pass is a pure scan)."""
+    from iot_temp_data_pipeline_spark.operators import pq as pqop
+
+    q, cb = pqop.train_codebook(spark, sf_dir)
+    plan = plan_of(pqop.pq_encode(q, cb))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert all(len(cb_j) >= 1 for cb_j in cb.values())
+    codes = {c for cb_j in cb.values() for c, _ in cb_j}
+    assert codes <= set(range(pqop.NCENT))
+
+
+def test_pq_rerank_fetch_is_shortlist_bounded(spark, sf_dir):
+    """The rerank stage's full-vector fetch must hang off the top-R
+    shortlist (WindowGroupLimit under the window), and the query-vector
+    join must broadcast — the corpus-sized side may shuffle only once,
+    for the shortlist window itself."""
+    from iot_temp_data_pipeline_spark.operators import pq as pqop
+
+    plan = plan_of(pqop.knn_pq_rerank(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

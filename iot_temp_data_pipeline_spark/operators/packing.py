@@ -311,3 +311,73 @@ def language_sampling_weights_sql(source: str = "documents", alpha: float = ALPH
         (p_alpha / z) / natural_share AS doc_weight
     FROM ls CROSS JOIN lz
 ) lw"""
+
+
+# ------------------------------------------- padding-waste accounting
+
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def padding_waste_by_bucket(docs: DataFrame) -> DataFrame:
+    """Length-bucketed batching audit (the alternative to packing):
+    if sequences are padded up to the next power-of-two bucket cap,
+    how much compute is wasted per bucket? The accounting every
+    batching strategy decision starts from — read next to
+    pack_sequences_*, which this table justifies.
+
+    One map-side CASE assigns the bucket, one groupBy(cap) reduces —
+    the output is |buckets| rows regardless of corpus size. Integer
+    token counts, float only in the final reported percentage."""
+    n = token_count(F.col("text"))
+    cap = None
+    for b in PAD_BUCKETS:
+        cap = F.when(n <= b, b) if cap is None else cap.when(n <= b, b)
+    cap = cap.otherwise(n).cast("long")  # oversize: unpadded tail bucket
+    return (
+        docs.select(cap.alias("bucket_cap"), n.alias("n_tokens"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "total_padding",
+            (F.col("bucket_cap") * F.col("n_docs") - F.col("total_tokens"))
+            .cast("long"),
+        )
+        .withColumn(
+            "padding_pct",
+            F.round(
+                F.col("total_padding").cast("double")
+                / (F.col("bucket_cap") * F.col("n_docs")).cast("double")
+                * 100,
+                4,
+            ),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+def padding_waste_by_bucket_sql(source: str = "documents") -> str:
+    n = "len(regexp_split_to_array(lower(text), '\\s+'))"
+    branches = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in PAD_BUCKETS
+    )
+    return f"""(
+    WITH bucketed AS (
+        SELECT CAST(CASE {branches} ELSE {n} END AS BIGINT) AS bucket_cap,
+               CAST({n} AS BIGINT) AS n_tokens
+        FROM {source}
+    )
+    SELECT bucket_cap,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket_cap - SUM(n_tokens) AS BIGINT)
+               AS total_padding,
+           ROUND(CAST(COUNT(*) * bucket_cap - SUM(n_tokens) AS DOUBLE)
+                 / CAST(bucket_cap * COUNT(*) AS DOUBLE) * 100, 4)
+               AS padding_pct
+    FROM bucketed
+    GROUP BY bucket_cap
+    ORDER BY bucket_cap
+) s"""

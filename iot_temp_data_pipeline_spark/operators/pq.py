@@ -24,16 +24,23 @@ Determinism (the oracle story, same playbook as operators/clustering.py):
 
 Execution shape (the 100 TB plan):
 
-- both codebooks are tiny (M·NCENT·SUBDIM ints ≈ 8 KB) — they are
+- both codebooks are tiny (M·NCENT·SUBDIM ints ≈ 32 KB) — they are
   collected as a driver digest (the sanctioned k-row pattern) and
-  inlined as LITERAL arrays/maps, so encoding is a single map-side
-  projection over the corpus: no shuffle, no join, no Python;
-- the refinement pass is one explode(M)/groupBy(j, code) — map-side
-  combine reduces it to ≤ M·NCENT rows;
-- ADC search broadcasts the query set (same contract as
-  knn_brute_force: queries fit in memory, the corpus streams) and the
-  only shuffle is the final per-query top-k window. Per-pair work is
-  M map lookups + M·SUBDIM int ops on 8-byte codes — the point of PQ.
+  shipped to every task, so encoding is a single map-side pass over
+  the corpus: no shuffle, no join. The physical form is cost-based
+  (pq_encode strategy): literal Catalyst expressions while M·NCENT is
+  small, an Arrow-batched int64 kernel beyond that (the literal tree's
+  fixed plan-processing cost dwarfs the data pass at NCENT=64 —
+  measured ~25 s at ANY input size);
+- the refinement pass emits per-batch partial sums (j, code, count,
+  per-dim sums) — the mergeable-sketch shape — so the groupBy reduces
+  ≤ M·NCENT rows per batch, never the corpus;
+- ADC search keeps the query side bounded (same contract as
+  knn_brute_force: queries fit in memory, the corpus streams). At
+  scale adc_topm's distributive form ranks only #partitions·Q·(m+1)
+  locally-selected candidates in the final exact window instead of
+  shuffling all N·Q scored pairs. Per-pair work is M LUT gathers on
+  8-byte codes — the point of PQ.
 
 Cited parity anchor: reference has no ANN surface; extends SURVEY.md §2
 extension block (similarity-search family: brute force / IVF / LSH /
@@ -152,35 +159,100 @@ def _seed_codebook(q: DataFrame) -> Codebook:
     }
 
 
+def _cb_arrays(cb: Codebook):
+    """codebook dict → per-subspace (codes K_j, centroid matrix K_j×SUBDIM)
+    int64 arrays, ascending code order (argmin's first-min tie rule then
+    equals the expression fold's smallest-code rule)."""
+    import numpy as np
+
+    out = []
+    for j in range(M):
+        entries = sorted(cb[j])
+        out.append(
+            (
+                np.array([c for c, _ in entries], dtype=np.int64),
+                np.array([cent for _, cent in entries], dtype=np.int64),
+            )
+        )
+    return out
+
+
+def _assign_codes_numpy(q: DataFrame, cb: Codebook) -> DataFrame:
+    """(vec_id, c0..c{M-1}) via an Arrow-batched int64 kernel — the
+    default once the codebook is big: a literal-expression argmin over
+    M·NCENT struct literals builds a 100k-node Catalyst tree whose
+    analysis/codegen time dwarfs the data pass (measured ~25 s fixed at
+    ANY input size with NCENT=64), while this kernel is a plain
+    B×K×SUBDIM integer distance matrix per batch. Still map-side only:
+    no shuffle, no join; bit-identical to pq_encode(strategy="expr")
+    (exact int64 distances, first-min == smallest code)."""
+    bc = q.sparkSession.sparkContext.broadcast(_cb_arrays(cb))
+
+    def enc(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["uvec"]])
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for j in range(M):
+                sub = x[:, j * SUBDIM : (j + 1) * SUBDIM]
+                codes, mat = cents[j]
+                d = ((sub[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+                out[f"c{j}"] = codes[np.argmin(d, axis=1)].astype(np.int32)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"c{j} int" for j in range(M))
+    return q.select("vec_id", "uvec").mapInPandas(enc, schema=schema)
+
+
 def _refine(q: DataFrame, cb0: Codebook) -> Codebook:
     """One Lloyd step: assign every subvector to its nearest seed
-    centroid, re-center as per-dim floor(sum/count). One explode(M) +
-    one groupBy(j, code) — map-side combine leaves ≤ M·NCENT rows."""
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("int").alias("j"),
-                _subvec(F.col("uvec"), j).alias("sub"),
-            )
-            for j in range(M)
-        ]
+    centroid and re-center as per-dim floor(sum/count). The assignment
+    kernel emits PER-BATCH partial sums (j, code, count, per-dim sums)
+    — the mergeable-sketch shape — so the groupBy reduces ≤ M·NCENT
+    rows per batch, never the corpus."""
+    bc = q.sparkSession.sparkContext.broadcast(_cb_arrays(cb0))
+
+    def partial(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["uvec"]])
+            rows = []
+            for j in range(M):
+                sub = x[:, j * SUBDIM : (j + 1) * SUBDIM]
+                codes, mat = cents[j]
+                d = ((sub[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d, axis=1)
+                for k_idx in np.unique(a):
+                    sel = sub[a == k_idx]
+                    rows.append(
+                        (j, int(codes[k_idx]), sel.shape[0])
+                        + tuple(int(v) for v in sel.sum(axis=0))
+                    )
+            cols = ["j", "code", "c"] + [f"s{d}" for d in range(SUBDIM)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "j int, code int, c long, " + ", ".join(
+        f"s{d} long" for d in range(SUBDIM)
     )
-    ex = q.select(F.explode(sub_structs).alias("e")).select(
-        F.col("e.j").alias("j"), F.col("e.sub").alias("sub")
-    )
-    code = None
-    for j in range(M):
-        c = _argmin_code(F.col("sub"), cb0[j])
-        code = (
-            F.when(F.col("j") == j, c)
-            if code is None
-            else code.when(F.col("j") == j, c)
+    st = (
+        q.select("vec_id", "uvec")
+        .mapInPandas(partial, schema=schema)
+        .groupBy("j", "code")
+        .agg(
+            F.sum("c").alias("c"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(SUBDIM)],
         )
-    aggs = [F.count(F.lit(1)).alias("c")] + [
-        F.sum(F.element_at(F.col("sub"), d + 1)).alias(f"s{d}")
-        for d in range(SUBDIM)
-    ]
-    st = ex.withColumn("code", code).groupBy("j", "code").agg(*aggs)
+    )
     cent = F.array(
         *[
             F.floor(F.col(f"s{d}").cast("double") / F.col("c")).cast("long")
@@ -203,9 +275,16 @@ def train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Codeboo
     return q, _refine(q, cb0)
 
 
-def pq_encode(q: DataFrame, cb: Codebook) -> DataFrame:
-    """(vec_id, c0..c{M-1}): single map-side projection — the corpus is
-    never shuffled and never leaves the JVM."""
+def pq_encode(q: DataFrame, cb: Codebook, strategy: str = "auto") -> DataFrame:
+    """(vec_id, c0..c{M-1}): map-side only — the corpus is never
+    shuffled. "expr" inlines the codebook as literal expressions (pure
+    JVM, right while M·NCENT is small); "auto" switches to the
+    Arrow-batched kernel for big codebooks, where the literal tree's
+    fixed Catalyst cost dominates (see _assign_codes_numpy)."""
+    if strategy == "auto":
+        strategy = "expr" if M * NCENT <= 64 else "numpy"
+    if strategy == "numpy":
+        return _assign_codes_numpy(q, cb)
     return q.select(
         "vec_id",
         *[
@@ -215,42 +294,131 @@ def pq_encode(q: DataFrame, cb: Codebook) -> DataFrame:
     )
 
 
-def knn_pq(
-    spark: SparkSession,
-    sf_dir: str,
-    query_mod: int = PQ_QUERY_MOD,
-    k: int = PQ_K,
-) -> DataFrame:
-    """ADC top-k: queries keep exact subvectors, candidates contribute
-    codebook lookups only. adc_dist is EXACT int64 (no float in the
-    scored path); rank ties break on neighbor_id."""
-    q, cb = train_codebook(spark, sf_dir)
-    enc = pq_encode(q, cb)
-    queries = (
-        q.filter(F.col("vec_id") % query_mod == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("uvec").alias("q_uvec"))
-    )
+PQ_GEMM_MIN_PAIRS = 2_000_000  # same cost-model style as knn_brute_force
+
+
+def _adc_expr(cb: Codebook) -> Column:
     adc = F.lit(0).cast("long")
     for j in range(M):
         adc = adc + _l2(
             _subvec(F.col("q_uvec"), j), _cb_lookup(cb[j], F.col(f"c{j}"))
         )
-    pairs = (
-        enc.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
+    return adc
+
+
+def adc_topm(
+    enc: DataFrame,
+    cb: Codebook,
+    queries: DataFrame,
+    m: int,
+    n_pairs: int,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Top-``m`` candidates per query by exact int64 ADC distance
+    (ties to the smaller neighbor_id), over the code table only.
+
+    ``strategy`` picks the physical form (bit-identical results):
+    "catalyst" (broadcast crossJoin + window — fine while N·Q is
+    small), "numpy" (per-partition LUT gather + distributive partial
+    top-m: each Arrow batch emits only its local top-(m+1) per query,
+    so the final exact window ranks #partitions·Q·(m+1) rows instead
+    of shuffling all N·Q scored pairs — the shape that keeps the ADC
+    scan linear at 100 TB), or "auto" (cost-based on N·Q, the same
+    plan-time statistic style as knn_brute_force). Selection under the
+    strict total order (adc_dist, neighbor_id) makes the partial top-m
+    lossless."""
+    if strategy == "auto":
+        # numpy wins on EITHER axis of the cost model: many pairs (the
+        # window would shuffle N·Q rows) or a big codebook (the literal
+        # lookup maps alone push the Catalyst tree past ~100k nodes —
+        # fixed plan-processing cost dwarfing the data pass).
+        big_cb = M * NCENT > 64
+        strategy = (
+            "numpy"
+            if n_pairs >= PQ_GEMM_MIN_PAIRS or big_cb
+            else "catalyst"
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    if strategy == "catalyst":
+        pairs = (
+            enc.crossJoin(F.broadcast(queries.select("query_id", "q_uvec")))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _adc_expr(cb).alias("adc_dist"),
+            )
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= m)
+        )
+
+    import numpy as np
+
+    q_rows = queries.select("query_id", "q_uvec").collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    lut = np.full((len(q_rows), M, NCENT), 2**62, dtype=np.int64)
+    for qi, row in enumerate(q_rows):
+        uv = np.asarray(row["q_uvec"], dtype=np.int64)
+        for j in range(M):
+            sub = uv[j * SUBDIM : (j + 1) * SUBDIM]
+            for code, cent in cb[j]:
+                diff = sub - np.asarray(cent, dtype=np.int64)
+                lut[qi, j, code] = int((diff * diff).sum())
+    bc = enc.sparkSession.sparkContext.broadcast((qids, lut))
+
+    def partial_topm(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qids, lut = bc.value
+        jdx = np.arange(M)[None, :]
+        mm = m + 1  # self-match removed post-selection
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = pdf[[f"c{j}" for j in range(M)]].to_numpy(dtype=np.int64)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi in range(qids.shape[0]):
+                d = lut[qi, jdx, codes].sum(axis=1)
+                order = np.lexsort((vec_ids, d))[:mm]
+                keep = order[vec_ids[order] != qids[qi]][:m]
+                out["query_id"].extend([int(qids[qi])] * keep.shape[0])
+                out["neighbor_id"].extend(vec_ids[keep].tolist())
+                out["adc_dist"].extend(d[keep].tolist())
+            yield pd.DataFrame(out)
+
+    cand = enc.mapInPandas(
+        partial_topm, schema="query_id long, neighbor_id long, adc_dist long"
     )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= m)
+    )
+
+
+def knn_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+    strategy: str = "auto",
+) -> DataFrame:
+    """ADC top-k: queries keep exact subvectors, candidates contribute
+    codebook lookups only. adc_dist is EXACT int64 (no float in the
+    scored path); rank ties break on neighbor_id. Physical form via
+    :func:`adc_topm` (cost-based catalyst / distributive-numpy)."""
+    q, cb = train_codebook(spark, sf_dir)
+    n = q.count()
+    enc = pq_encode(q, cb)
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("uvec").alias("q_uvec")
+    )
+    return adc_topm(enc, cb, queries, k, n * (n // query_mod), strategy)
 
 
 def knn_pq_rerank(
@@ -259,16 +427,19 @@ def knn_pq_rerank(
     query_mod: int = PQ_QUERY_MOD,
     k: int = PQ_K,
     r: int = PQ_RERANK_R,
+    strategy: str = "auto",
 ) -> DataFrame:
     """The production PQ architecture (IVFADC-with-rerank shape): the
-    ADC scan produces a top-``r`` shortlist per query from codes alone,
-    then ONLY the shortlisted raw vectors are fetched and re-scored with
-    the exact quantized cosine. At scale the expensive full-vector read
-    is bounded at Q·r rows regardless of corpus size; the shortlist
-    boundary is deterministic (adc_dist, neighbor_id total order) and
-    the rerank cosine is the same exact-int single-division form as
+    ADC scan produces a top-``r`` shortlist per query from codes alone
+    (:func:`adc_topm` — distributive partial top-m at scale), then ONLY
+    the shortlisted raw vectors are fetched and re-scored with the
+    exact quantized cosine. The expensive full-vector read is bounded
+    at Q·r rows regardless of corpus size; the shortlist boundary is
+    deterministic (adc_dist, neighbor_id total order) and the rerank
+    cosine is the same exact-int single-division form as
     knn_brute_force, so the whole pipeline stays bit-reproducible."""
     q, cb = train_codebook(spark, sf_dir)
+    n = q.count()
     enc = pq_encode(q, cb)
     queries = q.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -276,26 +447,9 @@ def knn_pq_rerank(
         F.col("qvec").alias("q_qvec"),
         F.col("qnorm2").alias("q_qnorm2"),
     )
-    adc = F.lit(0).cast("long")
-    for j in range(M):
-        adc = adc + _l2(
-            _subvec(F.col("q_uvec"), j), _cb_lookup(cb[j], F.col(f"c{j}"))
-        )
-    sw = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        enc.crossJoin(F.broadcast(queries.select("query_id", "q_uvec")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
-        )
-        .withColumn("srank", F.row_number().over(sw))
-        .filter(F.col("srank") <= r)
-        .select("query_id", "neighbor_id")
-    )
+    shortlist = adc_topm(
+        enc, cb, queries, r, n * (n // query_mod), strategy
+    ).select("query_id", "neighbor_id")
     nb = q.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
     rer = (
         shortlist.join(nb, "neighbor_id")

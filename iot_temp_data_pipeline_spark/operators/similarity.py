@@ -910,8 +910,76 @@ def semantic_dedup_sql(
 
 # ------------------------------------------- contrastive pair mining
 
+def _hnm_partial_matmul(emb, query_mod: int):
+    """Distributive form of the mining scan: each Arrow batch emits only
+    its local best same-label and best different-label candidate per
+    query (2 rows per query per batch under the strict total order
+    cosine DESC, neighbor_id ASC), so the final per-class window ranks
+    #partitions·Q·2 rows instead of shuffling all N·Q scored pairs.
+    Bit-identical to the Catalyst form: integer GEMM dots, the same
+    IEEE operation order as qcosine, lossless partial selection."""
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "label", "qvec", "qnorm2")
+        .collect()
+    )
+    qmat = np.array([r["qvec"] for r in q_rows], dtype=np.int64)
+    qsqrt = np.sqrt(
+        np.array([r["qnorm2"] for r in q_rows], dtype=np.int64).astype(np.float64)
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in q_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((qmat, qsqrt, qids, qlabels))
+
+    def partial(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qmat, qsqrt, qids, qlabels = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            nsqrt = np.sqrt(
+                pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64)
+            )
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            cos = (x @ qmat.T).astype(np.float64) / qsqrt[None, :] / nsqrt[:, None]
+            out = {
+                "query_id": [], "q_label": [], "neighbor_id": [],
+                "is_same": [], "cosine": [],
+            }
+            for qi in range(qids.shape[0]):
+                valid = vec_ids != qids[qi]
+                for is_same in (True, False):
+                    mask = valid & ((labels == qlabels[qi]) == is_same)
+                    idx = np.flatnonzero(mask)
+                    if idx.size == 0:
+                        continue
+                    c = cos[idx, qi]
+                    best = idx[np.lexsort((vec_ids[idx], -c))[0]]
+                    out["query_id"].append(int(qids[qi]))
+                    out["q_label"].append(int(qlabels[qi]))
+                    out["neighbor_id"].append(int(vec_ids[best]))
+                    out["is_same"].append(is_same)
+                    out["cosine"].append(float(cos[best, qi]))
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "label", "qvec", "qnorm2").mapInPandas(
+        partial,
+        schema="query_id long, q_label long, neighbor_id long,"
+        " is_same boolean, cosine double",
+    )
+
+
 def hard_negative_mining(
-    spark: SparkSession, sf_dir: str, query_mod: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Contrastive-pair mining for embedding training (beyond-reference
     surface): for each query vector, the best SAME-label neighbor (the
@@ -923,25 +991,35 @@ def hard_negative_mining(
     ONE window over (query, same-label flag). margin is a single IEEE
     subtraction of two deterministic doubles — oracle-exact."""
     emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm2").alias("q_qnorm2"),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "q_label",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("label") == F.col("q_label")).alias("is_same"),
-            qcosine(
-                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
-            ).alias("cosine"),
+    if strategy == "auto":
+        n = emb.count()
+        strategy = (
+            "matmul"
+            if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS
+            else "catalyst"
         )
-    )
+    if strategy == "matmul":
+        scored = _hnm_partial_matmul(emb, query_mod)
+    else:
+        q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm2").alias("q_qnorm2"),
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "q_label",
+                F.col("vec_id").alias("neighbor_id"),
+                (F.col("label") == F.col("q_label")).alias("is_same"),
+                qcosine(
+                    F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+                ).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id", "is_same").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1024,7 +1102,11 @@ def jl_project(qvec: Column, signs: list[list[int]]) -> Column:
 
 
 def jl_projection_recall(
-    spark: SparkSession, sf_dir: str, query_mod: int = 100, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Recall@5 of brute-force search in the JL-projected space (64 →
     16 dims) against full-space ground truth — the dimensionality-
@@ -1033,33 +1115,51 @@ def jl_projection_recall(
     recomputes the projection from the same literal sign matrix."""
     signs = jl_sign_matrix()
     emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    # The projected frame re-uses the brute-force machinery verbatim
+    # (same column contract), so the search inherits its cost-based
+    # physical strategy: Catalyst crossJoin at toy scale, per-partition
+    # GEMM + distributive partial top-k once N·Q crosses the threshold.
     proj = emb.select(
-        "vec_id", jl_project(F.col("qvec"), signs).alias("pvec")
-    ).withColumn("pnorm2", qnorm2(F.col("pvec")))
-    q = proj.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("pvec").alias("q_pvec"),
-        F.col("pnorm2").alias("q_pnorm2"),
-    )
-    scored = (
-        proj.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            qcosine(
-                F.col("q_pvec"), F.col("pvec"), F.col("q_pnorm2"), F.col("pnorm2")
-            ).alias("pcos"),
+        "vec_id",
+        F.lit(0).alias("label"),
+        jl_project(F.col("qvec"), signs).alias("qvec"),
+    ).withColumn("qnorm2", qnorm2(F.col("qvec")))
+    if strategy == "auto":
+        n = proj.count()
+        strategy = (
+            "matmul"
+            if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS
+            else "catalyst"
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pcos").desc(), F.col("neighbor_id")
-    )
-    approx = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    if strategy == "matmul":
+        ranked = knn_brute_force_matmul(proj, query_mod, k)
+    else:
+        q = proj.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_pvec"),
+            F.col("qnorm2").alias("q_pnorm2"),
+        )
+        scored = (
+            proj.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                qcosine(
+                    F.col("q_pvec"),
+                    F.col("qvec"),
+                    F.col("q_pnorm2"),
+                    F.col("qnorm2"),
+                ).alias("pcos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("pcos").desc(), F.col("neighbor_id")
+        )
+        ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    approx = ranked.select("query_id", "neighbor_id")
     bf = knn_brute_force(spark, sf_dir, query_mod, k).select(
         "query_id", "neighbor_id"
     )

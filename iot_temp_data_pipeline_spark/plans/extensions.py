@@ -13,6 +13,7 @@ from ..operators import bpe as bp
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import chunking as ck
+from ..operators import governance as gov
 from ..operators import graph as gr
 from ..operators import clustering as km
 from ..operators import packing as pk
@@ -1613,19 +1614,21 @@ def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dd.dedup_corpus(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(corpus)
     src = corpus.select("doc_id", "source")
+    # The near-dup pair table is orders of magnitude smaller than the
+    # corpus (df-capped candidates, Jaccard >= 0.6 survivors), so BOTH
+    # source lookups broadcast the pair side — the corpus is scanned,
+    # never shuffled, for this rollup. The 30x probe measured 15.7x
+    # with shuffle joins here; broadcasting restores the linear scan.
+    half = (
+        src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a")
+        .join(F.broadcast(pairs), "doc_a")
+        .select("doc_b", "src_a", "jaccard")
+    )
     df = (
-        pairs.join(
-            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "source", "src_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "source", "src_b"
-            ),
-            "doc_b",
-        )
+        src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b")
+        .join(F.broadcast(half), "doc_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
@@ -1662,3 +1665,125 @@ SRCMAT_ORACLE = (
 )
 
 EXTENSIONS["dup_source_matrix"] = QuerySpec(_dup_source_matrix, SRCMAT_ORACLE)
+
+
+# ------------------------------ governance / batching / coverage audits
+
+KANON_SPEC = [
+    ("nationkey", "long"),
+    ("mktsegment", ""),
+    ("acctbal_band", "long"),
+    ("class_size", "long"),
+]
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        gov.k_anonymity_audit(load_table(spark, sf_dir, "customer")),
+        KANON_SPEC,
+    )
+
+
+KANON_ORACLE = sql_select(KANON_SPEC, gov.k_anonymity_audit_sql())
+
+EXTENSIONS["k_anonymity_audit"] = QuerySpec(_k_anonymity, KANON_ORACLE)
+
+
+PADWASTE_SPEC = [
+    ("bucket_cap", "long"),
+    ("n_docs", "long"),
+    ("total_tokens", "long"),
+    ("total_padding", "long"),
+    ("padding_pct", "f4"),
+]
+
+
+def _padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.padding_waste_by_bucket(load_table(spark, sf_dir, "documents")),
+        PADWASTE_SPEC,
+    )
+
+
+PADWASTE_ORACLE = sql_select(PADWASTE_SPEC, pk.padding_waste_by_bucket_sql())
+
+EXTENSIONS["padding_waste_by_bucket"] = QuerySpec(_padding_waste, PADWASTE_ORACLE)
+
+
+EMBCOV_SPEC = [
+    ("n_docs", "long"),
+    ("n_vecs", "long"),
+    ("docs_without_vec", "long"),
+    ("vecs_without_doc", "long"),
+    ("coverage_pct", "f4"),
+]
+
+
+def _embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrity gate between the text and embedding stages:
+    every doc headed into semantic dedup / ANN needs a vector, and
+    orphaned vectors signal a stale index. Over the duplicate-injected
+    corpus the +1M/+2M replica docs genuinely lack vectors, so the
+    check exercises a real gap, not an all-zero fixture artifact. Two
+    anti-join counts on the id column — broadcast-able at 100 TB when
+    either side's id projection is small; otherwise a shuffle join on
+    the key, nothing else."""
+    corpus = dd.dedup_corpus(spark, sf_dir).select("doc_id")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    missing = corpus.join(
+        vecs, corpus["doc_id"] == vecs["vec_id"], "left_anti"
+    )
+    orphans = vecs.join(
+        corpus, vecs["vec_id"] == corpus["doc_id"], "left_anti"
+    )
+    df = (
+        corpus.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(vecs.agg(F.count("*").alias("n_vecs"))))
+        .crossJoin(
+            F.broadcast(missing.agg(F.count("*").alias("docs_without_vec")))
+        )
+        .crossJoin(
+            F.broadcast(orphans.agg(F.count("*").alias("vecs_without_doc")))
+        )
+        .withColumn(
+            "coverage_pct",
+            F.round(
+                (F.col("n_docs") - F.col("docs_without_vec")).cast("double")
+                / F.col("n_docs").cast("double")
+                * 100,
+                4,
+            ),
+        )
+    )
+    return shape(df, EMBCOV_SPEC)
+
+
+EMBCOV_ORACLE = (
+    _CORPUS
+    + sql_select(
+        EMBCOV_SPEC,
+        """(
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+           (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+           (SELECT COUNT(*) FROM corpus c
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.vec_id = c.doc_id))
+               AS docs_without_vec,
+           (SELECT COUNT(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                              WHERE c.doc_id = e.vec_id))
+               AS vecs_without_doc,
+           ROUND(CAST((SELECT COUNT(*) FROM corpus)
+                      - (SELECT COUNT(*) FROM corpus c
+                         WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                           WHERE e.vec_id = c.doc_id))
+                 AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM corpus) AS DOUBLE) * 100, 4)
+               AS coverage_pct
+) s""",
+    )
+)
+
+EXTENSIONS["embedding_coverage_check"] = QuerySpec(
+    _embedding_coverage, EMBCOV_ORACLE
+)

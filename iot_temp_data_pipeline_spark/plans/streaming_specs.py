@@ -864,7 +864,67 @@ def _hll_stream_oracle() -> str:
     return sql_select(HLL_STREAM_SPEC, sk.hll_distinct_registers_sql("events"))
 
 
+
+
+# ------------------------------------------------ streaming PQ encode
+
+PQENC_SPEC = [("vec_id", "long")] + [(f"c{j}", "long") for j in range(8)]
+
+
+def _streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static PQ encoding: the codebook is trained batch-side
+    (operators/pq.py) and inlined as literals, then each micro-batch of
+    arriving vectors is encoded by the same map-side projection — the
+    index-maintenance path of an ANN deployment (new vectors land as
+    codes continuously; searches never wait for a rebuild). Stateless
+    per-row transform => split-invariant => the oracle is the batch
+    encode (the pq CTE chain pivoted to one row per vector)."""
+    from ..operators import pq as pqop
+    from ..operators.similarity import _with_quantized
+
+    _, cb = pqop.train_codebook(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = workdir("pqenc")
+    emb.repartition(4).write.mode("overwrite").parquet(f"{work}/landing")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/landing")
+    )
+    enc = pqop.pq_encode(pqop._with_unit(_with_quantized(stream)), cb)
+    run_available_now(enc, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), PQENC_SPEC)
+
+
+def _pqenc_oracle() -> str:
+    from ..operators import pq as pqop
+    from ..operators.similarity import QUANT_SQL
+
+    pivots = ",\n           ".join(
+        f"MAX(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(8)
+    )
+    return (
+        "WITH "
+        + QUANT_SQL.strip()
+        + ",\n"
+        + pqop.pq_cte_sql().strip()
+        + sql_select(
+            PQENC_SPEC,
+            f"""(
+    SELECT vec_id,
+           {pivots}
+    FROM encode
+    GROUP BY vec_id
+) s""",
+        )
+    )
+
+
+PQENC_ORACLE = _pqenc_oracle()
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),
     "streaming_cms_partials": QuerySpec(_streaming_cms, _cms_stream_oracle()),
     "streaming_hll_partials": QuerySpec(_streaming_hll, _hll_stream_oracle()),
     "streaming_session_windows": QuerySpec(_streaming_sessions, SSESSION_ORACLE),

@@ -262,16 +262,23 @@ def test_hll_register_sketch_broadcast_assembly(spark, sf_dir):
 
 
 def test_pq_encode_is_map_side_only(spark, sf_dir):
-    """PQ encoding must be a single map-side projection: the codebook is
-    inlined as literals, so the corpus is never shuffled, joined, or
-    sent to Python on its way to codes (operators/pq.py — at 100 TB the
-    encode pass is a pure scan)."""
+    """PQ encoding must be a single map-side pass in BOTH physical
+    forms: no shuffle and no join on the corpus's way to codes
+    (operators/pq.py — at 100 TB the encode pass is a pure scan). The
+    expression form is additionally Python-free, and the two forms are
+    bit-identical."""
     from iot_temp_data_pipeline_spark.operators import pq as pqop
 
     q, cb = pqop.train_codebook(spark, sf_dir)
-    plan = plan_of(pqop.pq_encode(q, cb))
+    expr_df = pqop.pq_encode(q, cb, strategy="expr")
+    plan = plan_of(expr_df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    np_df = pqop.pq_encode(q, cb, strategy="numpy")
+    assert "Exchange" not in plan_of(np_df)
+    a = expr_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = np_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
     assert all(len(cb_j) >= 1 for cb_j in cb.values())
     codes = {c for cb_j in cb.values() for c, _ in cb_j}
     assert codes <= set(range(pqop.NCENT))
@@ -287,3 +294,18 @@ def test_pq_rerank_fetch_is_shortlist_bounded(spark, sf_dir):
     plan = plan_of(pqop.knn_pq_rerank(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_hnm_and_jl_matmul_strategy_parity(spark, sf_dir):
+    """The distributive (partial per-batch) forms of hard-negative
+    mining and JL-projected search must be bit-identical to their
+    Catalyst forms — the cost model may flip strategy at any scale
+    without changing a single row."""
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    for fn in (sim.hard_negative_mining, sim.jl_projection_recall):
+        a = fn(spark, sf_dir, strategy="catalyst").toPandas()
+        b = fn(spark, sf_dir, strategy="matmul").toPandas()
+        a = a.astype(str).sort_values(by=list(a.columns)).reset_index(drop=True)
+        b = b.astype(str).sort_values(by=list(b.columns)).reset_index(drop=True)
+        assert a.equals(b), f"{fn.__name__} strategy divergence"

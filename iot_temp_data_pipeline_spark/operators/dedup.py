@@ -805,3 +805,196 @@ def exact_substring_spans_sql(
             AS repeated_frac
     FROM ss_per_doc d JOIN ss_len l ON d.doc_id = l.doc_id
 ) ss"""
+
+
+# ------------------------------------------------- incremental (delta) dedup
+
+INCOMING_MOD = 3  # doc_id % 3 == 0 → the "new crawl increment" split
+NEAR_MIN_PERMILLE = 500  # keep threshold on the signature-agreement estimate
+
+
+def _band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH banding of a signature table —
+    the same banding minhash_lsh_pairs builds inline, factored so both
+    the self-join (full dedup) and the two-sided join (incremental
+    dedup) derive their buckets identically."""
+    rows_per_band = k // bands
+    frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("-", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    min_permille: int = NEAR_MIN_PERMILLE,
+) -> DataFrame:
+    """Dedup a NEW increment against the EXISTING corpus — the
+    incremental-crawl shape production pipelines actually run (a full
+    self-dedup of 100 TB per crawl is the thing to avoid): per incoming
+    doc, exact matches against history (hash equi-join), near-dup
+    candidates against history (MinHash band buckets, incoming×history
+    — NOT a self-join, so candidate work is |increment|-proportional),
+    and a verdict ∈ {'exact_dup', 'near_dup', 'kept'}.
+
+    The increment is doc_id % INCOMING_MOD == 0 of the dedup fixture
+    corpus; its +1M exact replicas and +2M truncated replicas land on
+    both sides of the split, so all three verdicts occur. Signature
+    agreement is reported as integer permille ((1000·agree) div k) —
+    no floats anywhere, bit-exact oracle.
+
+    At scale: history's hash set and band table are FROZEN artifacts
+    maintained across crawls (append-only — exactly the versioned-table
+    use case); per-increment cost is two hash-partitioned joins sized
+    by the increment, never by history."""
+    inc = corpus.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    hist = corpus.filter(F.col("doc_id") % INCOMING_MOD != 0)
+
+    hist_hashes = (
+        hist.select(F.md5("text").alias("th"))
+        .groupBy("th")
+        .agg(F.count("*").alias("n_exact_matches"))
+    )
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("th"))
+        .join(hist_hashes, "th", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact_matches", F.lit(0)).cast("long").alias("n_exact_matches"),
+        )
+    )
+
+    sig = minhash_signatures(corpus, k).persist()
+    sig_inc = sig.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    sig_hist = sig.filter(F.col("doc_id") % INCOMING_MOD != 0)
+    cand = (
+        _band_table(sig_inc, k, bands)
+        .alias("x")
+        .join(
+            _band_table(sig_hist, k, bands).alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("hist_id")
+        )
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    near = (
+        cand.alias("c")
+        .join(sig.alias("sa"), F.col("c.doc_id") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("c.hist_id") == F.col("sb.doc_id"))
+        .select(F.col("c.doc_id").alias("doc_id"), (F.lit(1000) * agree).alias("agree_k"))
+        .select("doc_id", F.expr(f"div(agree_k, {k})").alias("est_permille"))
+        .filter(F.col("est_permille") >= min_permille)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_near_candidates"),
+            F.max("est_permille").alias("max_est_permille"),
+        )
+    )
+    out = (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_exact_matches",
+            F.coalesce("n_near_candidates", F.lit(0)).cast("long").alias("n_near_candidates"),
+            F.coalesce("max_est_permille", F.lit(0)).cast("long").alias("max_est_permille"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_exact_matches") > 0, "exact_dup")
+            .when(F.col("n_near_candidates") > 0, "near_dup")
+            .otherwise("kept"),
+        )
+    )
+    return out
+
+
+def incremental_dedup_sql(
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    min_permille: int = NEAR_MIN_PERMILLE,
+) -> str:
+    """DuckDB twin (expects CORPUS_SQL + SHINGLES_SQL prelude): same
+    split, same signature lanes, same banding, same integer permille."""
+    rows_per_band = k // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || '-' || ".join(
+            f"CAST(mh{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM signatures"
+        )
+    bands_union = "\n        UNION ALL\n        ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""(
+    WITH signatures AS (
+        SELECT doc_id,
+        {_minhash_sql_exprs(k)}
+        FROM doc_shingles
+        GROUP BY doc_id
+    ),
+    band_table AS (
+        {bands_union}
+    ),
+    exact_side AS (
+        SELECT i.doc_id,
+            COALESCE(h.n_exact_matches, 0) AS n_exact_matches
+        FROM (
+            SELECT doc_id, md5(text) AS th FROM corpus
+            WHERE doc_id % {INCOMING_MOD} = 0
+        ) i
+        LEFT JOIN (
+            SELECT md5(text) AS th, COUNT(*) AS n_exact_matches
+            FROM corpus WHERE doc_id % {INCOMING_MOD} != 0
+            GROUP BY md5(text)
+        ) h USING (th)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS hist_id
+        FROM band_table x
+        JOIN band_table y ON x.band_id = y.band_id AND x.band_key = y.band_key
+        WHERE x.doc_id % {INCOMING_MOD} = 0 AND y.doc_id % {INCOMING_MOD} != 0
+    ),
+    near AS (
+        SELECT doc_id, COUNT(*) AS n_near_candidates,
+            MAX(est_permille) AS max_est_permille
+        FROM (
+            SELECT cand.doc_id, (1000 * ({agree})) // {k} AS est_permille
+            FROM cand
+            JOIN signatures sa ON cand.doc_id = sa.doc_id
+            JOIN signatures sb ON cand.hist_id = sb.doc_id
+        )
+        WHERE est_permille >= {min_permille}
+        GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+        e.n_exact_matches,
+        COALESCE(n.n_near_candidates, 0) AS n_near_candidates,
+        COALESCE(n.max_est_permille, 0) AS max_est_permille,
+        CASE WHEN e.n_exact_matches > 0 THEN 'exact_dup'
+             WHEN COALESCE(n.n_near_candidates, 0) > 0 THEN 'near_dup'
+             ELSE 'kept' END AS verdict
+    FROM exact_side e
+    LEFT JOIN near n USING (doc_id)
+) s"""

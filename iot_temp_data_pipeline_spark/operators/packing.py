@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash32, portable_hash32_sql
 from ..functions.text import token_count
 
 CONTEXT_LEN = 512
@@ -381,3 +382,61 @@ def padding_waste_by_bucket_sql(source: str = "documents") -> str:
     GROUP BY bucket_cap
     ORDER BY bucket_cap
 ) s"""
+
+
+# ------------------------------------------- deterministic corpus shuffle
+
+SHUFFLE_SEED = 47
+SHUFFLE_SHARDS = 64
+
+
+def corpus_shuffle_manifest(
+    docs: DataFrame,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the dataloader
+    manifest every training run derives from a frozen corpus: each doc
+    gets a shard (hash-bucketed, so shards are balanced and any doc's
+    placement is recomputable from its id alone) and a position within
+    the shard (rank of its hash — a reproducible random permutation;
+    change ``seed`` to reshuffle between epochs without touching data).
+
+    A true global random permutation is a global sort; sharding first
+    makes it ``N_SHARDS`` independent per-shard sorts — the window is
+    partitionBy(shard_id), one ordinary hash exchange, no
+    SinglePartition anywhere (the same decomposition as
+    :func:`pack_sequences_sharded`, because dataloaders consume shards,
+    not a single stream). md5-derived hash, so the DuckDB oracle
+    reproduces the exact permutation."""
+    h = portable_hash32(F.col("doc_id").cast("string"), seed=seed)
+    d = docs.select(
+        "doc_id",
+        (h % n_shards).alias("shard_id"),
+        h.alias("shuffle_key"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard_id",
+        "shuffle_key",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
+def corpus_shuffle_manifest_sql(
+    source: str = "documents",
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""(
+    SELECT doc_id, shard_id, shuffle_key,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY shard_id ORDER BY shuffle_key, doc_id
+        ) AS BIGINT) AS shard_pos
+    FROM (
+        SELECT doc_id, {h} % {n_shards} AS shard_id, {h} AS shuffle_key
+        FROM {source}
+    )
+) csm"""

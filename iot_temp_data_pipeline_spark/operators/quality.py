@@ -664,3 +664,242 @@ def dsir_importance_sql(
     FROM ds_grams g JOIN ds_w w ON g.b = w.b
     GROUP BY g.doc_id
 ) ds"""
+
+
+# ---------------------------------------- hashed linear quality classifier
+
+# Model-based quality filtering (the fastText-classifier stage of
+# DCLM/FineWeb-style pipelines) expressed as a HASHED linear model: each
+# token's weight is a deterministic pseudo-random integer in
+# [-QC_WEIGHT_RANGE, +QC_WEIGHT_RANGE] derived from the md5 hash family,
+# standing in for trained coefficients (no classifier libs in this
+# container; swapping real learned weights in changes only the
+# hash→weight expression, not the plan). The per-token-normalized score
+# and keep threshold are exact integers, so the oracle reproduces every
+# document's decision bit-for-bit.
+QC_SEED = 29
+QC_WEIGHT_RANGE = 1000
+# Median-splitting keep threshold (observed score_milli median ≈ 95–103k
+# on the fixture corpus): the gate actually discriminates, instead of
+# rubber-stamping every doc the way a 0 threshold would on this vocab.
+QC_THRESHOLD_MILLI = 100_000
+
+
+def classifier_quality(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) acceptance report of the hashed linear
+    classifier: n_docs, n_kept, kept_permille, mean kept/overall score.
+
+    THE scale shape for model-based filtering: scoring is one hash and
+    one add per token via ``F.aggregate`` over the token array — the
+    corpus is scored entirely map-side (no explode, no shuffle, no
+    Python), and the only exchange is the map-side-combined final
+    aggregate over |sources|×|langs| groups. A 100 TB corpus passes
+    through in a single scan. Linear-over-hashed-features is exactly
+    fastText's architecture, so the plan survives swapping in real
+    trained weights unchanged."""
+    tk = tokens(F.col("text"))
+    w = lambda t: (  # noqa: E731 — inline weight of one token column
+        portable_hash32(t, seed=QC_SEED) % (2 * QC_WEIGHT_RANGE + 1)
+    ) - QC_WEIGHT_RANGE
+    total = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
+    )
+    n = F.size(tk).cast("long")
+    score_milli = F.expr("div(1000 * qc_total, qc_n)")
+    scored = docs.select(
+        "source",
+        "lang",
+        total.alias("qc_total"),
+        n.alias("qc_n"),
+    ).select(
+        "source",
+        "lang",
+        score_milli.alias("score_milli"),
+    )
+    kept = (F.col("score_milli") >= QC_THRESHOLD_MILLI).cast("long")
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.expr(
+                "div(1000 * sum(CAST(score_milli >= "
+                f"{QC_THRESHOLD_MILLI} AS LONG)), count(*))"
+            ).alias("kept_permille"),
+            F.expr("div(sum(score_milli), count(*))").alias("mean_score_milli"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def classifier_quality_sql(source: str = "documents") -> str:
+    h = (
+        f"CAST('0x' || substr(md5('{QC_SEED}:' || t), 1, 8) AS BIGINT)"
+        f" % {2 * QC_WEIGHT_RANGE + 1} - {QC_WEIGHT_RANGE}"
+    )
+    return f"""(
+    WITH qscored AS (
+        SELECT source, lang,
+            (1000 * list_sum(list_transform(tk, t -> {h})))
+                // len(tk) AS score_milli
+        FROM (
+            SELECT source, lang,
+                regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source}
+        )
+    )
+    SELECT source, lang, COUNT(*) AS n_docs,
+        SUM(CASE WHEN score_milli >= {QC_THRESHOLD_MILLI} THEN 1 ELSE 0 END)
+            AS n_kept,
+        (1000 * SUM(CASE WHEN score_milli >= {QC_THRESHOLD_MILLI}
+                         THEN 1 ELSE 0 END)) // COUNT(*) AS kept_permille,
+        SUM(score_milli) // COUNT(*) AS mean_score_milli
+    FROM qscored
+    GROUP BY source, lang
+    ORDER BY source, lang
+) qc"""
+
+
+# --------------------------------------------------------- filter funnel
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """Sequential-gate drop accounting — the funnel report every
+    training-data pipeline publishes (how many docs each cleaning
+    stage removes, applied in order): length/shape → repetition →
+    classifier → exact dedup. Gates reuse the EXACT flag algebra of
+    their standalone operators (repetition_quality, classifier_quality,
+    exact dedup's md5 groupBy), so the funnel is an audit view over the
+    same decisions, not a parallel implementation that could drift.
+
+    One corpus scan computes every per-doc flag; survival counts are a
+    single aggregate (conditional sums + a distinct-hash count for the
+    dedup stage), and the 4-row report explodes from that one row —
+    stage N's docs_in is stage N-1's docs_out by construction."""
+    rq = repetition_quality(docs)
+    lo_w, hi_w = WORDLEN_RANGE
+    sc = (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("th"),
+            F.aggregate(
+                tokens(F.col("text")),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + (
+                    portable_hash32(t, seed=QC_SEED)
+                    % (2 * QC_WEIGHT_RANGE + 1)
+                )
+                - QC_WEIGHT_RANGE,
+            ).alias("qc_total"),
+            F.size(tokens(F.col("text"))).cast("long").alias("qc_n"),
+        )
+        .select("doc_id", "th", F.expr("div(1000 * qc_total, qc_n)").alias("score_milli"))
+    )
+    j = rq.join(sc, "doc_id")
+    s1 = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_word_len") >= lo_w)
+        & (F.col("mean_word_len") <= hi_w)
+    )
+    s2 = s1 & (F.col("dup_5gram_frac") <= MAX_DUP_5GRAM_FRAC) & (
+        F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC
+    )
+    s3 = s2 & (F.col("score_milli") >= QC_THRESHOLD_MILLI)
+    one = j.agg(
+        F.count("*").alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.count_distinct(F.when(s3, F.col("th"))).cast("long").alias("n4"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).cast("long").alias("stage_idx"),
+            F.lit("length_shape").alias("stage"),
+            F.col("n0").alias("docs_in"),
+            F.col("n1").alias("docs_out"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("stage_idx"),
+            F.lit("repetition").alias("stage"),
+            F.col("n1").alias("docs_in"),
+            F.col("n2").alias("docs_out"),
+        ),
+        F.struct(
+            F.lit(3).cast("long").alias("stage_idx"),
+            F.lit("classifier").alias("stage"),
+            F.col("n2").alias("docs_in"),
+            F.col("n3").alias("docs_out"),
+        ),
+        F.struct(
+            F.lit(4).cast("long").alias("stage_idx"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("n3").alias("docs_in"),
+            F.col("n4").alias("docs_out"),
+        ),
+    )
+    return (
+        one.select(F.explode(stages).alias("st"))
+        .select(
+            F.col("st.stage_idx").alias("stage_idx"),
+            F.col("st.stage").alias("stage"),
+            F.col("st.docs_in").alias("docs_in"),
+            F.col("st.docs_out").alias("docs_out"),
+            (F.col("st.docs_in") - F.col("st.docs_out")).alias("docs_dropped"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def filter_funnel_sql(source: str = "corpus") -> str:
+    lo_w, hi_w = WORDLEN_RANGE
+    h = (
+        f"CAST('0x' || substr(md5('{QC_SEED}:' || t), 1, 8) AS BIGINT)"
+        f" % {2 * QC_WEIGHT_RANGE + 1} - {QC_WEIGHT_RANGE}"
+    )
+    return f"""(
+    WITH fq AS (
+        SELECT * FROM {repetition_quality_sql(source)}
+    ),
+    fsc AS (
+        SELECT doc_id, md5(text) AS th,
+            (1000 * list_sum(list_transform(
+                regexp_split_to_array(lower(text), '\\s+'), t -> {h})))
+                // len(regexp_split_to_array(lower(text), '\\s+'))
+                AS score_milli
+        FROM {source}
+    ),
+    fflags AS (
+        SELECT fq.doc_id, fsc.th, fsc.score_milli,
+            (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+             AND mean_word_len >= {lo_w} AND mean_word_len <= {hi_w}) AS s1,
+            (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+             AND mean_word_len >= {lo_w} AND mean_word_len <= {hi_w}
+             AND dup_5gram_frac <= {MAX_DUP_5GRAM_FRAC}
+             AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}) AS s2,
+            (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+             AND mean_word_len >= {lo_w} AND mean_word_len <= {hi_w}
+             AND dup_5gram_frac <= {MAX_DUP_5GRAM_FRAC}
+             AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}
+             AND score_milli >= {QC_THRESHOLD_MILLI}) AS s3
+        FROM fq JOIN fsc ON fq.doc_id = fsc.doc_id
+    ),
+    fone AS (
+        SELECT COUNT(*) AS n0,
+            SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+            SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS n3,
+            COUNT(DISTINCT CASE WHEN s3 THEN th END) AS n4
+        FROM fflags
+    )
+    SELECT 1 AS stage_idx, 'length_shape' AS stage,
+           n0 AS docs_in, n1 AS docs_out, n0 - n1 AS docs_dropped FROM fone
+    UNION ALL
+    SELECT 2, 'repetition', n1, n2, n1 - n2 FROM fone
+    UNION ALL
+    SELECT 3, 'classifier', n2, n3, n2 - n3 FROM fone
+    UNION ALL
+    SELECT 4, 'exact_dedup', n3, n4, n3 - n4 FROM fone
+    ORDER BY stage_idx
+) fn"""

@@ -162,6 +162,178 @@ def tfidf_topk(
     )
 
 
+# ------------------------------------------------------------------ BM25
+
+# Okapi BM25 with the textbook constants k1 = 1.2 and b = 0.75, kept as
+# exact rationals (k1 = 6/5, b = 3/4) so every per-term score is a ratio
+# of bounded integers. The per-term contribution
+#     idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# becomes, after substituting avgdl = A/1000 (A = integer milli-token
+# average doc length) and clearing denominators by 10A:
+#     w · (22·A·tf) / (10·A·tf + 3·A + 9000·dl)
+# quantized to BM25_SCALE fixed-point by integer division. A is bounded
+# by 1000·(max doc length), NOT corpus size, so the products stay far
+# inside signed-64 at any corpus scale (A ≈ 6·10⁴ here: worst term
+# ≈ BM25_SCALE·22/10·IDF_SCALE ≈ 2.2·10⁷, summed over ≤ dl terms).
+BM25_SCALE = 10_000
+
+
+def bm25_postings(corpus: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf, w): word-bigram term frequencies with
+    the document's term count ``dl`` carried through (BM25's length
+    normalization needs it at scoring time — carrying it through the
+    explode costs one column and saves a doc-length join later), plus
+    the integer IDF proxy w = IDF_SCALE // df (monotone in 1/df, the
+    same integer-exactness recipe as :func:`doc_postings`).
+
+    Terms are word BIGRAMS, and pruning is the RELATIVE stopword rule
+    2·df ≤ N (a term in more than half the docs carries no ranking
+    signal and dominates postings cost). Both choices were measured,
+    not guessed: over unigrams this fixture's small uniformly-common
+    vocabulary (df 400–513 of ~680 docs) either loses every term to a
+    df rule or degenerates the index join to all-pairs without one —
+    bigrams recover the mid-frequency sparsity an inverted index lives
+    on (the same combinatorial trick as the TF-IDF family's 3-gram
+    shingles, one notch shorter so tf saturation still has work to do).
+    Relative pruning keeps the postings join at Σ_term df_q·df ≤
+    Σ df_q·N/2 — impact-ordered index layouts are the next lever at
+    100 TB, not a tighter df cut.
+
+    Same ONE-exchange build as the TF-IDF index: hash-partition the
+    exploded tokens on ``term`` once; the tf aggregation (term ∈ keys),
+    the df aggregation, and the tf⋈w join all reuse that partitioning
+    (the doc-count side is a broadcast 1-row literal). ``dl`` is
+    functionally dependent on ``doc_id`` so adding it to the tf
+    grouping keys changes nothing about the aggregate's size."""
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    tf = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            F.greatest(F.size("tk") - 1, F.lit(0)).cast("long").alias("dl"),
+            F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("term"),
+        )
+        .repartition(F.col("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    w = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(2 * F.col("df") <= F.col("n_docs"))
+        .select("term", F.expr(f"div({IDF_SCALE}, df)").alias("w"))
+    )
+    return tf.join(w, "term").select("doc_id", "dl", "term", "tf", "w")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k Okapi BM25 matches for query docs (doc_id % query_mod == 0)
+    over the dedup corpus — the rank function every sparse-retrieval
+    baseline actually ships (TF-IDF-cosine's production sibling: same
+    inverted-index join, but saturating tf and length normalization).
+
+    Integer fixed-point throughout: per-term scores are
+    w · ((BM25_SCALE·22·A·tf) div (10·A·tf + 3·A + 9000·dl)) with A the
+    corpus milli-token average doc length (one 1-row aggregate,
+    broadcast), so the summed ``score_scaled`` is an exact integer the
+    DuckDB oracle reproduces bit-for-bit — no float summation order
+    anywhere. Work is Σ_term df_q·df (inverted-index sparsity + df cap),
+    never O(Q·N); the query side broadcasts (1/query_mod of the corpus)."""
+    postings = bm25_postings(dedup_corpus(spark, sf_dir)).persist()
+    avg = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")
+    )
+    qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")
+    )
+    scored = (
+        postings.join(F.broadcast(qp), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("q_tf")
+                * F.col("w")
+                * F.expr(
+                    f"div({BM25_SCALE} * 22 * a_milli * tf,"
+                    " 10 * a_milli * tf + 3 * a_milli + 9000 * dl)"
+                )
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score_scaled"), F.count("*").alias("shared_terms"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_sql(query_mod: int = 100, k: int = 5) -> str:
+    """DuckDB twin (expects the dedup CORPUS_SQL prelude): identical
+    unigram postings, integer IDF proxy, milli-token avgdl, and the
+    exact cleared-denominator fixed-point per-term score."""
+    return f"""(
+    WITH doc_tokens AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, greatest(len(tk) - 1, 0) AS dl,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(tk) - 1, 0)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS term
+            FROM doc_tokens
+        ) GROUP BY doc_id, dl, term
+    ),
+    wt AS (
+        SELECT term, {IDF_SCALE} // df AS w FROM (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ) d WHERE 2 * df <= (SELECT COUNT(*) FROM corpus)
+    ),
+    postings AS (
+        SELECT t.doc_id, t.dl, t.term, t.tf, wt.w FROM tf t JOIN wt USING (term)
+    ),
+    avgdl AS (
+        SELECT 1000 * SUM(dl) // COUNT(*) AS a_milli FROM (
+            SELECT doc_id, ANY_VALUE(dl) AS dl FROM postings GROUP BY doc_id
+        )
+    ),
+    dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+            SUM(q.tf * d.w * (({BM25_SCALE} * 22 * a_milli * d.tf)
+                // (10 * a_milli * d.tf + 3 * a_milli + 9000 * d.dl)))
+                AS score_scaled,
+            COUNT(*) AS shared_terms
+        FROM postings q
+        JOIN postings d ON q.term = d.term AND d.doc_id != q.doc_id
+        CROSS JOIN avgdl
+        WHERE q.doc_id % {query_mod} = 0
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_scaled, shared_terms,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+        FROM dots
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
 def tfidf_topk_sql(
     query_mod: int = 100, k: int = 5, n: int = 3, max_df: int = MAX_SHINGLE_DF
 ) -> str:

@@ -23,7 +23,7 @@ from ..operators import quality as qa
 from ..operators import sketches as sk
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
-from ..operators.tfidf import tfidf_topk, tfidf_topk_sql
+from ..operators.tfidf import bm25_topk, bm25_topk_sql, tfidf_topk, tfidf_topk_sql
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -430,9 +430,25 @@ def _tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_ORACLE = _CORPUS + sql_select(TFIDF_SPEC, tfidf_topk_sql())
 
+BM25_SPEC = [
+    ("query_id", "long"),
+    ("doc_id", "long"),
+    ("score_scaled", "long"),
+    ("shared_terms", "long"),
+    ("rank", "long"),
+]
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(bm25_topk(spark, sf_dir), BM25_SPEC)
+
+
+BM25_ORACLE = _CORPUS + sql_select(BM25_SPEC, bm25_topk_sql())
+
 
 EXTENSIONS: dict[str, QuerySpec] = {
     "tfidf_topk": QuerySpec(_tfidf_topk, TFIDF_ORACLE),
+    "bm25_topk": QuerySpec(_bm25_topk, BM25_ORACLE),
     "dedup_clusters_ngram": QuerySpec(_dedup_clusters, CLUSTERS_ORACLE),
     "dedup_clusters_star": QuerySpec(_dedup_clusters_star, CLUSTERS_ORACLE),
     "dedup_exact": QuerySpec(_dedup_exact, EXACT_DUP_ORACLE),
@@ -1787,3 +1803,86 @@ EMBCOV_ORACLE = (
 EXTENSIONS["embedding_coverage_check"] = QuerySpec(
     _embedding_coverage, EMBCOV_ORACLE
 )
+
+QCLASS_SPEC = [
+    ("source", ""),
+    ("lang", ""),
+    ("n_docs", "long"),
+    ("n_kept", "long"),
+    ("kept_permille", "long"),
+    ("mean_score_milli", "long"),
+]
+
+
+def _classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.classifier_quality(load_table(spark, sf_dir, "documents")),
+        QCLASS_SPEC,
+    )
+
+
+QCLASS_ORACLE = sql_select(QCLASS_SPEC, qa.classifier_quality_sql("documents"))
+
+EXTENSIONS["quality_classifier_filter"] = QuerySpec(
+    _classifier_quality, QCLASS_ORACLE
+)
+
+SHUFFLE_SPEC = [
+    ("doc_id", ""),
+    ("shard_id", "long"),
+    ("shuffle_key", "long"),
+    ("shard_pos", "long"),
+]
+
+
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.corpus_shuffle_manifest(load_table(spark, sf_dir, "documents")),
+        SHUFFLE_SPEC,
+    )
+
+
+SHUFFLE_ORACLE = sql_select(SHUFFLE_SPEC, pk.corpus_shuffle_manifest_sql("documents"))
+
+EXTENSIONS["corpus_shuffle_manifest"] = QuerySpec(_corpus_shuffle, SHUFFLE_ORACLE)
+
+INCDEDUP_SPEC = [
+    ("doc_id", "long"),
+    ("n_exact_matches", "long"),
+    ("n_near_candidates", "long"),
+    ("max_est_permille", "long"),
+    ("verdict", ""),
+]
+
+
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.incremental_dedup(dd.dedup_corpus(spark, sf_dir)), INCDEDUP_SPEC
+    )
+
+
+INCDEDUP_ORACLE = (
+    _CORPUS + ",\n" + dd.SHINGLES_SQL.strip()
+    + sql_select(INCDEDUP_SPEC, dd.incremental_dedup_sql())
+)
+
+EXTENSIONS["dedup_incremental_delta"] = QuerySpec(
+    _incremental_dedup, INCDEDUP_ORACLE
+)
+
+FUNNEL_SPEC = [
+    ("stage_idx", "long"),
+    ("stage", ""),
+    ("docs_in", "long"),
+    ("docs_out", "long"),
+    ("docs_dropped", "long"),
+]
+
+
+def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(qa.filter_funnel(dd.dedup_corpus(spark, sf_dir)), FUNNEL_SPEC)
+
+
+FUNNEL_ORACLE = _CORPUS + sql_select(FUNNEL_SPEC, qa.filter_funnel_sql("corpus"))
+
+EXTENSIONS["corpus_filter_funnel"] = QuerySpec(_filter_funnel, FUNNEL_ORACLE)

@@ -715,3 +715,189 @@ COMPACT_SQL = sql_select(
 )
 
 FORMATS["compact_versioned_files"] = QuerySpec(compact_versioned, COMPACT_SQL)
+
+
+# ------------------------------------------- change data feed (CDF diff)
+
+DIFF_SPEC = [
+    ("change_type", ""),
+    ("event_type", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+]
+
+INSERT_SHIFT = 10_000_000
+INSERT_BUMP = 77
+
+
+def versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots (Delta ``table_changes``
+    analog, sources/versioned.py::diff_versions): events → versioned
+    table → one MERGE carrying both updates (+UPSERT_BUMP on every 7th
+    in-window key) and genuine inserts (new keys shifted by
+    INSERT_SHIFT) → per-(change_type, event_type) counts/sums of the
+    feed. The oracle recomputes the exact expected feed from the MERGE
+    algebra — pre-images from the base table, post-images and inserts
+    from the update set — so the file-symmetric-difference pruning in
+    diff_versions is verified to lose nothing and invent nothing."""
+    from ..sources.versioned import create_table, diff_versions, upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    table = f"{workdir('cdfdiff')}/events_versioned"
+    create_table(spark, base, table, layout_col="event_date", n_files=8)
+    in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
+    updates = in_window.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value_centi", F.col("value_centi") + UPSERT_BUMP
+    )
+    inserts = in_window.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("event_id") + INSERT_SHIFT).alias("event_id"),
+        "event_type",
+        (F.col("value_centi") + INSERT_BUMP).alias("value_centi"),
+        "event_date",
+    )
+    upsert(
+        spark,
+        table,
+        updates.unionByName(inserts),
+        key_cols=["event_id"],
+        layout_col="event_date",
+    )
+    feed = diff_versions(spark, table, 1, 2, key_cols=["event_id"])
+    df = (
+        feed.groupBy("change_type", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_centi").alias("sum_centi"))
+        .orderBy("change_type", "event_type")
+    )
+    return shape(df, DIFF_SPEC)
+
+
+DIFF_SQL = sql_select(
+    DIFF_SPEC,
+    f"""(
+    WITH base AS (
+        SELECT event_id, event_type, {_CENTI} AS value_centi,
+               strftime(ts, '%Y-%m-%d') AS event_date
+        FROM events
+    ),
+    winrows AS (
+        SELECT * FROM base
+        WHERE event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+    )
+    SELECT 'update_preimage' AS change_type, event_type,
+           COUNT(*) AS n, SUM(value_centi) AS sum_centi
+    FROM winrows WHERE event_id % 7 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'update_postimage', event_type,
+           COUNT(*), SUM(value_centi + {UPSERT_BUMP})
+    FROM winrows WHERE event_id % 7 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'insert', event_type,
+           COUNT(*), SUM(value_centi + {INSERT_BUMP})
+    FROM winrows WHERE event_id % 7 = 3 GROUP BY event_type
+    ORDER BY change_type, event_type
+) s""",
+)
+
+FORMATS["versioned_table_diff"] = QuerySpec(versioned_diff, DIFF_SQL)
+
+
+# ------------------------------------- metadata-only stats (manifest counts)
+
+MANIFEST_STATS_SPEC = [
+    ("snapshot_version", "long"),
+    ("total_rows", "long"),
+    ("min_layout", ""),
+    ("max_layout", ""),
+]
+
+
+def versioned_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only snapshot stats (the Delta/Iceberg `SELECT
+    COUNT(*)` fast path): per version, file count, TOTAL ROWS, and the
+    layout-column span — answered ENTIRELY from the commit log's
+    per-file stats, zero data files opened. The oracle recomputes the
+    same numbers from the raw table + MERGE algebra, so the manifests'
+    row accounting (carried files by reference, rewritten files
+    re-counted, inserts added) is what gets hash-checked. At 100 TB
+    this is the difference between a 3 ms driver answer and a
+    cluster-wide scan."""
+    from ..sources.versioned import _read_manifest, create_table, upsert, versions
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_centi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    table = f"{workdir('manstats')}/events_versioned"
+    create_table(spark, base, table, layout_col="event_date", n_files=8)
+    in_window = base.filter(F.col("event_date").between(*UPSERT_WINDOW))
+    updates = in_window.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value_centi", F.col("value_centi") + UPSERT_BUMP
+    )
+    inserts = in_window.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("event_id") + INSERT_SHIFT).alias("event_id"),
+        "event_type",
+        (F.col("value_centi") + INSERT_BUMP).alias("value_centi"),
+        "event_date",
+    )
+    upsert(
+        spark,
+        table,
+        updates.unionByName(inserts),
+        key_cols=["event_id"],
+        layout_col="event_date",
+    )
+    rows = []
+    for v in versions(table):
+        man = _read_manifest(table, v)
+        rows.append(
+            (
+                v,
+                sum(e["rows"] for e in man["files"]),
+                min(e["min"] for e in man["files"]),
+                max(e["max"] for e in man["files"]),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "snapshot_version long, total_rows long, "
+        "min_layout string, max_layout string",
+    ).orderBy("snapshot_version")
+    return shape(df, MANIFEST_STATS_SPEC)
+
+
+MANIFEST_STATS_SQL = sql_select(
+    MANIFEST_STATS_SPEC,
+    f"""(
+    WITH base AS (
+        SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date FROM events
+    ),
+    ins AS (
+        SELECT event_id + {INSERT_SHIFT} AS event_id, event_date
+        FROM base
+        WHERE event_id % 7 = 3
+          AND event_date BETWEEN '{UPSERT_WINDOW[0]}' AND '{UPSERT_WINDOW[1]}'
+    )
+    SELECT 1 AS snapshot_version,
+           COUNT(*) AS total_rows,
+           MIN(event_date) AS min_layout, MAX(event_date) AS max_layout
+    FROM base
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM ins),
+           (SELECT MIN(event_date) FROM base),
+           (SELECT MAX(event_date) FROM base)
+    ORDER BY snapshot_version
+) s""",
+)
+
+FORMATS["versioned_manifest_stats"] = QuerySpec(
+    versioned_manifest_stats, MANIFEST_STATS_SQL
+)

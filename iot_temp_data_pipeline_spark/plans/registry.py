@@ -686,6 +686,13 @@ _DRIVER_VERIFIED_R03 = {
 # versioned table; the Arrow reader + 10M sizing touches the custom
 # source. They go FIRST so the changed behavior gets fresh driver rows.
 _CHANGED_R04 = [
+    "bm25_topk",                     # new: Okapi BM25 retrieval
+    "quality_classifier_filter",     # new: hashed linear quality model
+    "corpus_shuffle_manifest",       # new: deterministic dataloader shuffle
+    "versioned_table_diff",          # new: change-data-feed between snapshots
+    "dedup_incremental_delta",       # new: increment-vs-history dedup
+    "versioned_manifest_stats",      # new: metadata-only snapshot stats
+    "corpus_filter_funnel",          # new: sequential-gate drop accounting
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",
@@ -702,6 +709,7 @@ _CHANGED_R04 = [
     "timetravel_upsert",             # exclusive commit + None-stats guard
     "custom_source_device_stats",    # Arrow batches, 10M rows
     "streaming_incremental_mart",    # new: incremental MERGE refresh
+    "streaming_incremental_dedup",   # new: stream-static history dedup
     "pipeline_run_report",           # new: DAG run-report analog
 ]
 _never = [

@@ -923,8 +923,126 @@ def _pqenc_oracle() -> str:
 PQENC_ORACLE = _pqenc_oracle()
 
 
+
+
+# --------------------------------------- incremental dedup (stream-static)
+
+INC_DEDUP_SPEC = [
+    ("source", ""),
+    ("lang", ""),
+    ("n_incoming", "long"),
+    ("n_kept", "long"),
+    ("sum_chars_kept", "long"),
+]
+
+_DOCS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _streaming_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact side of dedup_incremental_delta run AS A STREAM: the
+    crawl increment (doc_id % 3 == 0) arrives through a CSV landing
+    zone in micro-batches; each batch LEFT ANTI joins the FROZEN
+    history hash set (a static DataFrame — the stream-static join
+    pattern, so the operator needs no watermark and no state store:
+    history membership is batch-local work). Kept docs append to the
+    sink; the end state is batching- and order-independent because
+    history is static — which is exactly what lets the batch oracle
+    pin the streamed result. At 100 TB history's hash set is a frozen
+    bucketed table maintained across crawls (the versioned-table use
+    case); each micro-batch pays an increment-sized join against it."""
+    from ..operators.dedup import dedup_corpus
+
+    corpus = dedup_corpus(spark, sf_dir)
+    inc = corpus.filter(F.col("doc_id") % 3 == 0)
+    hist_hashes = (
+        corpus.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("th"))
+        .distinct()
+    )
+    work = workdir("incdedup")
+    materialize_landing(inc, f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_DOCS_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .option("nullValue", "\x00")
+        .csv(f"{work}/landing")
+    )
+    kept = stream.withColumn("th", F.md5("text")).join(
+        hist_hashes, "th", "left_anti"
+    )
+    run_available_now(kept, f"{work}/sink", f"{work}/ckpt")
+    sunk = spark.read.parquet(f"{work}/sink")
+    # n_incoming from the static split (the landing zone's own count —
+    # stream and batch agree by construction), kept stats from the sink
+    inc_counts = inc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_incoming")
+    )
+    kept_counts = sunk.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).alias("sum_chars_kept"),
+    )
+    df = (
+        inc_counts.join(kept_counts, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "n_incoming",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("sum_chars_kept", F.lit(0)).alias("sum_chars_kept"),
+        )
+        .orderBy("source", "lang")
+    )
+    return shape(df, INC_DEDUP_SPEC)
+
+
+def _inc_dedup_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+
+    return (
+        "WITH " + CORPUS_SQL.strip()
+        + sql_select(
+            INC_DEDUP_SPEC,
+            """(
+    WITH inc AS (
+        SELECT * FROM corpus WHERE doc_id % 3 = 0
+    ),
+    hist AS (
+        SELECT DISTINCT md5(text) AS th FROM corpus WHERE doc_id % 3 != 0
+    ),
+    kept AS (
+        SELECT * FROM inc WHERE md5(text) NOT IN (SELECT th FROM hist)
+    )
+    SELECT i.source, i.lang, i.n_incoming,
+        COALESCE(k.n_kept, 0) AS n_kept,
+        COALESCE(k.sum_chars_kept, 0) AS sum_chars_kept
+    FROM (
+        SELECT source, lang, COUNT(*) AS n_incoming
+        FROM inc GROUP BY source, lang
+    ) i
+    LEFT JOIN (
+        SELECT source, lang, COUNT(*) AS n_kept,
+            SUM(length(text)) AS sum_chars_kept
+        FROM kept GROUP BY source, lang
+    ) k USING (source, lang)
+    ORDER BY source, lang
+) s""",
+        )
+    )
+
+
 STREAMING: dict[str, QuerySpec] = {
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),
+    "streaming_incremental_dedup": QuerySpec(
+        _streaming_inc_dedup, _inc_dedup_oracle()
+    ),
     "streaming_cms_partials": QuerySpec(_streaming_cms, _cms_stream_oracle()),
     "streaming_hll_partials": QuerySpec(_streaming_hll, _hll_stream_oracle()),
     "streaming_session_windows": QuerySpec(_streaming_sessions, SSESSION_ORACLE),

@@ -315,3 +315,83 @@ def expire_versions(table: str, keep_last: int = 2) -> list[int]:
         if os.path.isdir(d) and not os.listdir(d):
             os.rmdir(d)
     return expired
+
+
+def diff_versions(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two snapshots (Delta's
+    ``table_changes`` / Iceberg's incremental-read analog): one row per
+    changed record, tagged ``change_type`` ∈ {'insert', 'delete',
+    'update_preimage', 'update_postimage'}.
+
+    THE metadata trick that makes CDF cheap at 100 TB: files carried
+    BY REFERENCE between the manifests are bit-identical by
+    construction, so only the SYMMETRIC DIFFERENCE of the two file
+    lists is ever read — an upsert that touched 2 of 10k files costs a
+    2-file diff, not a table-sized join. Within the churned files a
+    full outer join on the key classifies rows; survivors rewritten
+    into new files compare equal and drop out.
+    """
+    man_from = _read_manifest(table, v_from)
+    man_to = _read_manifest(table, v_to)
+    paths_from = {e["path"] for e in man_from["files"]}
+    paths_to = {e["path"] for e in man_to["files"]}
+    only_from = sorted(paths_from - paths_to)
+    only_to = sorted(paths_to - paths_from)
+
+    cols = None
+    if only_from:
+        old = spark.read.parquet(*[os.path.join(table, p) for p in only_from])
+        cols = old.columns
+    if only_to:
+        new = spark.read.parquet(*[os.path.join(table, p) for p in only_to])
+        cols = cols or new.columns
+    if cols is None:  # identical manifests: empty feed with key schema
+        empty = read_version(spark, table, v_to).limit(0)
+        return empty.select(F.lit("insert").alias("change_type"), "*").limit(0)
+    val_cols = [c for c in cols if c not in key_cols]
+    if not only_from:
+        return new.select(F.lit("insert").alias("change_type"), *cols)
+    if not only_to:
+        return old.select(F.lit("delete").alias("change_type"), *cols)
+
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in val_cols]).alias("_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in val_cols]).alias("_new"),
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    changed = (
+        F.col("_old").isNotNull()
+        & F.col("_new").isNotNull()
+        & ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+    pre = j.filter(changed).select(
+        F.lit("update_preimage").alias("change_type"),
+        *key_cols,
+        *[F.col(f"_old.{c}").alias(c) for c in val_cols],
+    )
+    post = j.filter(changed).select(
+        F.lit("update_postimage").alias("change_type"),
+        *key_cols,
+        *[F.col(f"_new.{c}").alias(c) for c in val_cols],
+    )
+    ins = j.filter(F.col("_old").isNull()).select(
+        F.lit("insert").alias("change_type"),
+        *key_cols,
+        *[F.col(f"_new.{c}").alias(c) for c in val_cols],
+    )
+    dele = j.filter(F.col("_new").isNull()).select(
+        F.lit("delete").alias("change_type"),
+        *key_cols,
+        *[F.col(f"_old.{c}").alias(c) for c in val_cols],
+    )
+    return pre.unionByName(post).unionByName(ins).unionByName(dele)

@@ -30,6 +30,38 @@ SHOWCASE = {
         "BroadcastNestedLoopJoin build from driver-local data, no jobs); "
         "the probe side never shuffles for enrichment."
     ),
+    "bm25_topk": (
+        "Same one-term-exchange inverted-index contract as tfidf_topk "
+        "with BM25's saturating integer fixed-point scorer: doc length "
+        "rides the tf aggregation keys (no doc-length join), avgdl is a "
+        "1-row broadcast, the query side broadcasts into the postings."
+    ),
+    "quality_classifier_filter": (
+        "Model-based filtering with ZERO corpus shuffle: the hashed "
+        "linear score is an F.aggregate over the token array evaluated "
+        "in the scan projection (no Generate/explode anywhere); the only "
+        "Exchange is the final (source, lang) report aggregate with "
+        "map-side partials."
+    ),
+    "corpus_shuffle_manifest": (
+        "A global random permutation decomposed into per-shard sorts: "
+        "Exchange hashpartitioning(shard_id) then per-partition Sort + "
+        "Window row_number - no SinglePartition node; reseeding "
+        "reshuffles without rewriting data."
+    ),
+    "dedup_incremental_delta": (
+        "Increment-vs-history dedup: exact side is a hash equi-join on "
+        "md5(text); near side joins the increment's band table against "
+        "history's (never a self-join), so candidate work tracks the "
+        "increment's size; verdict derivation is two left joins sized by "
+        "the increment."
+    ),
+    "corpus_filter_funnel": (
+        "Four sequential gates audited in ONE aggregate over one corpus "
+        "scan: conditional sums give each stage's survivor count, a "
+        "conditional distinct-hash count gives the dedup stage, and the "
+        "4-row report explodes from the single agg row."
+    ),
     "tfidf_topk": (
         "ONE Exchange (REPARTITION_BY_COL on term) builds the whole "
         "inverted index: the (doc_id, term) tf aggregate, the per-term df "

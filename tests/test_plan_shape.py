@@ -309,3 +309,34 @@ def test_hnm_and_jl_matmul_strategy_parity(spark, sf_dir):
         a = a.astype(str).sort_values(by=list(a.columns)).reset_index(drop=True)
         b = b.astype(str).sort_values(by=list(b.columns)).reset_index(drop=True)
         assert a.equals(b), f"{fn.__name__} strategy divergence"
+
+
+def test_bm25_exact_copy_ranks_first_and_reuses_term_partitioning(spark, sf_dir):
+    """BM25 sanity + plan contract: (a) a query doc with an exact copy
+    in the corpus (the dedup fixture's +1M replicas) ranks that copy
+    top-1 and — since the copy is itself a query with identical tf and
+    dl — the pair's scores are exactly symmetric; (b) the postings
+    build introduces no doc_id exchange: the explicit term partitioning
+    satisfies the tf agg, the df agg, and the tf⋈w join (the same
+    one-exchange contract as the TF-IDF index)."""
+    from iot_temp_data_pipeline_spark.operators.dedup import dedup_corpus
+    from iot_temp_data_pipeline_spark.operators.tfidf import (
+        bm25_postings,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert rows
+    by_pair = {(r["query_id"], r["doc_id"]): r for r in rows}
+    top1 = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
+    with_copy = [q for q in top1 if q % 700 == 0 and q < 1_000_000]
+    assert with_copy, "fixture should include a query with an exact copy"
+    for q in with_copy:
+        assert top1[q] == q + 1_000_000, (q, top1[q])
+        fwd, rev = by_pair[(q, q + 1_000_000)], by_pair[(q + 1_000_000, q)]
+        assert fwd["score_scaled"] == rev["score_scaled"]
+        assert fwd["shared_terms"] == rev["shared_terms"] > 1
+
+    plan = bm25_postings(dedup_corpus(spark, sf_dir))._jdf.queryExecution().toString()
+    assert "RepartitionByExpression [term" in plan  # explicit term partitioning
+    assert "hashpartitioning(doc_id" not in plan  # never shuffled by doc

@@ -492,3 +492,113 @@ def test_pack_sequences_sharded_plan_has_no_global_sort(spark, sf_dir):
     )
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard_id" in plan
+
+
+def test_classifier_quality_scores_mapside_and_discriminates(spark, sf_dir):
+    """The hashed-linear-classifier gate must (a) actually split the
+    corpus (a threshold that keeps or drops everything is a no-op
+    filter), and (b) score without any corpus-sized shuffle: no
+    Generate/explode, and the only exchange is the final
+    (source, lang) aggregate."""
+    from iot_temp_data_pipeline_spark.operators import quality as qa
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = qa.classifier_quality(docs)
+    rows = df.collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_kept = sum(r["n_kept"] for r in rows)
+    assert 0 < n_kept < n_docs
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["kept_permille"] <= 1000
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert "Generate" not in plan  # no explode: F.aggregate scores in place
+    assert plan.count("Exchange hashpartitioning") == 1  # only the group agg
+    assert "hashpartitioning(source" in plan
+
+
+def test_corpus_shuffle_manifest_is_permutation_without_global_sort(spark, sf_dir):
+    """Dataloader-shuffle contract: every doc appears exactly once,
+    positions are contiguous 1..n within each shard, a different seed
+    produces a different permutation, and the plan decomposes into
+    per-shard sorts (no SinglePartition)."""
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = pk.corpus_shuffle_manifest(docs)
+    rows = df.collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    reshuffled = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in pk.corpus_shuffle_manifest(docs, seed=pk.SHUFFLE_SEED + 1).collect()
+    }
+    orig = {r["doc_id"]: (r["shard_id"], r["shard_pos"]) for r in rows}
+    assert orig != reshuffled  # epoch reshuffle actually permutes
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard_id" in plan
+
+
+def test_incremental_dedup_flags_replicas_against_history(spark, sf_dir):
+    """The fixture's +1M exact replicas and +2M truncated replicas land
+    on both sides of the increment/history split, so the increment must
+    contain exact_dup verdicts (replica whose original is history),
+    near_dup verdicts (truncated replica of a history doc), and kept
+    docs — and every exact verdict must out-rank near (an exact match
+    is never reported as merely near)."""
+    from iot_temp_data_pipeline_spark.operators import dedup as dd
+
+    out = {
+        r["doc_id"]: r
+        for r in dd.incremental_dedup(dd.dedup_corpus(spark, sf_dir)).collect()
+    }
+    verdicts = {r["verdict"] for r in out.values()}
+    assert verdicts == {"exact_dup", "near_dup", "kept"}
+    for r in out.values():
+        if r["n_exact_matches"] > 0:
+            assert r["verdict"] == "exact_dup"
+        if r["verdict"] == "near_dup":
+            assert r["max_est_permille"] >= dd.NEAR_MIN_PERMILLE
+        if r["verdict"] == "kept":
+            assert r["n_exact_matches"] == 0 and r["n_near_candidates"] == 0
+    # an exact +1M replica of a history original: original doc d with
+    # d % 3 != 0 and (d + 1_000_000) % 3 == 0 and d % 7 == 0
+    probe = [
+        i for i in out
+        if 1_000_000 <= i < 2_000_000 and (i - 1_000_000) % 3 != 0
+    ]
+    assert probe and all(out[i]["verdict"] == "exact_dup" for i in probe)
+
+
+def test_filter_funnel_is_monotone_and_chains(spark, sf_dir):
+    """Funnel invariants: stage N's docs_in equals stage N-1's
+    docs_out, every stage is non-increasing, every stage drops at
+    least one doc on the replica-spiked fixture (each gate is doing
+    real work), and docs_dropped is consistent."""
+    from iot_temp_data_pipeline_spark.operators import dedup as dd
+    from iot_temp_data_pipeline_spark.operators import quality as qa
+
+    rows = sorted(
+        qa.filter_funnel(dd.dedup_corpus(spark, sf_dir)).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "length_shape", "repetition", "classifier", "exact_dedup",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+    for r in rows:
+        assert 0 <= r["docs_out"] <= r["docs_in"]
+        assert r["docs_dropped"] == r["docs_in"] - r["docs_out"]
+        assert r["docs_dropped"] > 0

@@ -221,3 +221,60 @@ def test_compact_carries_large_files_by_reference(spark, table):
     carried = {e["path"] for e in man2["files"]} & big_paths
     assert carried == big_paths
     assert n_kept == len(big_paths)
+
+
+def test_diff_versions_reads_only_churned_files(spark, table):
+    """CDF contract: the feed between v1 and v2 classifies exactly the
+    merged rows (pre+post per update, insert per new key), survivors
+    rewritten into new files drop out by value equality, and carried
+    files are never scanned (every scanned path is in the manifests'
+    symmetric difference)."""
+    from iot_temp_data_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        diff_versions,
+    )
+
+    updates = spark.range(0, 50, 7).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        F.lit(9999).alias("v"),
+    )
+    inserts = spark.range(5000, 5003).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        F.lit(1).alias("v"),
+    )
+    upsert(spark, table, updates.unionByName(inserts), key_cols=["k"], layout_col="day")
+
+    feed = diff_versions(spark, table, 1, 2, key_cols=["k"])
+    rows = feed.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], set()).add(r["k"])
+    upd_keys = set(range(0, 50, 7))
+    assert by_type["update_preimage"] == upd_keys
+    assert by_type["update_postimage"] == upd_keys
+    assert by_type["insert"] == {5000, 5001, 5002}
+    assert "delete" not in by_type
+    pre_v = {r["k"]: r["v"] for r in rows if r["change_type"] == "update_preimage"}
+    assert pre_v[7] == 7 * 3 % 97
+    post_v = {r["k"]: r["v"] for r in rows if r["change_type"] == "update_postimage"}
+    assert set(post_v.values()) == {9999}
+
+    # scan bound: every parquet file in the diff plan is a churned file
+    man1 = _read_manifest(table, 1)
+    man2 = _read_manifest(table, 2)
+    p1 = {e["path"] for e in man1["files"]}
+    p2 = {e["path"] for e in man2["files"]}
+    churned = {os.path.basename(p) for p in (p1 ^ p2)}
+    carried = {os.path.basename(p) for p in (p1 & p2)}
+    assert carried  # fixture must exercise carry-by-reference
+    plan = feed._jdf.queryExecution().toString()
+    for f in carried:
+        assert f not in plan
+
+    # identical snapshots → empty feed
+    from iot_temp_data_pipeline_spark.sources.versioned import _commit
+
+    _commit(table, 3, man2["files"], man2["layout_col"])
+    assert diff_versions(spark, table, 2, 3, key_cols=["k"]).count() == 0

@@ -344,3 +344,108 @@ def key_skew_diagnostics_sql(source: str = "events", topn: int = SKEW_TOPN) -> s
     GROUP BY event_type
     ORDER BY event_type
 ) sk"""
+
+
+# ------------------------------------------- embedding centroid drift
+
+EMB_DRIFT_DIM = 64  # fixture embedding dimensionality
+
+
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """Per-label embedding-space drift monitor — the vector-side
+    sibling of :func:`value_drift_chi2` (run when the embedding model
+    is updated or a new data slice lands: did each label's centroid
+    move?). Cohorts are the first and second halves by vec_id; each
+    cohort's per-label centroid is the integer-truncated mean of the
+    quantized vectors (sum div count per dimension — exact in both
+    engines), and the reported drift is the squared L2 distance
+    between the two centroid vectors in quantized units² (integer).
+
+    One scan → one groupBy(label, cohort) with 64 map-side-combined
+    component sums → a label-sized self-join of the two cohort rows.
+    The shuffle carries |labels|·2 rows of 64 longs regardless of
+    corpus size. Quantized means are ~1e6-scale, so the 64-term sum of
+    squared diffs stays far inside int64."""
+    from .similarity import quantize
+
+    half = emb.agg(
+        F.expr("div(min(vec_id) + max(vec_id), 2)").alias("mid")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(half))
+        .select(
+            "label",
+            F.when(F.col("vec_id") <= F.col("mid"), "first")
+            .otherwise("second")
+            .alias("cohort"),
+            quantize(F.col("embedding")).alias("qx"),
+        )
+    )
+    sums = q.groupBy("label", "cohort").agg(
+        F.count("*").alias("c"),
+        *[
+            F.sum(F.element_at("qx", i + 1)).alias(f"s{i}")
+            for i in range(EMB_DRIFT_DIM)
+        ],
+    )
+    mean_cols = [
+        F.expr(f"div(s{i}, c)").alias(f"m{i}") for i in range(EMB_DRIFT_DIM)
+    ]
+    m = sums.select("label", "cohort", F.col("c"), *mean_cols)
+    a = m.filter(F.col("cohort") == "first").alias("a")
+    b = m.filter(F.col("cohort") == "second").alias("b")
+    d2 = None
+    for i in range(EMB_DRIFT_DIM):
+        t = (F.col(f"a.m{i}") - F.col(f"b.m{i}")) * (
+            F.col(f"a.m{i}") - F.col(f"b.m{i}")
+        )
+        d2 = t if d2 is None else d2 + t
+    return (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.c").alias("n_first"),
+            F.col("b.c").alias("n_second"),
+            d2.alias("drift_q2"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_drift_sql(source: str = "embeddings") -> str:
+    dim = EMB_DRIFT_DIM
+    sum_cols = ",\n            ".join(
+        f"SUM(qx[{i + 1}]) AS s{i}" for i in range(dim)
+    )
+    mean_cols = ",\n            ".join(
+        f"s{i} // c AS m{i}" for i in range(dim)
+    )
+    d2 = " + ".join(f"(a.m{i} - b.m{i}) * (a.m{i} - b.m{i})" for i in range(dim))
+    return f"""(
+    WITH ehalf AS (
+        SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM {source}
+    ),
+    eq AS (
+        SELECT label,
+            CASE WHEN vec_id <= (SELECT mid FROM ehalf)
+                 THEN 'first' ELSE 'second' END AS cohort,
+            list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS qx
+        FROM {source}
+    ),
+    esums AS (
+        SELECT label, cohort, COUNT(*) AS c,
+            {sum_cols}
+        FROM eq GROUP BY label, cohort
+    ),
+    emeans AS (
+        SELECT label, cohort, c,
+            {mean_cols}
+        FROM esums
+    )
+    SELECT a.label, a.c AS n_first, b.c AS n_second,
+        {d2} AS drift_q2
+    FROM emeans a JOIN emeans b
+        ON a.label = b.label AND a.cohort = 'first' AND b.cohort = 'second'
+    ORDER BY a.label
+) ed"""

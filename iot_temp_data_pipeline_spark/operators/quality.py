@@ -903,3 +903,120 @@ def filter_funnel_sql(source: str = "corpus") -> str:
     SELECT 4, 'exact_dedup', n3, n4, n3 - n4 FROM fone
     ORDER BY stage_idx
 ) fn"""
+
+
+# ----------------------------------------------------- curriculum phases
+
+CURR_BIN_MILLI = 10_000  # histogram granularity for the quartile cuts
+
+
+def curriculum_phases(docs: DataFrame) -> DataFrame:
+    """Curriculum construction — order the corpus into 4 difficulty
+    phases by classifier score WITHOUT a global sort (NTILE over 100 TB
+    is a SinglePartition sort; real curricula don't need row-exact
+    quartiles): scores are binned into a fixed-width integer histogram,
+    the quartile cut BINS come from the histogram's CDF (the winsorize
+    recipe — the bin table is score-range-sized, ~hundreds of rows, so
+    its ordered window is trivial), and each doc's phase is a stateless
+    comparison against the three broadcast cut bins. Bin-granular
+    quartiles: phases differ from exact NTILE only within the three
+    boundary bins (width CURR_BIN_MILLI milli-score), and the whole
+    assignment is one corpus scan + one tiny aggregate.
+
+    Output per phase: doc count, token sum (the number a dataloader
+    schedule needs), and the score span."""
+    tk = tokens(F.col("text"))
+    w = lambda t: (  # noqa: E731
+        portable_hash32(t, seed=QC_SEED) % (2 * QC_WEIGHT_RANGE + 1)
+    ) - QC_WEIGHT_RANGE
+    scored = (
+        docs.select(
+            F.aggregate(tk, F.lit(0).cast("long"), lambda acc, t: acc + w(t)).alias(
+                "qc_total"
+            ),
+            F.size(tk).cast("long").alias("qc_n"),
+        )
+        .select(
+            F.expr("div(1000 * qc_total, qc_n)").alias("score_milli"),
+            F.col("qc_n").alias("n_tokens"),
+        )
+        .select(
+            "score_milli",
+            "n_tokens",
+            F.expr(f"div(score_milli, {CURR_BIN_MILLI})").alias("bin"),
+        )
+    )
+    bins = scored.groupBy("bin").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = bins.select("bin", F.sum("c").over(wb).alias("cum")).crossJoin(
+        F.broadcast(scored.groupBy().agg(F.count("*").alias("n")))
+    )
+    cuts = cdf.agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("c25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("c50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("bin"))).alias("c75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("bin") > F.col("c25")).cast("long")
+        + (F.col("bin") > F.col("c50")).cast("long")
+        + (F.col("bin") > F.col("c75")).cast("long")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(phase.alias("phase"), "score_milli", "n_tokens")
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+        )
+        .orderBy("phase")
+    )
+
+
+def curriculum_phases_sql(source: str = "documents") -> str:
+    h = (
+        f"CAST('0x' || substr(md5('{QC_SEED}:' || t), 1, 8) AS BIGINT)"
+        f" % {2 * QC_WEIGHT_RANGE + 1} - {QC_WEIGHT_RANGE}"
+    )
+    return f"""(
+    WITH cscored AS (
+        SELECT score_milli, n_tokens, score_milli // {CURR_BIN_MILLI} AS bin
+        FROM (
+            SELECT (1000 * list_sum(list_transform(tk, t -> {h}))) // len(tk)
+                       AS score_milli,
+                   CAST(len(tk) AS BIGINT) AS n_tokens
+            FROM (
+                SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM {source}
+            )
+        )
+    ),
+    cbins AS (
+        SELECT bin, COUNT(*) AS c FROM cscored GROUP BY bin
+    ),
+    ccdf AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            (SELECT COUNT(*) FROM cscored) AS n
+        FROM cbins
+    ),
+    ccuts AS (
+        SELECT
+            MIN(CASE WHEN 4 * cum >= n THEN bin END) AS c25,
+            MIN(CASE WHEN 2 * cum >= n THEN bin END) AS c50,
+            MIN(CASE WHEN 4 * cum >= 3 * n THEN bin END) AS c75
+        FROM ccdf
+    )
+    SELECT 1 + CAST(bin > c25 AS BIGINT) + CAST(bin > c50 AS BIGINT)
+             + CAST(bin > c75 AS BIGINT) AS phase,
+        COUNT(*) AS n_docs,
+        SUM(n_tokens) AS sum_tokens,
+        MIN(score_milli) AS min_score_milli,
+        MAX(score_milli) AS max_score_milli
+    FROM cscored CROSS JOIN ccuts
+    GROUP BY 1
+    ORDER BY phase
+) cp"""

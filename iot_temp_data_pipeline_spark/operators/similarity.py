@@ -1234,3 +1234,158 @@ def jl_projection_recall_sql(query_mod: int = 100, k: int = 5) -> str:
         CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
     FROM jper_q
 ) s"""
+
+
+# ------------------------------------------- MMR diverse top-k selection
+
+MMR_QUERY_ID = 0
+MMR_POOL = 20
+MMR_K = 5
+# λ = 0.7 as the exact literals 0.7/0.3 — both engines evaluate the same
+# IEEE double expression 0.7·rel − 0.3·maxsim, so argmax ties are
+# resolved identically (and broken by vec_id regardless)
+MMR_LAMBDA = 0.7
+
+
+def mmr_diverse_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = MMR_QUERY_ID,
+    pool_size: int = MMR_POOL,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware
+    selection every retrieval-augmented pipeline ends with (pure
+    relevance top-k returns near-duplicates; MMR greedily picks
+    argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)).
+
+    The scale split is explicit: candidate GENERATION is the
+    distributed part (top-``pool_size`` by quantized cosine — here
+    brute-force; at corpus scale the IVF/PQ paths produce the same
+    pool), while the greedy re-rank runs on the pool only — O(pool²)
+    similarities and k argmax rounds, each a 1-row digest (the kmeans
+    convergence-digest pattern: tiny driver traffic, never data).
+    Quantized-integer dots keep rel/sim bit-exact; the oracle unrolls
+    the k greedy rounds as CTEs and reproduces every pick."""
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("qvec").alias("q_qvec"), F.col("qnorm2").alias("q_qnorm2")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "qvec",
+            "qnorm2",
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+    pool = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool_size)
+        .drop("rn")
+        .persist()
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("cand_id"),
+            F.col("b.vec_id").alias("sel_id"),
+            qcosine(
+                F.col("a.qvec"),
+                F.col("b.qvec"),
+                F.col("a.qnorm2"),
+                F.col("b.qnorm2"),
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    lam = MMR_LAMBDA
+    first = pool.orderBy(F.col("rel").desc(), F.col("vec_id")).select(
+        "vec_id", "rel"
+    ).first()
+    selected = [(1, first["vec_id"], first["rel"], 0.0, lam * first["rel"])]
+    chosen = [first["vec_id"]]
+    for r in range(2, k + 1):
+        ms = (
+            sims.filter(F.col("sel_id").isin(chosen))
+            .groupBy("cand_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            pool.filter(~F.col("vec_id").isin(chosen))
+            .join(ms, F.col("vec_id") == F.col("cand_id"))
+            .select(
+                "vec_id",
+                "rel",
+                "maxsim",
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("maxsim")).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id"))
+            .first()
+        )
+        selected.append((r, pick["vec_id"], pick["rel"], pick["maxsim"], pick["mmr"]))
+        chosen.append(pick["vec_id"])
+    return spark.createDataFrame(
+        selected, "rank long, vec_id long, rel double, maxsim double, mmr double"
+    ).orderBy("rank")
+
+
+def mmr_diverse_topk_sql(
+    query_id: int = MMR_QUERY_ID,
+    pool_size: int = MMR_POOL,
+    k: int = MMR_K,
+) -> str:
+    """DuckDB twin (expects QUANT_SQL prelude): the same pool, the same
+    pairwise sims, and the k greedy rounds unrolled as CTEs — every
+    round's argmax must reproduce the Spark pick bit-for-bit."""
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    cos_rel = sql_qcos("q.qvec", "b.qvec", "q.qnorm2", "b.qnorm2")
+    cos_ab = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    parts = [
+        f"""mpool AS (
+        SELECT vec_id, qvec, qnorm2, rel FROM (
+            SELECT b.vec_id, b.qvec, b.qnorm2, {cos_rel} AS rel,
+                ROW_NUMBER() OVER (ORDER BY {cos_rel} DESC, b.vec_id) AS rn
+            FROM qnormed q JOIN qnormed b ON b.vec_id != {query_id}
+            WHERE q.vec_id = {query_id}
+        ) WHERE rn <= {pool_size}
+    ),
+    msims AS (
+        SELECT a.vec_id AS cand_id, b.vec_id AS sel_id, {cos_ab} AS sim
+        FROM mpool a JOIN mpool b ON a.vec_id != b.vec_id
+    ),
+    msel1 AS (
+        SELECT 1 AS rank, vec_id, rel, 0.0 AS maxsim, {lam} * rel AS mmr
+        FROM mpool ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    prev_union = "SELECT vec_id FROM msel1"
+    prev_all = "SELECT * FROM msel1"
+    for r in range(2, k + 1):
+        parts.append(f"""msel{r} AS (
+        SELECT {r} AS rank, p.vec_id, p.rel, m.maxsim,
+            {lam} * p.rel - {mu} * m.maxsim AS mmr
+        FROM mpool p
+        JOIN (
+            SELECT cand_id, MAX(sim) AS maxsim FROM msims
+            WHERE sel_id IN ({prev_union})
+            GROUP BY cand_id
+        ) m ON p.vec_id = m.cand_id
+        WHERE p.vec_id NOT IN ({prev_union})
+        ORDER BY {lam} * p.rel - {mu} * m.maxsim DESC, p.vec_id LIMIT 1
+    )""")
+        prev_union += f" UNION ALL SELECT vec_id FROM msel{r}"
+        prev_all += f" UNION ALL SELECT * FROM msel{r}"
+    return (
+        "(\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    {prev_all}\n    ORDER BY rank\n) s"
+    )

@@ -733,3 +733,29 @@ def _skew_oracle() -> str:
 
 
 ANALYTICS["skew_key_diagnostics"] = QuerySpec(_key_skew, _skew_oracle())
+
+EMB_DRIFT_SPEC = [
+    ("label", "long"),
+    ("n_first", "long"),
+    ("n_second", "long"),
+    ("drift_q2", "long"),
+]
+
+
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as pf
+
+    return shape(
+        pf.embedding_drift(load_table(spark, sf_dir, "embeddings")), EMB_DRIFT_SPEC
+    )
+
+
+def _emb_drift_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(EMB_DRIFT_SPEC, pf.embedding_drift_sql("embeddings"))
+
+
+ANALYTICS["drift_embedding_centroids"] = QuerySpec(
+    _embedding_drift, _emb_drift_oracle()
+)

@@ -1886,3 +1886,43 @@ def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_ORACLE = _CORPUS + sql_select(FUNNEL_SPEC, qa.filter_funnel_sql("corpus"))
 
 EXTENSIONS["corpus_filter_funnel"] = QuerySpec(_filter_funnel, FUNNEL_ORACLE)
+
+MMR_SPEC = [
+    ("rank", "long"),
+    ("vec_id", "long"),
+    ("rel", ""),
+    ("maxsim", ""),
+    ("mmr", ""),
+]
+
+
+def _mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sim.mmr_diverse_topk(spark, sf_dir), MMR_SPEC)
+
+
+# the MMR subquery opens its own nested WITH (the unrolled greedy
+# rounds); the shared quantization prelude supplies qnormed around it
+MMR_ORACLE = "WITH " + sim.QUANT_SQL.strip() + sql_select(
+    MMR_SPEC, sim.mmr_diverse_topk_sql()
+)
+
+EXTENSIONS["mmr_diverse_topk"] = QuerySpec(_mmr_diverse, MMR_ORACLE)
+
+CURR_SPEC = [
+    ("phase", "long"),
+    ("n_docs", "long"),
+    ("sum_tokens", "long"),
+    ("min_score_milli", "long"),
+    ("max_score_milli", "long"),
+]
+
+
+def _curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.curriculum_phases(load_table(spark, sf_dir, "documents")), CURR_SPEC
+    )
+
+
+CURR_ORACLE = sql_select(CURR_SPEC, qa.curriculum_phases_sql("documents"))
+
+EXTENSIONS["curriculum_score_phases"] = QuerySpec(_curriculum, CURR_ORACLE)

@@ -693,6 +693,9 @@ _CHANGED_R04 = [
     "dedup_incremental_delta",       # new: increment-vs-history dedup
     "versioned_manifest_stats",      # new: metadata-only snapshot stats
     "corpus_filter_funnel",          # new: sequential-gate drop accounting
+    "mmr_diverse_topk",              # new: diversity-aware re-ranking
+    "drift_embedding_centroids",     # new: embedding-space drift monitor
+    "curriculum_score_phases",       # new: sort-free curriculum quartiles
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

@@ -602,3 +602,41 @@ def test_filter_funnel_is_monotone_and_chains(spark, sf_dir):
         assert 0 <= r["docs_out"] <= r["docs_in"]
         assert r["docs_dropped"] == r["docs_in"] - r["docs_out"]
         assert r["docs_dropped"] > 0
+
+
+def test_mmr_selection_is_more_diverse_than_pure_topk(spark, sf_dir):
+    """MMR's reason to exist, asserted: among the same candidate pool,
+    the MMR-selected set's worst-case internal similarity is no higher
+    than the pure-relevance top-k's — and the first pick is exactly the
+    relevance argmax."""
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    rows = sorted(
+        sim.mmr_diverse_topk(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5
+
+    emb = sim._with_quantized(load_table(spark, sf_dir, "embeddings"))
+    vecs = {
+        r["vec_id"]: (r["qvec"], r["qnorm2"])
+        for r in emb.collect()
+    }
+    import math
+
+    def cos(i, j):
+        (va, na), (vb, nb) = vecs[i], vecs[j]
+        return sum(x * y for x, y in zip(va, vb)) / math.sqrt(na) / math.sqrt(nb)
+
+    q = sim.MMR_QUERY_ID
+    pool = sorted(
+        (i for i in vecs if i != q), key=lambda i: (-cos(q, i), i)
+    )[: sim.MMR_POOL]
+    topk = pool[: sim.MMR_K]
+    assert ids[0] == topk[0]  # rank 1 is the relevance argmax
+
+    def worst_internal(sel):
+        return max(cos(i, j) for i in sel for j in sel if i != j)
+
+    assert worst_internal(ids) <= worst_internal(topk) + 1e-12

@@ -351,14 +351,24 @@ def diff_versions(
     if only_to:
         new = spark.read.parquet(*[os.path.join(table, p) for p in only_to])
         cols = cols or new.columns
-    if cols is None:  # identical manifests: empty feed with key schema
+    # every branch emits the SAME column order (change_type, keys, vals)
+    # so callers can union feeds from different version pairs
+    if cols is None:  # identical manifests: empty feed with table schema
         empty = read_version(spark, table, v_to).limit(0)
-        return empty.select(F.lit("insert").alias("change_type"), "*").limit(0)
+        cols = empty.columns
+        vals = [c for c in cols if c not in key_cols]
+        return empty.select(
+            F.lit("insert").alias("change_type"), *key_cols, *vals
+        ).limit(0)
     val_cols = [c for c in cols if c not in key_cols]
     if not only_from:
-        return new.select(F.lit("insert").alias("change_type"), *cols)
+        return new.select(
+            F.lit("insert").alias("change_type"), *key_cols, *val_cols
+        )
     if not only_to:
-        return old.select(F.lit("delete").alias("change_type"), *cols)
+        return old.select(
+            F.lit("delete").alias("change_type"), *key_cols, *val_cols
+        )
 
     o = old.select(
         *[F.col(k) for k in key_cols],

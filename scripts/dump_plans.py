@@ -76,6 +76,19 @@ SHOWCASE = {
         "in parallel where the global grid form would serialize through "
         "one sort partition."
     ),
+    "curriculum_score_phases": (
+        "Sort-free curriculum quartiles: the corpus is scanned once "
+        "(map-side score + bin), the ordered window runs over the "
+        "score-range-sized BIN table (hundreds of rows), and phase "
+        "assignment is a stateless compare against 3 broadcast cut "
+        "bins - no NTILE SinglePartition sort anywhere."
+    ),
+    "drift_embedding_centroids": (
+        "Vector-drift monitor whose shuffle is label-sized: 64 "
+        "map-side-combined component sums per (label, cohort), then a "
+        "|labels|-row self-join - corpus size never appears in an "
+        "exchange."
+    ),
     "tpch_q9_product_type_profit": (
         "Part (LIKE-filtered) and supplier⋈nation broadcast; the only "
         "fact-fact exchange is lineitem⋈orders on orderkey; aggregation is "

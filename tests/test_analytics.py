@@ -220,3 +220,46 @@ def test_join_size_cms_upper_bound_under_skew(spark):
     assert row["exact_join_rows"] == 500 * 300
     assert row["overestimates"]
     assert row["cms_estimate"] >= row["exact_join_rows"]
+
+
+def test_embedding_drift_zero_for_mirrored_cohorts(spark):
+    """Identity check on the drift algebra: if the second cohort is an
+    exact copy of the first (same per-label vectors), every label's
+    centroid drift must be exactly 0 — and a shifted copy must not be."""
+    from iot_temp_data_pipeline_spark.operators.profiling import (
+        EMB_DRIFT_DIM,
+        embedding_drift,
+    )
+
+    base = [[float(i % 7) / 7.0 - 0.4] * EMB_DRIFT_DIM for i in range(6)]
+    rows = [(i, base[i], i % 2) for i in range(6)]  # first cohort: ids 0-5
+    rows += [(10 + i, base[i], i % 2) for i in range(6)]  # mirrored copy
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in embedding_drift(emb).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["drift_q2"] == 0 and r["n_first"] == r["n_second"] == 3
+
+    shifted = [(10 + i, [x + 0.1 for x in base[i]], i % 2) for i in range(6)]
+    emb2 = spark.createDataFrame(
+        rows[:6] + shifted, "vec_id long, embedding array<float>, label int"
+    )
+    out2 = embedding_drift(emb2).collect()
+    assert all(r["drift_q2"] > 0 for r in out2)
+
+
+def test_curriculum_phases_partition_corpus_with_disjoint_spans(spark, sf_dir):
+    """Phases 1..4 partition the corpus (counts sum to |docs|), and
+    because assignment is bin-granular, score spans are strictly
+    disjoint and increasing across phases."""
+    from iot_temp_data_pipeline_spark.operators.quality import curriculum_phases
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(curriculum_phases(docs).collect(), key=lambda r: r["phase"])
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_score_milli"] < b["min_score_milli"]

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash32, portable_hash32_sql
+from ..functions.hashing import (
+    affine_hash32_family,
+    portable_hash32,
+    portable_hash32_sql,
+)
 from ..functions.text import token_count
 
 CONTEXT_LEN = 512
@@ -440,3 +444,109 @@ def corpus_shuffle_manifest_sql(
         FROM {source}
     )
 ) csm"""
+
+
+# ------------------------------------------- resharding stability (HRW)
+
+RESHARD_FROM = 64
+RESHARD_TO = 65
+
+
+def reshard_stability(
+    docs: DataFrame,
+    s_from: int = RESHARD_FROM,
+    s_to: int = RESHARD_TO,
+) -> DataFrame:
+    """What fraction of the corpus MOVES when the shard count changes
+    (64 → 65) under two placement functions — the corpus-management
+    decision behind every re-layout at 100 TB:
+
+    - ``mod``: shard = h(doc) % S. Adding one shard remaps ~all docs
+      (every doc whose h % 64 ≠ h % 65 — ≈ 98%), so the whole corpus
+      rewrites.
+    - ``hrw`` (rendezvous / highest-random-weight): shard =
+      argmax_s lane_s(doc). Adding shard 65 only claims the docs whose
+      NEW lane beats all 64 old ones — ≈ 1/65 ≈ 15‰ move, the
+      consistent-hashing guarantee, with zero coordination state.
+
+    Lanes come from the multiply-shift affine family (ONE md5 per doc
+    + S fused integer multiply-adds — the same trick that makes
+    MinHash signatures cheap), so HRW costs barely more than mod and
+    the DuckDB oracle reproduces every placement bit-for-bit. One
+    corpus scan, one 1-row aggregate, a 2-row report."""
+    key = F.col("doc_id").cast("string")
+    h = portable_hash32(key, seed=SHUFFLE_SEED)
+    lanes = affine_hash32_family(key, s_to)
+
+    def hrw(n: int):
+        entries = [
+            F.struct(lanes[s].alias("v"), F.lit(-s).alias("s"))
+            for s in range(n)
+        ]
+        return -F.array_max(F.array(*entries))["s"]
+
+    d = docs.select(
+        ((h % s_from) != (h % s_to)).cast("long").alias("moved_mod"),
+        (hrw(s_from) != hrw(s_to)).cast("long").alias("moved_hrw"),
+    )
+    one = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("moved_mod").alias("m_mod"),
+        F.sum("moved_hrw").alias("m_hrw"),
+    )
+    report = F.array(
+        F.struct(
+            F.lit("mod").alias("method"),
+            F.col("n_docs").alias("n_docs"),
+            F.col("m_mod").alias("n_moved"),
+            F.expr("div(1000 * m_mod, n_docs)").alias("moved_permille"),
+        ),
+        F.struct(
+            F.lit("hrw").alias("method"),
+            F.col("n_docs").alias("n_docs"),
+            F.col("m_hrw").alias("n_moved"),
+            F.expr("div(1000 * m_hrw, n_docs)").alias("moved_permille"),
+        ),
+    )
+    return (
+        one.select(F.explode(report).alias("r"))
+        .select("r.method", "r.n_docs", "r.n_moved", "r.moved_permille")
+        .orderBy("method")
+    )
+
+
+def reshard_stability_sql(
+    source: str = "documents",
+    s_from: int = RESHARD_FROM,
+    s_to: int = RESHARD_TO,
+) -> str:
+    from ..functions.hashing import affine_hash32_family_sql
+
+    key = "CAST(doc_id AS VARCHAR)"
+    h = portable_hash32_sql(key, seed=SHUFFLE_SEED)
+    lanes = affine_hash32_family_sql(key, s_to)
+
+    def hrw(n: int) -> str:
+        entries = ", ".join(
+            f"{{'v': {lanes[s]}, 's': {-s}}}" for s in range(n)
+        )
+        return f"(-(list_max([{entries}])).s)"
+
+    return f"""(
+    WITH rflags AS (
+        SELECT
+            CAST(({h} % {s_from}) != ({h} % {s_to}) AS BIGINT) AS moved_mod,
+            CAST({hrw(s_from)} != {hrw(s_to)} AS BIGINT) AS moved_hrw
+        FROM {source}
+    ),
+    rone AS (
+        SELECT COUNT(*) AS n_docs, SUM(moved_mod) AS m_mod,
+               SUM(moved_hrw) AS m_hrw
+        FROM rflags
+    )
+    SELECT 'mod' AS method, n_docs, m_mod AS n_moved,
+           (1000 * m_mod) // n_docs AS moved_permille FROM rone
+    UNION ALL
+    SELECT 'hrw', n_docs, m_hrw, (1000 * m_hrw) // n_docs FROM rone
+    ORDER BY method
+) rs"""

@@ -1926,3 +1926,21 @@ def _curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURR_ORACLE = sql_select(CURR_SPEC, qa.curriculum_phases_sql("documents"))
 
 EXTENSIONS["curriculum_score_phases"] = QuerySpec(_curriculum, CURR_ORACLE)
+
+RESHARD_SPEC = [
+    ("method", ""),
+    ("n_docs", "long"),
+    ("n_moved", "long"),
+    ("moved_permille", "long"),
+]
+
+
+def _reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.reshard_stability(load_table(spark, sf_dir, "documents")), RESHARD_SPEC
+    )
+
+
+RESHARD_ORACLE = sql_select(RESHARD_SPEC, pk.reshard_stability_sql("documents"))
+
+EXTENSIONS["reshard_stability_hrw"] = QuerySpec(_reshard, RESHARD_ORACLE)

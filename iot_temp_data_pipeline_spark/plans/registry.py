@@ -696,6 +696,7 @@ _CHANGED_R04 = [
     "mmr_diverse_topk",              # new: diversity-aware re-ranking
     "drift_embedding_centroids",     # new: embedding-space drift monitor
     "curriculum_score_phases",       # new: sort-free curriculum quartiles
+    "reshard_stability_hrw",         # new: rendezvous-hash reshard audit
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

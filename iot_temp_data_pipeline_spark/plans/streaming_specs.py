@@ -961,10 +961,14 @@ def _streaming_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = dedup_corpus(spark, sf_dir)
     inc = corpus.filter(F.col("doc_id") % 3 == 0)
+    # persist: a stream-static join re-executes the static side's plan
+    # every micro-batch; caching makes history a build-once hash table
+    # (at 100 TB: a frozen bucketed table, not a cache)
     hist_hashes = (
         corpus.filter(F.col("doc_id") % 3 != 0)
         .select(F.md5("text").alias("th"))
         .distinct()
+        .persist()
     )
     work = workdir("incdedup")
     materialize_landing(inc, f"{work}/landing")

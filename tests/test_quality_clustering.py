@@ -640,3 +640,19 @@ def test_mmr_selection_is_more_diverse_than_pure_topk(spark, sf_dir):
         return max(cos(i, j) for i in sel for j in sel if i != j)
 
     assert worst_internal(ids) <= worst_internal(topk) + 1e-12
+
+
+def test_hrw_resharding_moves_roughly_one_shard_share(spark, sf_dir):
+    """The consistent-hashing guarantee, measured: growing 64 -> 65
+    shards under rendezvous hashing moves ~1/65 of docs (binomial
+    around 15 permille), while mod placement moves nearly everything
+    (~64/65). Bounds are loose enough for the 500-doc fixture."""
+    from iot_temp_data_pipeline_spark.operators import packing as pk
+
+    rows = {
+        r["method"]: r
+        for r in pk.reshard_stability(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert rows["hrw"]["moved_permille"] <= 40
+    assert rows["mod"]["moved_permille"] >= 900
+    assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]

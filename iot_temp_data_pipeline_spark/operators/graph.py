@@ -147,3 +147,92 @@ gn0 AS (
     WITH {body}
     SELECT u AS doc_id, degree, rank AS rank_e6 FROM gn{iters}
 ) pr"""
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts on the undirected near-dup graph — the
+    classic density signal: triangle-rich duplicate clusters are
+    boilerplate families (every page links every page); triangle-free
+    chains are revision histories. Distinct machinery from CC/PageRank:
+    the node-iterator join with DEGREE-ORDERED edge orientation
+    (Schank–Wagner / Suri–Vassilvitskii MapReduce form, public
+    algorithm), which bounds the wedge-join fan-out by the arboricity —
+    each edge is oriented low-degree → high-degree (ties by id), so no
+    node enumerates more wedges than its oriented out-degree², keeping
+    skewed hubs from exploding the join at 100 TB.
+
+    Two shuffles total: one degree aggregate, one wedge self-join whose
+    probe side is the oriented (thus bounded) edge list."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    # orient each undirected edge from the lower-(degree, id) endpoint
+    # to the higher one
+    oriented = (
+        sym.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .filter(
+            (F.col("d") < F.col("dv"))
+            | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    # wedges: two oriented edges out of the same pivot; the closing
+    # edge check runs against the canonical undirected edge list
+    wedges = (
+        oriented.alias("a")
+        .join(oriented.alias("b"), F.col("a.u") == F.col("b.u"))
+        .filter(F.col("a.v") < F.col("b.v"))
+        .select(
+            F.col("a.u").alias("pivot"),
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("pivot", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node.orderBy("node")
+
+
+def triangle_count_sql(edges_cte: str = "pairs") -> str:
+    """DuckDB twin over a CTE named ``edges_cte`` with doc_a/doc_b
+    columns. Independent algorithm: brute-force closed-wedge counting
+    over the canonical edge list (no degree orientation) — different
+    plan, same counts, which is exactly what an oracle should be."""
+    return f"""(
+    WITH tc_e AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+        FROM {edges_cte} WHERE doc_a <> doc_b
+    ),
+    tc_tri AS (
+        SELECT a.u AS n1, a.v AS n2, b.v AS n3
+        FROM tc_e a
+        JOIN tc_e b ON b.u = a.v
+        JOIN tc_e c ON c.u = a.u AND c.v = b.v
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT n1 AS node FROM tc_tri
+        UNION ALL SELECT n2 FROM tc_tri
+        UNION ALL SELECT n3 FROM tc_tri
+    )
+    GROUP BY node
+    ORDER BY node
+) tc"""

@@ -550,3 +550,113 @@ def reshard_stability_sql(
     SELECT 'hrw', n_docs, m_hrw, (1000 * m_hrw) // n_docs FROM rone
     ORDER BY method
 ) rs"""
+
+
+# ------------------------------------------- range-partitioner bounds
+
+RANGE_BIN_MILLI = 500   # histogram granularity (value milli-units)
+RANGE_BUCKETS = 8
+
+
+def range_partition_audit(
+    events: DataFrame, n_buckets: int = RANGE_BUCKETS
+) -> DataFrame:
+    """Sort-free balanced range partitioning — the primitive behind
+    `repartitionByRange` done deterministically: bucket BOUNDS come
+    from a histogram CDF (the same machinery as curriculum_phases), so
+    no global sort and no sampling nondeterminism; rows then map to
+    buckets via (n_buckets - 1) broadcast comparisons. At 100 TB this
+    is how you compute range-partitioner splits for a sorted write:
+    one map-side-combined histogram (|bins| rows cross the wire), a
+    bin-table-sized window, and a broadcast of (n_buckets - 1) cut
+    points back over the data.
+
+    Truncating div keeps bin ids monotone in value (both engines
+    truncate toward zero), so CDF order == value order. The audit
+    reports per-bucket row counts, value ranges, and the share each
+    bucket holds (permille) — the skew a planner would act on."""
+    vm = F.round(F.col("value") * 1000).cast("long")
+    rows = events.select(vm.alias("vm")).select(
+        "vm", F.expr(f"div(vm, {RANGE_BIN_MILLI})").alias("bin")
+    )
+    bins = rows.groupBy("bin").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = bins.select("bin", F.sum("c").over(wb).alias("cum")).crossJoin(
+        F.broadcast(rows.groupBy().agg(F.count("*").alias("n")))
+    )
+    cuts = cdf.agg(
+        *[
+            F.min(
+                F.when(
+                    n_buckets * F.col("cum") >= i * F.col("n"), F.col("bin")
+                )
+            ).alias(f"cut{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = F.lit(1).cast("long")
+    for i in range(1, n_buckets):
+        bucket = bucket + (F.col("bin") > F.col(f"cut{i}")).cast("long")
+    per_bucket = (
+        rows.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "vm")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("vm").alias("min_value_milli"),
+            F.max("vm").alias("max_value_milli"),
+        )
+    )
+    return (
+        per_bucket.crossJoin(
+            F.broadcast(rows.groupBy().agg(F.count("*").alias("n")))
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "min_value_milli",
+            "max_value_milli",
+            F.expr("div(1000 * n_rows, n)").alias("share_permille"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def range_partition_audit_sql(
+    source: str = "events", n_buckets: int = RANGE_BUCKETS
+) -> str:
+    cut_exprs = ",\n            ".join(
+        f"MIN(CASE WHEN {n_buckets} * cum >= {i} * n THEN bin END) AS cut{i}"
+        for i in range(1, n_buckets)
+    )
+    bucket_expr = "1 + " + " + ".join(
+        f"CAST(bin > cut{i} AS BIGINT)" for i in range(1, n_buckets)
+    )
+    return f"""(
+    WITH rp_rows AS (
+        SELECT vm, vm // {RANGE_BIN_MILLI} AS bin FROM (
+            SELECT CAST(ROUND(value * 1000) AS BIGINT) AS vm FROM {source}
+        )
+    ),
+    rp_n AS (SELECT COUNT(*) AS n FROM rp_rows),
+    rp_cdf AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            (SELECT n FROM rp_n) AS n
+        FROM (SELECT bin, COUNT(*) AS c FROM rp_rows GROUP BY bin)
+    ),
+    rp_cuts AS (
+        SELECT {cut_exprs}
+        FROM rp_cdf
+    ),
+    rp_assigned AS (
+        SELECT {bucket_expr} AS bucket, vm
+        FROM rp_rows CROSS JOIN rp_cuts
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+        MIN(vm) AS min_value_milli, MAX(vm) AS max_value_milli,
+        (1000 * COUNT(*)) // (SELECT n FROM rp_n) AS share_permille
+    FROM rp_assigned
+    GROUP BY bucket
+    ORDER BY bucket
+) rp"""

@@ -1020,3 +1020,132 @@ def curriculum_phases_sql(source: str = "documents") -> str:
     GROUP BY 1
     ORDER BY phase
 ) cp"""
+
+
+# ----------------------------------------------------- signal rank fusion
+
+FUSE_BIN_MILLI = 10_000   # classifier-score histogram granularity
+FUSE_BIN_REP = 20         # repetition-fraction permille histogram width
+
+
+def quality_rank_fusion(docs: DataFrame) -> DataFrame:
+    """Ensemble quality scoring by PERCENTILE-RANK fusion — how
+    production pipelines combine incomparable signals (a classifier
+    logit and a repetition fraction share no scale; their CDF ranks
+    do): each signal is histogram-binned, the bin CDF gives every doc
+    a bin-granular permille rank, and the blended score averages the
+    oriented ranks (classifier: higher is better; repetition: lower is
+    better). Same sort-free machinery as curriculum_phases — the only
+    ordered windows run over the two signal-range-sized bin tables,
+    and rank lookup is a broadcast join on bin id.
+
+    Output per source: doc count, mean blended permille, and how many
+    docs clear the 500-permille ensemble gate."""
+    rq = repetition_quality(docs).select(
+        "doc_id",
+        (F.round(F.col("dup_5gram_frac") * 1000).cast("long")).alias("rep_permille"),
+    )
+    tk = tokens(F.col("text"))
+    w = lambda t: (  # noqa: E731
+        portable_hash32(t, seed=QC_SEED) % (2 * QC_WEIGHT_RANGE + 1)
+    ) - QC_WEIGHT_RANGE
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, t: acc + w(t)).alias(
+            "qc_total"
+        ),
+        F.size(tk).cast("long").alias("qc_n"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("div(1000 * qc_total, qc_n)").alias("score_milli"),
+    )
+    j = sc.join(rq, "doc_id").select(
+        "doc_id",
+        "source",
+        F.expr(f"div(score_milli, {FUSE_BIN_MILLI})").alias("sbin"),
+        F.expr(f"div(rep_permille, {FUSE_BIN_REP})").alias("rbin"),
+    )
+    n = j.count()
+
+    def cdf_ranks(col: str) -> DataFrame:
+        # midrank convention: a bin's rank is the midpoint of its CDF
+        # step, so a signal where every doc ties lands at 500 (neutral)
+        # instead of 1000 — otherwise a degenerate signal (e.g. mostly
+        # zero repetition) would saturate the blend.
+        bins = j.groupBy(col).agg(F.count("*").alias("c"))
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return bins.select("c", col, F.sum("c").over(wb).alias("cum")).select(
+            col,
+            F.expr(f"div(1000 * (2 * cum - c), {2 * n})").alias(f"{col}_rank"),
+        )
+
+    blended = (
+        j.join(F.broadcast(cdf_ranks("sbin")), "sbin")
+        .join(F.broadcast(cdf_ranks("rbin")), "rbin")
+        .select(
+            "source",
+            F.expr("div(sbin_rank + (1000 - rbin_rank), 2)").alias("blend_permille"),
+        )
+    )
+    return (
+        blended.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("div(sum(blend_permille), count(*))").alias("mean_blend_permille"),
+            F.sum((F.col("blend_permille") >= 500).cast("long")).alias("n_above_gate"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_rank_fusion_sql(source: str = "documents") -> str:
+    h = (
+        f"CAST('0x' || substr(md5('{QC_SEED}:' || t), 1, 8) AS BIGINT)"
+        f" % {2 * QC_WEIGHT_RANGE + 1} - {QC_WEIGHT_RANGE}"
+    )
+    rep = """CASE WHEN len(tk) >= 5 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                      generate_series(1, len(tk) - 4),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS DOUBLE)
+                / CAST(len(tk) - 4 AS DOUBLE)
+            ELSE 0.0 END"""
+    return f"""(
+    WITH qf AS (
+        SELECT doc_id, source,
+            (1000 * list_sum(list_transform(tk, t -> {h}))) // len(tk)
+                // {FUSE_BIN_MILLI} AS sbin,
+            CAST(ROUND(({rep}) * 1000) AS BIGINT) // {FUSE_BIN_REP} AS rbin
+        FROM (
+            SELECT doc_id, source,
+                regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source}
+        )
+    ),
+    qn AS (SELECT COUNT(*) AS n FROM qf),
+    srank AS (
+        SELECT sbin, (1000 * (2 * SUM(c) OVER (ORDER BY sbin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c))
+            // (2 * (SELECT n FROM qn)) AS sbin_rank
+        FROM (SELECT sbin, COUNT(*) AS c FROM qf GROUP BY sbin)
+    ),
+    rrank AS (
+        SELECT rbin, (1000 * (2 * SUM(c) OVER (ORDER BY rbin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c))
+            // (2 * (SELECT n FROM qn)) AS rbin_rank
+        FROM (SELECT rbin, COUNT(*) AS c FROM qf GROUP BY rbin)
+    ),
+    qb AS (
+        SELECT source,
+            (sbin_rank + (1000 - rbin_rank)) // 2 AS blend_permille
+        FROM qf JOIN srank USING (sbin) JOIN rrank USING (rbin)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+        SUM(blend_permille) // COUNT(*) AS mean_blend_permille,
+        SUM(CASE WHEN blend_permille >= 500 THEN 1 ELSE 0 END) AS n_above_gate
+    FROM qb
+    GROUP BY source
+    ORDER BY source
+) qrf"""

@@ -411,3 +411,202 @@ def unigram_surprisal_sql(source: str = "documents") -> str:
     FROM us_scored s JOIN us_docs d USING (lang)
     ORDER BY s.lang
 ) us"""
+
+
+# --------------------------------------------------- corpus data card
+
+def datacard_rollup(docs: DataFrame) -> DataFrame:
+    """Data-card rollup — the per-(source, lang) composition table every
+    corpus release ships (what fraction of tokens came from which
+    source, in which language), with subtotals and a grand total from
+    ONE pass via ROLLUP. GROUPING_ID disambiguates subtotal NULLs from
+    NULL data.
+
+    Scale shape: a single hash aggregate with map-side combine; the
+    Expand for the three grouping levels multiplies rows 3x BEFORE the
+    exchange but the combine collapses them to |sources x langs| + |
+    sources| + 1 — the exchange carries group rows, not data rows."""
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("grouping_level"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("nc").alias("sum_chars"),
+            F.expr("div(sum(n_tokens), count(*))").alias("mean_tokens"),
+        )
+        .orderBy("grouping_level", "source", "lang")
+    )
+
+
+def datacard_rollup_sql(source: str = "documents") -> str:
+    return f"""(
+    SELECT source, lang,
+        GROUPING(source) * 2 + GROUPING(lang) AS grouping_level,
+        COUNT(*) AS n_docs,
+        SUM(CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT))
+            AS sum_tokens,
+        SUM(n_chars) AS sum_chars,
+        SUM(CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT))
+            // COUNT(*) AS mean_tokens
+    FROM {source}
+    GROUP BY ROLLUP (source, lang)
+    ORDER BY grouping_level, source, lang
+) dc"""
+
+
+# -------------------------------------- source-vs-corpus TVD divergence
+
+def vocab_divergence_tvd(docs: DataFrame) -> DataFrame:
+    """Per-source unigram-distribution shift vs the whole corpus as
+    total-variation distance — the libm-free mixture-shift monitor
+    (KL/JS need logs; TVD = half the L1 gap between the distributions
+    is exact in integer cross-multiplication, so it hash-matches the
+    oracle bit for bit).
+
+    For source s with per-term counts k (total n_s) against corpus
+    term counts tc (total N):
+
+        TVD = [ sum_present |k*N - tc*n_s| + n_s*(N - sum_present tc) ]
+              / (2 * n_s * N)
+
+    The second term folds every term ABSENT from s (k=0) without
+    materializing the absent pairs — the per-source join only touches
+    terms the source actually contains.
+
+    Scale shape: same single-exchange postings trick as
+    unigram_surprisal — tokens aggregate once by (term, source); the
+    corpus vocabulary re-aggregates FROM that table; nothing re-reads
+    or re-shuffles the corpus. Fixture-scale note: the integer
+    cross-products bound |k*N| <= n_s*N < 2^62 up to ~2^31 tokens per
+    side; at 100 TB normalize per-term to millionths first (one extra
+    div) before summing — same formula, hierarchical precision."""
+    tl = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "source")
+        .agg(F.count("*").alias("k"))
+    )
+    return tvd_from_counts(tl)
+
+
+def tvd_from_counts(tl: DataFrame) -> DataFrame:
+    """TVD report from a (term, source, k) counts table. Split out so
+    the STREAMING path can maintain the counts incrementally (per-batch
+    additive partials merged by sum — counts are the simplest mergeable
+    sketch) and reuse the identical divergence math."""
+    vocab = tl.groupBy("term").agg(F.sum("k").alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("n_total"))
+    ns = tl.groupBy("source").agg(F.sum("k").alias("n_s"))
+    joined = (
+        tl.join(vocab, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count("*").alias("vocab_present"),
+        F.sum(F.abs(F.col("k") * F.col("n_total") - F.col("tc") * F.col("n_s"))).alias(
+            "present_gap"
+        ),
+        F.sum("tc").alias("tc_present"),
+        F.max("n_total").alias("n_total"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_present",
+        F.expr(
+            "div(1000 * (present_gap + n_tokens * (n_total - tc_present)),"
+            " 2 * n_tokens * n_total)"
+        ).alias("tvd_permille"),
+    ).orderBy("source")
+
+
+def vocab_divergence_tvd_sql(source: str = "documents") -> str:
+    return f"""(
+    WITH tv_tl AS (
+        SELECT term, source, COUNT(*) AS k FROM (
+            SELECT source,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM {source}
+        ) GROUP BY 1, 2
+    ),
+    tv_vocab AS (SELECT term, SUM(k) AS tc FROM tv_tl GROUP BY 1),
+    tv_total AS (SELECT SUM(tc) AS n_total FROM tv_vocab),
+    tv_ns AS (SELECT source, SUM(k) AS n_s FROM tv_tl GROUP BY 1),
+    tv_agg AS (
+        SELECT t.source,
+            MAX(s.n_s) AS n_tokens,
+            COUNT(*) AS vocab_present,
+            SUM(ABS(t.k * (SELECT n_total FROM tv_total) - v.tc * s.n_s))
+                AS present_gap,
+            SUM(v.tc) AS tc_present,
+            MAX((SELECT n_total FROM tv_total)) AS n_total
+        FROM tv_tl t JOIN tv_vocab v USING (term) JOIN tv_ns s USING (source)
+        GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab_present,
+        (1000 * (present_gap + n_tokens * (n_total - tc_present)))
+            // (2 * n_tokens * n_total) AS tvd_permille
+    FROM tv_agg
+    ORDER BY source
+) tv"""
+
+
+# -------------------------------------------------- tokenizer fertility
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility audit — subword tokens per whitespace word,
+    the number a tokenizer team watches per language (fertility ≫ 1
+    means the vocabulary under-serves that language, inflating compute
+    per document). Whitespace words vs the BPE-ish pre-tokenization
+    regex, both engine-mirrored, all-integer output (milli units).
+
+    One narrow projection + one map-side-combined aggregate — the
+    cheapest possible corpus pass."""
+    word = F.size(tokens(F.col("text"))).cast("long")
+    sub = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+    ).cast("long")
+    return (
+        docs.select(
+            "lang",
+            word.alias("w"),
+            sub.alias("s"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("word_tokens"),
+            F.sum("s").alias("subword_tokens"),
+            F.expr("div(1000 * sum(s), sum(w))").alias("fertility_milli"),
+            F.expr("div(1000 * sum(nc), sum(s))").alias("chars_per_subword_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_fertility_sql(source: str = "documents") -> str:
+    return f"""(
+    SELECT lang, COUNT(*) AS n_docs,
+        SUM(w) AS word_tokens, SUM(s) AS subword_tokens,
+        (1000 * SUM(s)) // SUM(w) AS fertility_milli,
+        (1000 * SUM(nc)) // SUM(s) AS chars_per_subword_milli
+    FROM (
+        SELECT lang,
+            CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+                AS s,
+            CAST(length(text) AS BIGINT) AS nc
+        FROM {source}
+    )
+    GROUP BY lang
+    ORDER BY lang
+) tf"""

@@ -1944,3 +1944,324 @@ def _reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESHARD_ORACLE = sql_select(RESHARD_SPEC, pk.reshard_stability_sql("documents"))
 
 EXTENSIONS["reshard_stability_hrw"] = QuerySpec(_reshard, RESHARD_ORACLE)
+
+FUSE_SPEC = [
+    ("source", ""),
+    ("n_docs", "long"),
+    ("mean_blend_permille", "long"),
+    ("n_above_gate", "long"),
+]
+
+
+def _rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        qa.quality_rank_fusion(load_table(spark, sf_dir, "documents")), FUSE_SPEC
+    )
+
+
+FUSE_ORACLE = sql_select(FUSE_SPEC, qa.quality_rank_fusion_sql("documents"))
+
+EXTENSIONS["quality_rank_fusion"] = QuerySpec(_rank_fusion, FUSE_ORACLE)
+
+DATACARD_SPEC = [
+    ("source", ""),
+    ("lang", ""),
+    ("grouping_level", "long"),
+    ("n_docs", "long"),
+    ("sum_tokens", "long"),
+    ("sum_chars", "long"),
+    ("mean_tokens", "long"),
+]
+
+
+def _datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.datacard_rollup(load_table(spark, sf_dir, "documents")), DATACARD_SPEC
+    )
+
+
+DATACARD_ORACLE = sql_select(DATACARD_SPEC, ta.datacard_rollup_sql("documents"))
+
+EXTENSIONS["datacard_rollup"] = QuerySpec(_datacard, DATACARD_ORACLE)
+
+TVD_SPEC = [
+    ("source", ""),
+    ("n_tokens", "long"),
+    ("vocab_present", "long"),
+    ("tvd_permille", "long"),
+]
+
+
+def _vocab_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.vocab_divergence_tvd(load_table(spark, sf_dir, "documents")), TVD_SPEC
+    )
+
+
+TVD_ORACLE = sql_select(TVD_SPEC, ta.vocab_divergence_tvd_sql("documents"))
+
+EXTENSIONS["vocab_divergence_tvd"] = QuerySpec(_vocab_tvd, TVD_ORACLE)
+
+CLUSTER_REPORT_SPEC = [
+    ("cluster_size", "long"),
+    ("n_clusters", "long"),
+    ("n_docs", "long"),
+    ("docs_removed", "long"),
+    ("chars_removed", "long"),
+]
+
+
+def _dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT accounting — the report a data curator reads before
+    committing a dedup pass: cluster-size histogram plus how many docs
+    / chars keeping one canonical per cluster would drop. Singleton
+    docs (no near-dup edge) fold in as size-1 clusters via the left
+    join, so n_docs totals the corpus. Same CC fixpoint as
+    dedup_clusters_star; the report is two small aggregates on top."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
+    full = (
+        corpus.select("doc_id", F.length("text").cast("long").alias("nc"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", "nc", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    clus = full.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.col("nc")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("chars_rm"),
+    )
+    df = (
+        clus.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count("*")).alias("docs_removed"),
+            F.sum("chars_rm").alias("chars_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+    return shape(df, CLUSTER_REPORT_SPEC)
+
+
+CLUSTER_REPORT_ORACLE = (
+    "WITH RECURSIVE "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + ",\npairs AS (SELECT doc_a, doc_b FROM "
+    + dd.NGRAM_JACCARD_SQL
+    + "),\nedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    + " UNION SELECT doc_b, doc_a FROM pairs),\n"
+    + "reach(u, r) AS (SELECT DISTINCT u, u FROM edges"
+    + " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),\n"
+    + "cmap AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),\n"
+    + "cfull AS (SELECT c.doc_id, COALESCE(m.cluster_id, c.doc_id) AS cluster_id,"
+    + " CAST(length(c.text) AS BIGINT) AS nc"
+    + " FROM corpus c LEFT JOIN cmap m USING (doc_id)),\n"
+    + "cclus AS (SELECT cluster_id, COUNT(*) AS cluster_size,"
+    + " SUM(CASE WHEN doc_id <> cluster_id THEN nc ELSE 0 END) AS chars_rm"
+    + " FROM cfull GROUP BY 1)\n"
+    + sql_select(
+        CLUSTER_REPORT_SPEC,
+        """(
+    SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster_size) AS n_docs,
+        SUM(cluster_size) - COUNT(*) AS docs_removed,
+        SUM(chars_rm) AS chars_removed
+    FROM cclus GROUP BY 1 ORDER BY 1
+) cr""",
+    )
+)
+
+EXTENSIONS["dedup_cluster_report"] = QuerySpec(
+    _dedup_cluster_report, CLUSTER_REPORT_ORACLE
+)
+
+# ------------------------------------------------- nDCG retrieval eval
+
+NDCG_SPEC = [
+    ("n_queries", "long"),
+    ("mean_ndcg_permille", "long"),
+    ("n_perfect", "long"),
+]
+
+# round(1000 / log2(rank + 1)) for ranks 1..5 — a frozen integer
+# discount table, so nDCG needs no libm on either engine (the one
+# float-valued step of the classic formula becomes a 5-entry lookup).
+_NDCG_DISC = {1: 1000, 2: 631, 3: 500, 4: 431, 5: 387}
+# prefix sums: IDCG for a query with k relevant docs (binary relevance,
+# ideal ranking puts all k first)
+_NDCG_IDCG = {1: 1000, 2: 1631, 3: 2131, 4: 2562, 5: 2949}
+
+
+def _ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the IVF index against brute-force ground truth — the
+    rank-aware companion to ann_recall_check (recall says WHETHER the
+    true neighbors surface; nDCG says how HIGH). Binary relevance =
+    membership in the exact top-5; integer discount table keeps both
+    engines bit-identical. Composition of two already-verified
+    pipelines + one semi join + two small aggregates."""
+    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = sim.knn_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    disc = F.lit(None).cast("long")
+    for r, d in sorted(_NDCG_DISC.items(), reverse=True):
+        disc = F.when(F.col("rank") == r, F.lit(d).cast("long")).otherwise(disc)
+    hits = ivf.join(bf, ["query_id", "neighbor_id"], "left_semi")
+    dcg = hits.groupBy("query_id").agg(F.sum(disc).alias("dcg_milli"))
+    idcg = F.lit(None).cast("long")
+    for k, s in sorted(_NDCG_IDCG.items(), reverse=True):
+        idcg = F.when(F.col("kq") == k, F.lit(s).cast("long")).otherwise(idcg)
+    scored = (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("kq"))
+        .join(dcg, "query_id", "left")
+        .withColumn("idcg_milli", idcg)
+        .select(
+            F.expr("div(1000 * coalesce(dcg_milli, 0), idcg_milli)").alias(
+                "ndcg_permille"
+            )
+        )
+    )
+    df = scored.agg(
+        F.count("*").alias("n_queries"),
+        F.expr("div(sum(ndcg_permille), count(*))").alias("mean_ndcg_permille"),
+        F.sum((F.col("ndcg_permille") == 1000).cast("long")).alias("n_perfect"),
+    )
+    return shape(df, NDCG_SPEC)
+
+
+def _ndcg_case(col: str, table: dict) -> str:
+    arms = " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(table.items()))
+    return f"CASE {col} {arms} END"
+
+
+NDCG_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(
+        NDCG_SPEC,
+        f"""(
+    WITH nbf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_brute_force_sql()}
+    ),
+    nivf AS (
+        SELECT query_id, neighbor_id, rank FROM {sim.knn_ivf_sql()}
+    ),
+    ndcg_hits AS (
+        SELECT i.query_id, SUM({_ndcg_case('i.rank', _NDCG_DISC)}) AS dcg_milli
+        FROM nivf i JOIN nbf b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY 1
+    ),
+    ndcg_q AS (
+        SELECT b.query_id,
+            (1000 * COALESCE(h.dcg_milli, 0))
+                // ({_ndcg_case('COUNT(*)', _NDCG_IDCG)}) AS ndcg_permille
+        FROM nbf b LEFT JOIN ndcg_hits h USING (query_id)
+        GROUP BY b.query_id, h.dcg_milli
+    )
+    SELECT COUNT(*) AS n_queries,
+        SUM(ndcg_permille) // COUNT(*) AS mean_ndcg_permille,
+        SUM(CASE WHEN ndcg_permille = 1000 THEN 1 ELSE 0 END) AS n_perfect
+    FROM ndcg_q
+) nd""",
+    )
+)
+
+EXTENSIONS["ndcg_retrieval_eval"] = QuerySpec(_ndcg_eval, NDCG_ORACLE)
+
+RANGE_AUDIT_SPEC = [
+    ("bucket", "long"),
+    ("n_rows", "long"),
+    ("min_value_milli", "long"),
+    ("max_value_milli", "long"),
+    ("share_permille", "long"),
+]
+
+
+def _range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pk.range_partition_audit(load_table(spark, sf_dir, "events")),
+        RANGE_AUDIT_SPEC,
+    )
+
+
+RANGE_AUDIT_ORACLE = sql_select(
+    RANGE_AUDIT_SPEC, pk.range_partition_audit_sql("events")
+)
+
+EXTENSIONS["range_partition_audit"] = QuerySpec(_range_audit, RANGE_AUDIT_ORACLE)
+
+LDIV_SPEC = [
+    ("nationkey", "long"),
+    ("acctbal_band", "long"),
+    ("class_size", "long"),
+    ("n_distinct_sensitive", "long"),
+]
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        gov.l_diversity_audit(load_table(spark, sf_dir, "customer")), LDIV_SPEC
+    )
+
+
+LDIV_ORACLE = sql_select(LDIV_SPEC, gov.l_diversity_audit_sql())
+
+EXTENSIONS["l_diversity_audit"] = QuerySpec(_l_diversity, LDIV_ORACLE)
+
+FERTILITY_SPEC = [
+    ("lang", ""),
+    ("n_docs", "long"),
+    ("word_tokens", "long"),
+    ("subword_tokens", "long"),
+    ("fertility_milli", "long"),
+    ("chars_per_subword_milli", "long"),
+]
+
+
+def _fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.tokenizer_fertility(load_table(spark, sf_dir, "documents")),
+        FERTILITY_SPEC,
+    )
+
+
+FERTILITY_ORACLE = sql_select(FERTILITY_SPEC, ta.tokenizer_fertility_sql("documents"))
+
+EXTENSIONS["tokenizer_fertility"] = QuerySpec(_fertility, FERTILITY_ORACLE)
+
+TRIANGLE_SPEC = [
+    ("node", "long"),
+    ("n_triangles", "long"),
+]
+
+
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts per node on the n-gram near-dup graph — the
+    density signal that separates boilerplate families (cliques) from
+    revision chains (triangle-free). Degree-ordered node-iterator on
+    the Spark side; the oracle brute-forces closed wedges — two
+    independent algorithms, same counts."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus)
+    return shape(gr.triangle_count(pairs, "doc_a", "doc_b"), TRIANGLE_SPEC)
+
+
+TRIANGLE_ORACLE = (
+    "WITH "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + ",\npairs AS (SELECT doc_a, doc_b FROM "
+    + dd.NGRAM_JACCARD_SQL
+    + ")\n"
+    + sql_select(TRIANGLE_SPEC, gr.triangle_count_sql("pairs"))
+)
+
+EXTENSIONS["graph_triangle_count"] = QuerySpec(_triangle_count, TRIANGLE_ORACLE)

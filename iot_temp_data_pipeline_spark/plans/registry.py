@@ -697,6 +697,17 @@ _CHANGED_R04 = [
     "drift_embedding_centroids",     # new: embedding-space drift monitor
     "curriculum_score_phases",       # new: sort-free curriculum quartiles
     "reshard_stability_hrw",         # new: rendezvous-hash reshard audit
+    "quality_rank_fusion",           # new: CDF percentile-rank ensemble
+    "datacard_rollup",               # new: source x lang data card
+    "vocab_divergence_tvd",          # new: unigram TVD shift monitor
+    "dedup_cluster_report",          # new: dedup impact accounting
+    "ndcg_retrieval_eval",           # new: rank-aware ANN eval
+    "range_partition_audit",         # new: sort-free range bounds
+    "l_diversity_audit",             # new: sensitive-attr diversity
+    "tokenizer_fertility",           # new: subword-per-word audit
+    "streaming_vocab_tvd",           # new: streamed mix-drift partials
+    "graph_triangle_count",          # new: degree-ordered node-iterator
+    "merge_error_intervals",         # new: gaps-and-islands coalesce
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

@@ -1042,7 +1042,88 @@ def _inc_dedup_oracle() -> str:
     )
 
 
+# ------------------------------------------------ streamed TVD monitor
+
+TVD_STREAM_SPEC = [
+    ("source", ""),
+    ("n_tokens", "long"),
+    ("vocab_present", "long"),
+    ("tvd_permille", "long"),
+]
+
+_TVD_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("term", T.StringType()),
+    ]
+)
+
+
+def _tvd_pair_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+
+
+def _streaming_vocab_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-mix drift monitor maintained BY THE STREAM: each
+    micro-batch appends its own (term, source, k) counts — the simplest
+    mergeable partial, bounded by the batch vocabulary, not the batch
+    row count — and the read side merges by SUM, then runs the same
+    integer TVD math as the batch operator. Counts are a pure function
+    of the token multiset (order- and batching-independent), so the
+    batch oracle pins the streamed report exactly. This is how a
+    production ingest watches its source mixture shift without ever
+    re-scanning history: history lives pre-aggregated in the partials
+    table."""
+    from ..operators import text_analysis as ta
+
+    work = workdir("tvd")
+    materialize_landing(_tvd_pair_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_TVD_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .option("nullValue", "\x00")
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("term", "source")
+            .agg(F.count("*").alias("k"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("term", "source")
+        .agg(F.sum("k").alias("k"))
+    )
+    return shape(ta.tvd_from_counts(merged), TVD_STREAM_SPEC)
+
+
+def _tvd_stream_oracle() -> str:
+    from ..operators import text_analysis as ta
+
+    return sql_select(TVD_STREAM_SPEC, ta.vocab_divergence_tvd_sql("documents"))
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),
     "streaming_incremental_dedup": QuerySpec(
         _streaming_inc_dedup, _inc_dedup_oracle()

@@ -455,3 +455,107 @@ MOVAVG_SQL = sql_select(
 )
 
 TIMESERIES["events_moving_avg_7d"] = QuerySpec(moving_avg_7d, MOVAVG_SQL)
+
+
+# ------------------------------------------- interval coalescing (islands)
+
+INTERVAL_PAD_S = 30
+
+MERGED_INTERVALS_SPEC = [
+    ("user_id", "long"),
+    ("island", "long"),
+    ("start_s", "long"),
+    ("end_s", "long"),
+    ("n_events", "long"),
+]
+
+
+def merge_error_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each error event opens a
+    ±30 s incident window; overlapping windows per user MERGE into one
+    incident (the canonical alerting/maintenance-window primitive, and
+    the same shape as merging duplicate-span excision ranges in a
+    corpus). A row starts a new island iff its start exceeds the
+    running MAX of all previous ends — the strictly-ordered prefix max
+    handles nested intervals that a lag(end) formulation gets wrong.
+
+    Scale shape: ONE per-user window (partition-local sort; users are
+    many and small) then a hash aggregate on (user, island) — no
+    self-join, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr("div(unix_micros(ts), 1000000)")
+    ivals = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (s - INTERVAL_PAD_S).alias("start_s"),
+        (s + INTERVAL_PAD_S).alias("end_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_s", "end_s")
+    prev_max_end = F.max("end_s").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ivals.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_s") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    df = (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("start_s").alias("start_s"),
+            F.max("end_s").alias("end_s"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )
+    return shape(df, MERGED_INTERVALS_SPEC)
+
+
+MERGED_INTERVALS_SQL = sql_select(
+    MERGED_INTERVALS_SPEC,
+    f"""(
+    WITH mi_ivals AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+            epoch_us(ts) // 1000000 - {INTERVAL_PAD_S} AS start_s,
+            epoch_us(ts) // 1000000 + {INTERVAL_PAD_S} AS end_s
+        FROM events WHERE event_type = 'error'
+    ),
+    mi_flagged AS (
+        SELECT user_id, start_s, end_s,
+            CASE WHEN MAX(end_s) OVER (
+                    PARTITION BY user_id ORDER BY start_s, end_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) IS NULL
+                 OR start_s > MAX(end_s) OVER (
+                    PARTITION BY user_id ORDER BY start_s, end_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 )
+            THEN 1 ELSE 0 END AS new_island
+        FROM mi_ivals
+    ),
+    mi_islands AS (
+        SELECT user_id, start_s, end_s,
+            SUM(new_island) OVER (
+                PARTITION BY user_id ORDER BY start_s, end_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS island
+        FROM mi_flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+        MIN(start_s) AS start_s, MAX(end_s) AS end_s,
+        COUNT(*) AS n_events
+    FROM mi_islands
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+) mi""",
+)
+
+TIMESERIES["merge_error_intervals"] = QuerySpec(
+    merge_error_intervals, MERGED_INTERVALS_SQL
+)

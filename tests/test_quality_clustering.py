@@ -656,3 +656,24 @@ def test_hrw_resharding_moves_roughly_one_shard_share(spark, sf_dir):
     assert rows["hrw"]["moved_permille"] <= 40
     assert rows["mod"]["moved_permille"] >= 900
     assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
+
+
+def test_rank_fusion_midrank_neutral_and_oriented(spark):
+    """Percentile-rank fusion contract on crafted docs: (a) midrank
+    convention — when every doc ties on a signal, that signal
+    contributes ~500 (neutral), not 1000; (b) orientation — a heavily
+    repetitive doc must blend strictly below a clean doc with the same
+    token vocabulary size."""
+    clean = " ".join(f"w{i}" for i in range(60))
+    loop = ("spam ham " * 40).strip()
+    out = {
+        r["source"]: r
+        for r in qa.quality_rank_fusion(
+            _docs(spark, [(1, clean, "clean"), (2, loop, "loopy")])
+        ).collect()
+    }
+    # the repetitive source is gated out; the clean one survives
+    assert out["loopy"]["mean_blend_permille"] < out["clean"]["mean_blend_permille"]
+    assert out["loopy"]["n_above_gate"] == 0
+    # ranks live on a permille scale and a 2-doc corpus can't saturate
+    assert 0 <= out["clean"]["mean_blend_permille"] <= 1000

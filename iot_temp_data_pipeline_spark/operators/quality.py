@@ -1067,6 +1067,13 @@ def quality_rank_fusion(docs: DataFrame) -> DataFrame:
         F.expr(f"div(score_milli, {FUSE_BIN_MILLI})").alias("sbin"),
         F.expr(f"div(rep_permille, {FUSE_BIN_REP})").alias("rbin"),
     )
+    # Materialize the scored bins ONCE: five consumers read j (count,
+    # two bin CDFs, the blend join) and the upstream — per-token md5
+    # scoring + 5-gram repetition — is the expensive part. Without this
+    # the lineage re-evaluates the corpus pass per consumer (measured
+    # 44 s -> ~3 s at sf0.1). localCheckpoint also truncates lineage,
+    # same as the CC/PageRank iteration pattern.
+    j = j.localCheckpoint()
     n = j.count()
 
     def cdf_ranks(col: str) -> DataFrame:

@@ -90,6 +90,18 @@ def mg_heavy_hitters(docs: DataFrame, k: int = MG_COUNTERS, topn: int = MG_TOPN)
         _mg_partition_summaries(k), schema="item string, mg_count long"
     )
     merged = summaries.groupBy("item").agg(F.sum("mg_count").alias("mg_count"))
+    return mg_report(items, merged, k=k, topn=topn)
+
+
+def mg_report(
+    items: DataFrame, merged: DataFrame, k: int = MG_COUNTERS, topn: int = MG_TOPN
+) -> DataFrame:
+    """Heavy-hitter report from MERGED MG partials — split out so the
+    streaming path (per-micro-batch partial summaries appended to a
+    partials table, merged by SUM on read) shares the exact bound
+    algebra with the batch sketch. The MG guarantee is partitioning-
+    independent: the bound uses Σ N_p (the deficit row), which is the
+    same total however the items were split into partitions/batches."""
     # the reserved deficit row carries Σ N_p; MG underestimates by at
     # most N_p/k per partition, and partition count ≤ 2·k rows each, so
     # bound with the conservative Σ N_p / k (deficit_total / k).

@@ -2265,3 +2265,29 @@ TRIANGLE_ORACLE = (
 )
 
 EXTENSIONS["graph_triangle_count"] = QuerySpec(_triangle_count, TRIANGLE_ORACLE)
+
+LINKAGE_SPEC = [
+    ("block", "long"),
+    ("n_customers", "long"),
+    ("n_pairs", "long"),
+    ("n_matches", "long"),
+    ("min_nonzero_dist", "long"),
+]
+
+
+def _linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import linkage as lk
+
+    return shape(
+        lk.linkage_blocked_matches(load_table(spark, sf_dir, "customer")),
+        LINKAGE_SPEC,
+    )
+
+
+def _linkage_oracle() -> str:
+    from ..operators import linkage as lk
+
+    return sql_select(LINKAGE_SPEC, lk.linkage_blocked_matches_sql())
+
+
+EXTENSIONS["record_linkage_blocked"] = QuerySpec(_linkage, _linkage_oracle())

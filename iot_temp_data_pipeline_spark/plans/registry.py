@@ -708,6 +708,9 @@ _CHANGED_R04 = [
     "streaming_vocab_tvd",           # new: streamed mix-drift partials
     "graph_triangle_count",          # new: degree-ordered node-iterator
     "merge_error_intervals",         # new: gaps-and-islands coalesce
+    "record_linkage_blocked",        # new: blocked fuzzy entity match
+    "streaming_mg_partials",         # new: streamed MG sketch trio
+    "events_variant_props",          # new: Spark 4 VARIANT paths
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

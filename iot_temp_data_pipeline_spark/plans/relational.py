@@ -1327,3 +1327,59 @@ RELATIONAL: dict[str, QuerySpec] = {
     "analyze_table_stats": QuerySpec(analyze_table_stats, ANALYZE_SQL),
     "zorder_events_box": QuerySpec(zorder_events_box, ZORDER_SQL),
 }
+
+
+# ------------------------------------------------- VARIANT (Spark 4) JSON
+
+VARIANT_SPEC = [
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("n_valid_json", "long"),
+    ("sum_k", "long"),
+    ("n_even_k", "long"),
+]
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's native VARIANT type —
+    `try_parse_json` once into the binary-encoded open type, then typed
+    `variant_get` paths (the engine-native successor to per-path
+    `get_json_object` string re-parsing: one parse, many typed reads).
+    The DuckDB twin reads the same paths with its JSON extractors —
+    values, not encodings, are compared."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json(F.col("props")).alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    df = (
+        v.select("event_type", F.col("v").isNotNull().alias("ok"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("ok").cast("long")).alias("n_valid_json"),
+            F.sum("k").alias("sum_k"),
+            F.sum(((F.col("k") % 2) == 0).cast("long")).alias("n_even_k"),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, VARIANT_SPEC)
+
+
+VARIANT_SQL = sql_select(
+    VARIANT_SPEC,
+    """(
+    SELECT event_type,
+        COUNT(*) AS n_events,
+        SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid_json,
+        SUM(k) AS sum_k,
+        SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_even_k
+    FROM (
+        SELECT event_type, props,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ) t
+    GROUP BY event_type
+    ORDER BY event_type
+) vs""",
+)
+
+RELATIONAL["events_variant_props"] = QuerySpec(events_variant_props, VARIANT_SQL)

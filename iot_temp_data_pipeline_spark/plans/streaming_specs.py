@@ -1122,7 +1122,92 @@ def _tvd_stream_oracle() -> str:
     return sql_select(TVD_STREAM_SPEC, ta.vocab_divergence_tvd_sql("documents"))
 
 
+# ------------------------------------------- streamed MG heavy hitters
+
+MG_STREAM_SPEC = [
+    ("bigram", ""),
+    ("true_count", "long"),
+    ("sketch_found", ""),
+    ("within_bound", ""),
+]
+
+_MG_CSV_SCHEMA = T.StructType([T.StructField("item", T.StringType())])
+
+
+def _mg_bigram_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    d = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    return d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("item")
+    )
+
+
+def _streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters maintained BY THE STREAM — completes
+    the mergeable-sketch trio (CMS, HLL, MG) across micro-batch
+    boundaries: each batch folds its own partitions' MG summaries
+    (≤ 2k rows per partition, whatever the batch size) and appends
+    them; the read side merges by SUM and reuses the batch bound
+    algebra. The MG deficit bound is partitioning-independent (it uses
+    Σ N_p, identical however the items were batched), so the batch
+    oracle pins the streamed report's guarantee flags exactly."""
+    from ..operators import sketches as sk
+
+    work = workdir("mg")
+    materialize_landing(_mg_bigram_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_MG_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .option("nullValue", "\x00")
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.mapInPandas(
+                sk._mg_partition_summaries(sk.MG_COUNTERS),
+                schema="item string, mg_count long",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("item")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    items = _mg_bigram_input(spark, sf_dir)  # batch ground-truth side
+    return shape(sk.mg_report(items, merged), MG_STREAM_SPEC)
+
+
+def _mg_stream_oracle() -> str:
+    from ..operators import sketches as sk
+
+    return sql_select(MG_STREAM_SPEC, sk.mg_heavy_hitters_sql("documents"))
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),
     "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),
     "streaming_incremental_dedup": QuerySpec(

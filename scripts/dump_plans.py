@@ -189,6 +189,44 @@ SHOWCASE = {
         "the fixed 8192-row weight table broadcasts back into a "
         "stateless per-gram map — the corpus never shuffles on content."
     ),
+    "quality_rank_fusion": (
+        "Percentile-rank fusion: the doc-sized bin table materializes "
+        "ONCE (localCheckpoint feeds five consumers — count, two bin "
+        "CDFs, the blend join), the ordered windows run only over the "
+        "two bin tables (no data-sized sort), and rank lookup returns "
+        "as two BroadcastHashJoins on bin id."
+    ),
+    "vocab_divergence_tvd": (
+        "Single-exchange postings shape: tokens aggregate once by "
+        "(term, source); vocabulary and totals re-aggregate FROM that "
+        "table; per-source totals and the grand total come back as "
+        "broadcasts — the corpus is never shuffled twice."
+    ),
+    "datacard_rollup": (
+        "One Expand (3 grouping levels) feeding one hash aggregate with "
+        "map-side partials — the exchange carries group rows, not data "
+        "rows; no join, no window."
+    ),
+    "range_partition_audit": (
+        "Sort-free range bounds: histogram aggregate (map-side "
+        "combined), a bin-table-sized window for the CDF, then the "
+        "(n_buckets-1) cut points return as a 1-row broadcast; bucket "
+        "assignment is a stateless compare chain in the scan projection "
+        "— no SinglePartition sort anywhere."
+    ),
+    "graph_triangle_count": (
+        "Degree-ordered node-iterator: the canonical edge list "
+        "localCheckpoints once and fans out to degree/orientation/"
+        "wedge/closing-edge consumers; the wedge self-join probes the "
+        "ORIENTED (fan-out-bounded) edges, and the closing-edge check "
+        "is an equi-join back to the materialized list."
+    ),
+    "merge_error_intervals": (
+        "Gaps-and-islands: one Exchange hashpartitioning(user_id), one "
+        "partition-local Sort shared by the prefix-max and island-sum "
+        "Windows, then a hash aggregate on (user, island) — no "
+        "self-join, no global sort."
+    ),
 }
 
 

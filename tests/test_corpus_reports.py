@@ -154,3 +154,32 @@ def test_merge_intervals_handles_nested_and_chained(spark, tmp_path, sf_dir):
         for r in rows:
             assert r["end_s"] - r["start_s"] >= 60
             assert r["n_events"] >= 1
+
+
+def test_linkage_blocking_and_threshold(spark):
+    from iot_temp_data_pipeline_spark.operators.linkage import (
+        linkage_blocked_matches,
+    )
+
+    rows = [
+        # block 1: two names 1 edit apart (match), one far (no match)
+        (1, "Customer#000000001", 1, 0.0, "X"),
+        (2, "Customer#000000002", 1, 0.0, "X"),
+        (3, "Zebra", 1, 0.0, "X"),
+        # block 2: singleton -> zero pairs, sentinel min dist
+        (4, "Customer#000000004", 2, 0.0, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = {r["block"]: r for r in linkage_blocked_matches(df).collect()}
+    assert out[1]["n_pairs"] == 3  # 3 choose 2 within the block
+    assert out[1]["n_matches"] == 1  # only the 1-edit pair
+    assert out[1]["min_nonzero_dist"] == 1
+    assert out[2] == (2, 1, 0, 0, -1) or (
+        out[2]["n_pairs"] == 0 and out[2]["min_nonzero_dist"] == -1
+    )
+    # cross-block pairs are never compared
+    assert sum(r["n_pairs"] for r in out.values()) == 3

@@ -340,3 +340,44 @@ def test_bm25_exact_copy_ranks_first_and_reuses_term_partitioning(spark, sf_dir)
     plan = bm25_postings(dedup_corpus(spark, sf_dir))._jdf.queryExecution().toString()
     assert "RepartitionByExpression [term" in plan  # explicit term partitioning
     assert "hashpartitioning(doc_id" not in plan  # never shuffled by doc
+
+
+def test_rank_fusion_windows_touch_only_bin_tables(spark, sf_dir):
+    """quality_rank_fusion: rank lookup comes back as broadcast joins on
+    bin id and no SortMergeJoin sneaks in; the checkpointed bin table
+    means the expensive scoring pass appears once (as a scan of the
+    checkpoint), not five times."""
+    plan = plan_of(REGISTRY["quality_rank_fusion"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_intervals_single_exchange_no_global_sort(spark, sf_dir):
+    """merge_error_intervals: exactly two exchanges — ONE
+    hashpartitioning(user_id) shared by both windows AND the island
+    aggregate (subset partitioning satisfies the (user, island)
+    clustering), plus the final presentation rangepartitioning; never a
+    SinglePartition sort."""
+    plan = plan_of(REGISTRY["merge_error_intervals"].spark(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_datacard_rollup_is_one_expand_one_aggregate(spark, sf_dir):
+    """datacard_rollup: a single Expand feeding hash aggregation; no
+    join, no window, no extra corpus exchange."""
+    plan = plan_of(REGISTRY["datacard_rollup"].spark(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_range_audit_no_data_sized_sort(spark, sf_dir):
+    """range_partition_audit: the only Sorts are bin-table-sized window
+    sorts / the 8-row presentation sort; bucket assignment broadcasts
+    the cut row (BroadcastNestedLoopJoin on a 1-row build side)."""
+    plan = plan_of(REGISTRY["range_partition_audit"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

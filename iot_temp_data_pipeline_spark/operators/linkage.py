@@ -3,53 +3,72 @@ blocked fuzzy-match primitive every customer-data or crawl-metadata
 pipeline needs — find records that refer to the same real-world entity
 without comparing all pairs.
 
-Design (Fellegi–Sunter-era blocking, public technique): a cheap
-BLOCKING KEY partitions records so the quadratic comparison runs only
-inside blocks; the match score is integer Levenshtein distance (both
-engines implement the same classic DP, so distances — and therefore
-verdicts — are bit-identical cross-engine, no float similarity needed).
+Design: SORTED-NEIGHBORHOOD blocking (Hernández–Stolfo, public
+technique). A cheap blocking key partitions records; INSIDE a block,
+records sort by the match field and each record compares only with its
+next NEIGHBOR_WINDOW neighbors in sorted order — near-identical strings
+sort adjacently, so recall for near-duplicates stays high while pair
+count is O(n·W), linear in the data.
 
-Scale shape: one self-equi-join on the block key (hash shuffle both
-sides on the key, never a cartesian), per-pair scoring in the join
-projection, then a map-side-combined per-block report. At 100 TB the
-block-size distribution is the thing to watch — cap or split hot
-blocks (the same df-cap discipline as the n-gram dedup family); the
-report surfaces max block size for exactly that decision.
+Why not the naive all-pairs block join: block sizes grow linearly with
+the data, so in-block pairs grow QUADRATICALLY — the 30× scale probe
+measured exactly that pathology on the first version of this module
+(25 blocks × C(18k, 2) ≈ 4·10⁹ Levenshtein calls; the probe did not
+finish inside its budget). The sorted window caps pairs per record by
+construction. SCALE.md records the before/after.
+
+The match score is integer Levenshtein distance (both engines implement
+the same classic DP, so distances — and therefore verdicts — are
+bit-identical cross-engine; no float similarity needed).
+
+Scale shape: one window rank per block (partition-local sort), one
+explode into ≤ W probe keys per record, one equi-join on
+(block, rank) — never a block-quadratic join — then a map-side-combined
+per-block report.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MATCH_MAX_DIST = 2  # names within edit distance 2 = same-entity candidate
+NEIGHBOR_WINDOW = 8  # sorted-neighborhood look-ahead per record
 
 
-def linkage_blocked_matches(customer: DataFrame) -> DataFrame:
+def linkage_blocked_matches(
+    customer: DataFrame, window: int = NEIGHBOR_WINDOW
+) -> DataFrame:
     """Near-duplicate identity detection over customer names: block by
-    nation (the cheap quasi-identifier), score in-block pairs by
-    Levenshtein, report per block. TPC-H names are 'Customer#NNNNNNNNN',
-    so distance counts differing digit positions — synthetic but
-    deterministic, and the machinery (block join + integer edit
-    distance + per-block report) is the production shape.
+    nation (the cheap quasi-identifier), sort each block by name, score
+    each record against its next ``window`` neighbors by Levenshtein,
+    report per block. TPC-H names are 'Customer#NNNNNNNNN', so distance
+    counts differing digit positions — synthetic but deterministic, and
+    the machinery (sorted-neighborhood block + integer edit distance +
+    per-block report) is the production shape.
 
     Output per block: customers, candidate pairs actually compared,
     matches at distance <= MATCH_MAX_DIST, and the minimum nonzero
-    distance seen (how close the closest non-identical pair is)."""
+    distance seen (how close the closest compared non-identical pair
+    is)."""
     c = customer.select(
         F.col("c_custkey").cast("long").alias("custkey"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").cast("long").alias("block"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (
-        a.join(b, F.col("a.block") == F.col("b.block"))
-        .filter(F.col("a.custkey") < F.col("b.custkey"))
-        .select(
-            F.col("a.block").alias("block"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
-        )
+    w = Window.partitionBy("block").orderBy("name", "custkey")
+    ranked = c.withColumn("rank", F.row_number().over(w).cast("long"))
+    probes = ranked.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window)
+        ).alias("rank"),
     )
+    pairs = probes.join(
+        ranked.select("block", "rank", F.col("name").alias("name_b")),
+        ["block", "rank"],
+    ).select("block", F.levenshtein("name_a", "name_b").alias("dist"))
     per_block = pairs.groupBy("block").agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("dist") <= MATCH_MAX_DIST).cast("long")).alias("n_matches"),
@@ -71,18 +90,28 @@ def linkage_blocked_matches(customer: DataFrame) -> DataFrame:
     )
 
 
-def linkage_blocked_matches_sql() -> str:
+def linkage_blocked_matches_sql(window: int = NEIGHBOR_WINDOW) -> str:
     return f"""(
     WITH lk_c AS (
         SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,
             CAST(c_nationkey AS BIGINT) AS block
         FROM customer
     ),
+    lk_ranked AS (
+        SELECT block, name, custkey,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY block ORDER BY name, custkey
+            ) AS BIGINT) AS rank
+        FROM lk_c
+    ),
+    lk_probes AS (
+        SELECT block, name AS name_a,
+            UNNEST(generate_series(rank + 1, rank + {window})) AS rank
+        FROM lk_ranked
+    ),
     lk_pairs AS (
-        SELECT a.block,
-            levenshtein(a.name, b.name) AS dist
-        FROM lk_c a JOIN lk_c b
-            ON a.block = b.block AND a.custkey < b.custkey
+        SELECT p.block, levenshtein(p.name_a, r.name) AS dist
+        FROM lk_probes p JOIN lk_ranked r USING (block, rank)
     ),
     lk_per_block AS (
         SELECT block, COUNT(*) AS n_pairs,

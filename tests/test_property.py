@@ -373,3 +373,86 @@ def test_exact_substring_spans_match_reference(spark, docs_tokens):
         for r in exact_substring_spans(df, window=w).collect()
     }
     assert got == _py_substring_spans(docs_tokens, w)
+
+
+def _brute_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    from collections import defaultdict
+
+    count = defaultdict(int)
+    import itertools
+
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            count[a] += 1
+            count[b] += 1
+            count[c] += 1
+    return dict(count)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from iot_temp_data_pipeline_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def _brute_merge(intervals):
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [(s, e, n) for s, e, n in out]
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=30)
+)
+def test_interval_merge_matches_brute_force(spark, starts):
+    """Islands from the windowed prefix-max must equal a sequential
+    sweep merge of the same ±30 s intervals (single synthetic user)."""
+    from iot_temp_data_pipeline_spark.plans.timeseries import INTERVAL_PAD_S
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, s - INTERVAL_PAD_S, s + INTERVAL_PAD_S) for s in starts]
+    df = spark.createDataFrame(rows, "user_id long, start_s long, end_s long")
+    w = Window.partitionBy("user_id").orderBy("start_s", "end_s")
+    prev_max = F.max("end_s").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("start_s") > prev_max), 1)
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = sorted(
+        (r["s"], r["e"], r["n"])
+        for r in flagged.groupBy("island")
+        .agg(
+            F.min("start_s").alias("s"),
+            F.max("end_s").alias("e"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    want = _brute_merge([(s - INTERVAL_PAD_S, s + INTERVAL_PAD_S) for s in starts])
+    assert got == want

@@ -325,6 +325,19 @@ def histogram_quantiles(
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
+    return histogram_quantile_report(hist, width=width, qs=qs)
+
+
+def histogram_quantile_report(
+    hist: DataFrame,
+    width: int = HIST_WIDTH_CENTS,
+    qs: tuple[int, ...] = HIST_QS,
+) -> DataFrame:
+    """Quantile probes from a MERGED (bin, cnt) histogram — split out so
+    the streaming path (per-micro-batch bin-count partials merged by
+    SUM) shares the exact CDF math with the batch sketch. Bin counts
+    are layout- and batching-independent, so the batch oracle pins the
+    streamed estimates exactly."""
     w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy())
@@ -612,3 +625,125 @@ def join_size_cms_sql(
         (SELECT cms_estimate FROM js_est)
             >= (SELECT exact_join_rows FROM js_exact) AS overestimates
 ) js"""
+
+
+# --------------------------------------- HLL set algebra (intersection)
+
+def hll_set_intersection(
+    events: DataFrame, type_a: str = "click", type_b: str = "view"
+) -> DataFrame:
+    """Sketch ALGEBRA on the deterministic HLL registers: |A ∪ B| comes
+    free from register max-merge (the mergeable-sketch contract used by
+    the streaming partials), and |A ∩ B| by inclusion-exclusion —
+    estimating audience overlap between two event types WITHOUT ever
+    shuffling user ids together. This is how planners and audience
+    systems intersect huge sets at 100 TB: two 64-register sketches and
+    five integer operations, not a join.
+
+    The estimate column is pinned exactly by the oracle (registers and
+    the integer harmonic fold are bit-reproducible); the exact
+    intersection rides along by inclusion-exclusion on exact distinct
+    counts for honesty about the sketch's error."""
+    ev = events.filter(F.col("event_type").isin(type_a, type_b)).select(
+        "event_type", "user_id"
+    )
+    reg = hll_registers(ev, "event_type", "user_id")
+    union_reg = (
+        reg.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("union").alias("grp"), "bucket", "m")
+    )
+    all_reg = reg.unionByName(union_reg)
+    exact = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count_distinct("user_id").alias("exact_keys"))
+        .unionByName(
+            ev.select(F.lit("union").alias("grp"), "user_id")
+            .groupBy("grp")
+            .agg(F.count_distinct("user_id").alias("exact_keys"))
+        )
+    )
+    est = hll_estimate(all_reg, exact)
+
+    def pick(col: str, grp: str):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+
+    one = est.groupBy().agg(
+        pick("hll_raw_est", type_a).alias("est_a"),
+        pick("hll_raw_est", type_b).alias("est_b"),
+        pick("hll_raw_est", "union").alias("est_union"),
+        pick("exact_keys", type_a).alias("exact_a"),
+        pick("exact_keys", type_b).alias("exact_b"),
+        pick("exact_keys", "union").alias("exact_union"),
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+    )
+
+
+def hll_set_intersection_sql(
+    source: str = "events", type_a: str = "click", type_b: str = "view"
+) -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("CAST(user_id AS VARCHAR)")
+    return f"""(
+    WITH hsi_ev AS (
+        SELECT event_type, user_id FROM {source}
+        WHERE event_type IN ('{type_a}', '{type_b}')
+    ),
+    hsi_rho AS (
+        SELECT event_type AS grp, h % {HLL_M} AS bucket,
+            {HLL_RHO_MAX} - (CASE WHEN h // {HLL_M} = 0 THEN 0
+                ELSE length(bin(h // {HLL_M})) END) AS rho
+        FROM (SELECT event_type, {h} AS h FROM hsi_ev)
+    ),
+    hsi_reg AS (
+        SELECT grp, bucket, MAX(rho) AS m FROM hsi_rho GROUP BY 1, 2
+    ),
+    hsi_all AS (
+        SELECT grp, bucket, m FROM hsi_reg
+        UNION ALL
+        SELECT 'union' AS grp, bucket, MAX(m) AS m FROM hsi_reg GROUP BY 2
+    ),
+    hsi_full AS (
+        SELECT g.grp, b.bucket, COALESCE(r.m, 0) AS m
+        FROM (SELECT DISTINCT grp FROM hsi_all) g
+        CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) b
+        LEFT JOIN hsi_all r ON r.grp = g.grp AND r.bucket = b.bucket
+    ),
+    hsi_est AS (
+        SELECT grp,
+            {_HLL_EST_NUM} // (1000000 *
+                SUM(1::BIGINT << ({HLL_RHO_MAX} - m))) AS hll_raw_est
+        FROM hsi_full GROUP BY 1
+    ),
+    hsi_exact AS (
+        SELECT event_type AS grp, COUNT(DISTINCT user_id) AS exact_keys
+        FROM hsi_ev GROUP BY 1
+        UNION ALL
+        SELECT 'union', COUNT(DISTINCT user_id) FROM hsi_ev
+    ),
+    hsi_one AS (
+        SELECT
+            MAX(CASE WHEN e.grp = '{type_a}' THEN e.hll_raw_est END) AS est_a,
+            MAX(CASE WHEN e.grp = '{type_b}' THEN e.hll_raw_est END) AS est_b,
+            MAX(CASE WHEN e.grp = 'union' THEN e.hll_raw_est END) AS est_union,
+            MAX(CASE WHEN x.grp = '{type_a}' THEN x.exact_keys END) AS exact_a,
+            MAX(CASE WHEN x.grp = '{type_b}' THEN x.exact_keys END) AS exact_b,
+            MAX(CASE WHEN x.grp = 'union' THEN x.exact_keys END) AS exact_union
+        FROM hsi_est e JOIN hsi_exact x USING (grp)
+    )
+    SELECT est_a, est_b, est_union,
+        est_a + est_b - est_union AS est_intersection,
+        exact_a + exact_b - exact_union AS exact_intersection
+    FROM hsi_one
+) hsi"""

@@ -2291,3 +2291,75 @@ def _linkage_oracle() -> str:
 
 
 EXTENSIONS["record_linkage_blocked"] = QuerySpec(_linkage, _linkage_oracle())
+
+SALTED_SPEC = [
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("sum_cents", "long"),
+    ("max_cents", "long"),
+]
+
+
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation as a first-class query: events
+    aggregate by the LOW-cardinality event_type (5 keys over 100 K rows
+    — exactly the hot-key shape where one reducer would take a key's
+    whole mass) through (key, salt) partials then a per-key recombine.
+    For algebraic aggregates the rewrite is exact, so the plain GROUP BY
+    oracle pins it bit-for-bit: the salt changes the exchange topology,
+    never the answer."""
+    from ..functions.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    df = salted_aggregate(
+        ev,
+        "event_type",
+        n_salts=16,
+        partial_aggs={
+            "n": F.count("*"),
+            "s": F.sum("cents"),
+            "m": F.max("cents"),
+        },
+        final_aggs={
+            "n_events": F.sum("n"),
+            "sum_cents": F.sum("s"),
+            "max_cents": F.max("m"),
+        },
+    ).orderBy("event_type")
+    return shape(df, SALTED_SPEC)
+
+
+SALTED_ORACLE = sql_select(
+    SALTED_SPEC,
+    """(
+    SELECT event_type, COUNT(*) AS n_events,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+        MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+) sa""",
+)
+
+EXTENSIONS["salted_event_type_stats"] = QuerySpec(_salted_agg, SALTED_ORACLE)
+
+HLL_INT_SPEC = [
+    ("est_a", "long"),
+    ("est_b", "long"),
+    ("est_union", "long"),
+    ("est_intersection", "long"),
+    ("exact_intersection", "long"),
+]
+
+
+def _hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        sk.hll_set_intersection(load_table(spark, sf_dir, "events")), HLL_INT_SPEC
+    )
+
+
+HLL_INT_ORACLE = sql_select(HLL_INT_SPEC, sk.hll_set_intersection_sql("events"))
+
+EXTENSIONS["hll_set_intersection"] = QuerySpec(_hll_intersection, HLL_INT_ORACLE)

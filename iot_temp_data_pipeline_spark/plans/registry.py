@@ -711,6 +711,9 @@ _CHANGED_R04 = [
     "record_linkage_blocked",        # new: blocked fuzzy entity match
     "streaming_mg_partials",         # new: streamed MG sketch trio
     "events_variant_props",          # new: Spark 4 VARIANT paths
+    "salted_event_type_stats",       # new: skew-safe two-phase agg
+    "streaming_histq_partials",      # new: streamed histogram quartet
+    "hll_set_intersection",          # new: sketch set algebra
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

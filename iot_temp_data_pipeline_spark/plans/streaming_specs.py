@@ -1206,7 +1206,77 @@ def _mg_stream_oracle() -> str:
     return sql_select(MG_STREAM_SPEC, sk.mg_heavy_hitters_sql("documents"))
 
 
+# --------------------------------------- streamed histogram quantiles
+
+HISTQ_STREAM_SPEC = [
+    ("q", "long"),
+    ("n", "long"),
+    ("est_cents", "long"),
+]
+
+_HISTQ_CSV_SCHEMA = T.StructType([T.StructField("bin", T.LongType())])
+
+
+def _histq_bin_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as sk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.select(
+        (cents / sk.HIST_WIDTH_CENTS).cast("long").alias("bin")
+    )
+
+
+def _streaming_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantiles maintained BY THE STREAM — the
+    fourth streamed mergeable sketch (CMS, HLL, MG, histogram): each
+    micro-batch appends its own (bin, cnt) partial — bounded by the
+    value range over the bin width, not the batch size — and the read
+    side merges by SUM, then runs the same exact-integer CDF probes as
+    the batch sketch. Bin counts are a pure function of the value
+    multiset, so the batch oracle pins every streamed estimate."""
+    from ..operators import sketches as sk
+
+    work = workdir("histq")
+    materialize_landing(_histq_bin_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_HISTQ_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    return shape(sk.histogram_quantile_report(merged), HISTQ_STREAM_SPEC)
+
+
+def _histq_stream_oracle() -> str:
+    from ..operators import sketches as sk
+
+    return sql_select(HISTQ_STREAM_SPEC, sk.histogram_quantiles_sql())
+
+
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_histq_partials": QuerySpec(_streaming_histq, _histq_stream_oracle()),
     "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),
     "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),

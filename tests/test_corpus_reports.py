@@ -183,3 +183,23 @@ def test_linkage_blocking_and_threshold(spark):
     )
     # cross-block pairs are never compared
     assert sum(r["n_pairs"] for r in out.values()) == 3
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    from iot_temp_data_pipeline_spark.operators.sketches import hll_set_intersection
+
+    # users 0-99 click; users 50-149 view -> exact intersection 50
+    rows = [(i, "click") for i in range(100)] + [
+        (i, "view") for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, event_type string"
+    )
+    r = hll_set_intersection(df).collect()[0]
+    assert r["exact_intersection"] == 50
+    # union estimate can never exceed the sum of the parts (register
+    # max-merge is monotone), and every estimate is positive here
+    assert r["est_union"] <= r["est_a"] + r["est_b"]
+    assert r["est_a"] > 0 and r["est_b"] > 0
+    # HLL at m=64 is coarse, but a 100-user set must not estimate 10x off
+    assert 10 <= r["est_a"] <= 1000

@@ -227,6 +227,27 @@ SHOWCASE = {
         "Windows, then a hash aggregate on (user, island) — no "
         "self-join, no global sort."
     ),
+    "record_linkage_blocked": (
+        "Sorted-neighborhood linkage: rank within block (partition-"
+        "local sort), Generate explode into <= W probe ranks per "
+        "record, equi-join on (block, rank) — pair count O(n*W) by "
+        "construction, never a block-quadratic self-join (the naive "
+        "form was probe-caught and replaced, SCALE.md)."
+    ),
+    "salted_event_type_stats": (
+        "Skew-safe two-phase aggregate: partial HashAggregate on "
+        "(event_type, __salt) spreads each hot key over 16 reducers, "
+        "final HashAggregate recombines per key — both map-side "
+        "combined; the plain GROUP BY oracle pins that the salt "
+        "changed only the exchange topology."
+    ),
+    "hll_set_intersection": (
+        "Sketch set algebra: user ids hash ONCE into per-type "
+        "registers (groupBy max, partial-aggregated to <= groups x 64 "
+        "rows per task); the union is a register max-merge and the "
+        "intersection pure arithmetic on three 1-row digests — no "
+        "user-id join anywhere in the plan."
+    ),
 }
 
 

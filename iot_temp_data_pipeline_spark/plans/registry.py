@@ -752,15 +752,30 @@ _fresh_r03 = [
     for n in REGISTRY
     if n in _DRIVER_VERIFIED_R03 and n not in _CHANGED_R04
 ]
-# changed → never-verified → stalest (r1/r2) → freshest (r3); within
-# the changed block batch queries come before micro-batch streaming
-# (fixed ~2 s harness cost each) so a time-boxed driver run verifies
-# the most queries per second.
+# Ordering priority: the driver samples ~50 entries per round, and 65
+# queries currently have NO driver row at all (the round-3-tail and
+# round-4 additions), so no-row queries outrank re-verification of
+# changed-but-already-green entries: no-row changed → no-row others →
+# changed entries that hold green r3 rows (their reworked paths are
+# additionally pinned every run by tests/test_registry_parity.py and
+# the plan-shape tests) → stalest (r1/r2) → freshest (r3). Within each
+# block batch queries come before micro-batch streaming (fixed ~2 s
+# harness cost each) so a time-boxed driver run verifies the most
+# queries per second.
+_has_row = _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03
 _changed = [n for n in _CHANGED_R04 if n in REGISTRY]
+
+
+def _batch_first(names):
+    return [n for n in names if not n.startswith("streaming_")] + [
+        n for n in names if n.startswith("streaming_")
+    ]
+
+
 _order = (
-    [n for n in _changed if not n.startswith("streaming_")]
-    + [n for n in _changed if n.startswith("streaming_")]
-    + _never
+    _batch_first([n for n in _changed if n not in _has_row])
+    + _batch_first(_never)
+    + _batch_first([n for n in _changed if n in _has_row])
     + _stale_r0102
     + _fresh_r03
 )

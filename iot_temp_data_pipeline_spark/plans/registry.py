@@ -714,6 +714,8 @@ _CHANGED_R04 = [
     "salted_event_type_stats",       # new: skew-safe two-phase agg
     "streaming_histq_partials",      # new: streamed histogram quartet
     "hll_set_intersection",          # new: sketch set algebra
+    "time_weighted_avg",             # new: LOCF time-weight integral
+    "events_ohlc_hourly",            # new: OHLC / M4 downsample
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

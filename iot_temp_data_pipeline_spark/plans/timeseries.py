@@ -559,3 +559,147 @@ MERGED_INTERVALS_SQL = sql_select(
 TIMESERIES["merge_error_intervals"] = QuerySpec(
     merge_error_intervals, MERGED_INTERVALS_SQL
 )
+
+
+# ------------------------------------------------ time-weighted average
+
+TWA_SPEC = [
+    ("event_type", ""),
+    ("n_events", "long"),
+    ("span_s", "long"),
+    ("twa_milli", "long"),
+]
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled events (the
+    hypertable `time_weight` primitive, last-observation-carried-forward
+    integration): each reading holds its value until the next reading,
+    so the average weights every value by its holding duration instead
+    of letting burst periods dominate (what plain avg() gets wrong on
+    irregular telemetry).
+
+    Exact integer form: value in milli-units × holding seconds, summed
+    as the integral numerator; one `lead` window per event_type
+    (partition-local sort), one aggregate. Rows without a successor
+    (each series' last) contribute no interval — the standard LOCF
+    convention."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr("div(unix_micros(ts), 1000000)")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = (
+        ev.select("event_type", "ts", "event_id", s.alias("s"), vm.alias("vm"))
+        .withColumn("next_s", F.lead("s").over(w))
+        .withColumn("hold_s", F.col("next_s") - F.col("s"))
+    )
+    df = (
+        rows.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("hold_s").alias("span_s"),
+            F.expr("div(sum(vm * hold_s), sum(hold_s))").alias("twa_milli"),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, TWA_SPEC)
+
+
+TWA_SQL = sql_select(
+    TWA_SPEC,
+    """(
+    WITH twa_rows AS (
+        SELECT event_type, vm,
+            LEAD(s) OVER (PARTITION BY event_type ORDER BY ts, event_id) - s
+                AS hold_s
+        FROM (
+            SELECT event_type, ts, event_id,
+                epoch_us(ts) // 1000000 AS s,
+                CAST(ROUND(value * 1000) AS BIGINT) AS vm
+            FROM events
+        )
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+        SUM(hold_s) AS span_s,
+        SUM(vm * hold_s) // SUM(hold_s) AS twa_milli
+    FROM twa_rows
+    GROUP BY event_type
+    ORDER BY event_type
+) twa""",
+)
+
+TIMESERIES["time_weighted_avg"] = QuerySpec(time_weighted_avg, TWA_SQL)
+
+
+# --------------------------------------------------- OHLC / M4 downsample
+
+OHLC_SPEC = [
+    ("event_type", ""),
+    ("hour", "long"),
+    ("open_milli", "long"),
+    ("high_milli", "long"),
+    ("low_milli", "long"),
+    ("close_milli", "long"),
+    ("n_events", "long"),
+]
+
+
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — simultaneously the M4
+    visualization downsample (first/max/min/last per pixel bucket,
+    the lossless-rendering aggregate) and the financial candlestick
+    rollup. open/close are exact `min_by`/`max_by` on the total
+    (ts, event_id) order, so ties are pinned; ONE map-side-combined
+    aggregate, no window, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    # Total order within the hour: (microseconds, event_id) packed into
+    # one decimal(38,0)/int128 key — a 10^12 multiplier leaves room for
+    # any event_id below a trillion, so the key is collision-free even
+    # when many events share a timestamp (a long-packed key was not:
+    # id mod collisions would make min_by/max_by tie-ambiguous).
+    okey = F.expr(
+        "cast(unix_micros(ts) as decimal(38,0)) * 1000000000000 + event_id"
+    )
+    rows = ev.select(
+        "event_type",
+        F.expr("div(unix_micros(ts), 3600000000)").alias("hour"),
+        vm.alias("vm"),
+        okey.alias("okey"),
+    )
+    df = (
+        rows.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("vm", "okey").alias("open_milli"),
+            F.max("vm").alias("high_milli"),
+            F.min("vm").alias("low_milli"),
+            F.max_by("vm", "okey").alias("close_milli"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+    return shape(df, OHLC_SPEC)
+
+
+OHLC_SQL = sql_select(
+    OHLC_SPEC,
+    """(
+    SELECT event_type, hour,
+        MIN_BY(vm, okey) AS open_milli,
+        MAX(vm) AS high_milli,
+        MIN(vm) AS low_milli,
+        MAX_BY(vm, okey) AS close_milli,
+        COUNT(*) AS n_events
+    FROM (
+        SELECT event_type,
+            epoch_us(ts) // 3600000000 AS hour,
+            CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+            epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS okey
+        FROM events
+    )
+    GROUP BY event_type, hour
+    ORDER BY event_type, hour
+) ohlc""",
+)
+
+TIMESERIES["events_ohlc_hourly"] = QuerySpec(events_ohlc_hourly, OHLC_SQL)

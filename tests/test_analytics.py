@@ -263,3 +263,32 @@ def test_curriculum_phases_partition_corpus_with_disjoint_spans(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == docs.count()
     for a, b in zip(rows, rows[1:]):
         assert a["max_score_milli"] < b["min_score_milli"]
+
+
+def test_time_weighted_avg_locf_integral(spark, tmp_path):
+    """TWA on crafted irregular samples: value 10 held 9 s then value
+    100 held 1 s -> integral (10*9 + 100*1)/10 = 19, while plain avg
+    would say 55 (burst bias). Built through a parquet round-trip so
+    the query path (load_table) is exercised end-to-end."""
+    import datetime
+
+    from iot_temp_data_pipeline_spark.plans.timeseries import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "steady", 0.010, "{}"),
+        (2, t0 + datetime.timedelta(seconds=9), 7, "steady", 0.100, "{}"),
+        (3, t0 + datetime.timedelta(seconds=10), 7, "steady", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "twa_sf")  # only events is read by this query
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r["event_type"]: r for r in time_weighted_avg(spark, sf).collect()}
+    r = out["steady"]
+    assert r["span_s"] == 10
+    assert r["twa_milli"] == 19  # (10*9 + 100*1) / 10 milli-units
+    assert r["n_events"] == 3

@@ -1206,6 +1206,95 @@ def _mg_stream_oracle() -> str:
     return sql_select(MG_STREAM_SPEC, sk.mg_heavy_hitters_sql("documents"))
 
 
+# ----------------------------------- custom Python streaming source
+
+PYSTREAM_N_ROWS = 50_000
+PYSTREAM_CHUNK = 10_000
+
+PYSTREAM_SPEC = [
+    ("device_id", ""),
+    ("n", "long"),
+    ("sum_centi", "long"),
+    ("min_centi", "long"),
+    ("max_centi", "long"),
+]
+
+
+def _streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource consumed AS A STREAM (Spark 4
+    `simpleStreamReader`): position offsets advance per micro-batch,
+    the checkpoint commits them, and replayed ranges regenerate
+    bit-identically (generation is a pure function of event_id) — the
+    exactly-once contract for an engine-native custom streaming source.
+    The sink accumulates every micro-batch; the end state equals the
+    batch scan of the same id range, so the range()-regeneration oracle
+    pins it exactly."""
+    import time as _time
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    work = workdir("pystream")
+    sink = f"{work}/sink"
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", PYSTREAM_N_ROWS)
+        .option("rows_per_batch", PYSTREAM_CHUNK)
+        .load()
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the source is position-bounded but the Simple reader API has no
+    # availableNow admission control — poll the sink to the known total,
+    # then stop (bounded by a hard timeout so a regression fails loudly)
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= PYSTREAM_N_ROWS:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+    finally:
+        query.stop()
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("device_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("temp_centi").alias("sum_centi"),
+            F.min("temp_centi").alias("min_centi"),
+            F.max("temp_centi").alias("max_centi"),
+        )
+        .orderBy("device_id")
+    )
+    return shape(out, PYSTREAM_SPEC)
+
+
+def _pystream_oracle() -> str:
+    from ..sources import pydatasource as pds
+
+    return sql_select(
+        PYSTREAM_SPEC,
+        f"""(
+    SELECT 'DEV_' || CAST(i % {pds.N_DEVICES} AS VARCHAR) AS device_id,
+        COUNT(*) AS n,
+        SUM((i * {pds.MIX}) % {pds.TEMP_MOD} - 2000) AS sum_centi,
+        MIN((i * {pds.MIX}) % {pds.TEMP_MOD} - 2000) AS min_centi,
+        MAX((i * {pds.MIX}) % {pds.TEMP_MOD} - 2000) AS max_centi
+    FROM (SELECT UNNEST(range(0, {PYSTREAM_N_ROWS})) AS i) t
+    GROUP BY 1
+    ORDER BY device_id
+) ps""",
+    )
+
+
 # --------------------------------------- streamed histogram quantiles
 
 HISTQ_STREAM_SPEC = [
@@ -1276,6 +1365,9 @@ def _histq_stream_oracle() -> str:
 
 
 STREAMING: dict[str, QuerySpec] = {
+    "streaming_custom_source": QuerySpec(
+        _streaming_custom_source, _pystream_oracle()
+    ),
     "streaming_histq_partials": QuerySpec(_streaming_histq, _histq_stream_oracle()),
     "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),
     "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),

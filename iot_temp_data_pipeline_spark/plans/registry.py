@@ -717,6 +717,7 @@ _CHANGED_R04 = [
     "time_weighted_avg",             # new: LOCF time-weight integral
     "events_ohlc_hourly",            # new: OHLC / M4 downsample
     "streaming_custom_source",       # new: Python stream source offsets
+    "streaming_custom_source_dist",  # new: partition-planned stream src
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

@@ -1295,6 +1295,61 @@ def _pystream_oracle() -> str:
     )
 
 
+def _streaming_custom_source_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PLANNED custom streaming source (Spark 4
+    `streamReader`) — the data-plane counterpart of
+    streaming_custom_source's driver-prefetch Simple reader:
+    latestOffset admits a bounded range per trigger, partitions() slices
+    it into id-range InputPartitions (two ints each), and read() runs
+    on EXECUTORS with the batch reader's vectorized Arrow generation —
+    rows never touch the driver. Same deterministic end state, same
+    range()-regeneration oracle."""
+    import time as _time
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    work = workdir("pystreamd")
+    sink = f"{work}/sink"
+    stream = (
+        spark.readStream.format("synthetic_events_dist")
+        .option("n_rows", PYSTREAM_N_ROWS)
+        .option("rows_per_batch", PYSTREAM_CHUNK)
+        .option("partitions_per_batch", 4)
+        .load()
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    try:
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= PYSTREAM_N_ROWS:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+    finally:
+        query.stop()
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("device_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("temp_centi").alias("sum_centi"),
+            F.min("temp_centi").alias("min_centi"),
+            F.max("temp_centi").alias("max_centi"),
+        )
+        .orderBy("device_id")
+    )
+    return shape(out, PYSTREAM_SPEC)
+
+
 # --------------------------------------- streamed histogram quantiles
 
 HISTQ_STREAM_SPEC = [
@@ -1367,6 +1422,9 @@ def _histq_stream_oracle() -> str:
 STREAMING: dict[str, QuerySpec] = {
     "streaming_custom_source": QuerySpec(
         _streaming_custom_source, _pystream_oracle()
+    ),
+    "streaming_custom_source_dist": QuerySpec(
+        _streaming_custom_source_dist, _pystream_oracle()
     ),
     "streaming_histq_partials": QuerySpec(_streaming_histq, _histq_stream_oracle()),
     "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),

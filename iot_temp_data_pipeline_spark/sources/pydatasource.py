@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    DataSourceStreamReader,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -157,6 +158,7 @@ def register(spark) -> None:
         return
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsDistDataSource)
     spark._sg_synth_events_registered = True
 
 
@@ -297,3 +299,73 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
             )
             for i in range(lo, hi)
         ]
+
+
+class SyntheticEventsDistStreamReader(DataSourceStreamReader):
+    """Partition-planned streaming reader — the DATA-PLANE form the
+    Simple reader's docstring points to: `latestOffset` admits up to
+    `rows_per_batch` new positions per trigger, `partitions(start,
+    end)` slices the admitted range into executor-side InputPartitions
+    (two ints each — no rows ever touch the driver), and `read` runs ON
+    EXECUTORS reusing the batch reader's vectorized Arrow generation.
+    Replay of any committed offset range is bit-identical because
+    generation is a pure function of event_id."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.chunk = int(options.get("rows_per_batch", 10000))
+        self.n_parts = int(options.get("partitions_per_batch", 4))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.chunk, self.n_rows)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+            if s < hi
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        devices = np.array([f"DEV_{d}" for d in range(N_DEVICES)])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(devices[ids % N_DEVICES]),
+                pa.array(TS_BASE_US + ids * TS_STEP_US, type=pa.int64()),
+                pa.array(ids * MIX % TEMP_MOD - 2000, type=pa.int64()),
+            ],
+            names=["event_id", "device_id", "ts_micros", "temp_centi"],
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsDistDataSource(DataSource):
+    """Same synthetic feed under a second format name, exposing the
+    partition-planned `streamReader` (a DataSource resolves either the
+    simple or the planned variant, not both)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_dist"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, device_id string, ts_micros long, temp_centi long"
+        )
+
+    def streamReader(self, schema) -> SyntheticEventsDistStreamReader:
+        return SyntheticEventsDistStreamReader(self.options)

@@ -449,3 +449,137 @@ def embedding_drift_sql(source: str = "embeddings") -> str:
         ON a.label = b.label AND a.cohort = 'first' AND b.cohort = 'second'
     ORDER BY a.label
 ) ed"""
+
+
+# ---------------------------------------------- MAD robust outlier gate
+
+MAD_K_X10000 = 44478  # 3 * 1.4826 (normal-consistency constant), fixed-point
+
+
+def mad_outlier_gate(events: DataFrame) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe companion to the z-score anomaly chain (mean/stddev
+    are themselves dragged by the outliers they're meant to catch; the
+    median and MAD have a 50% breakdown point). Modified z-score rule:
+    flag |x − median| > 3·1.4826·MAD, with the constant in exact
+    fixed-point so both engines draw the identical boundary.
+
+    Sort-free at scale (the winsorize/histogram machinery twice): both
+    medians come from cumulative windows over (type, value)-GROUPED
+    tables — the exchanges are value-range bounded, the raw rows are
+    scanned once and never re-shuffled; deviations are re-derived from
+    the grouped (cents, cnt) pairs, not the rows.
+
+    Output per event_type: (event_type, n, median_cents, mad_cents,
+    n_outliers, outlier_permille)."""
+    cents_tab = (
+        events.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = cents_tab.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    med = (
+        cdf.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    dev_tab = (
+        cents_tab.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "n", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_dev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        dev_tab.withColumn("cum", F.sum("cnt").over(w_dev))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad_cents"))
+    )
+    flagged = (
+        cents_tab.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("median_cents")) * 10000
+                    > MAD_K_X10000 * F.col("mad_cents"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("n_outliers")
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "n",
+        "median_cents",
+        "mad_cents",
+        "n_outliers",
+        F.expr("div(1000 * n_outliers, n)").alias("outlier_permille"),
+    ).orderBy("event_type")
+
+
+def mad_outlier_gate_sql(source: str = "events") -> str:
+    return f"""(
+    WITH mad_tab AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            COUNT(*) AS cnt
+        FROM {source} GROUP BY 1, 2
+    ),
+    mad_cdf AS (
+        SELECT event_type, cents, cnt,
+            SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM mad_tab
+    ),
+    mad_med AS (
+        SELECT event_type, n, MIN(cents) AS median_cents
+        FROM mad_cdf WHERE 2 * cum >= n GROUP BY 1, 2
+    ),
+    mad_dev AS (
+        SELECT t.event_type, m.n, ABS(t.cents - m.median_cents) AS dev,
+            SUM(t.cnt) AS cnt
+        FROM mad_tab t JOIN mad_med m USING (event_type)
+        GROUP BY 1, 2, 3
+    ),
+    mad_val AS (
+        SELECT event_type, MIN(dev) AS mad_cents FROM (
+            SELECT event_type, dev, n,
+                SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM mad_dev
+        ) WHERE 2 * cum >= n GROUP BY 1
+    )
+    SELECT t.event_type, m.n, m.median_cents, v.mad_cents,
+        SUM(CASE WHEN ABS(t.cents - m.median_cents) * 10000
+                      > {MAD_K_X10000} * v.mad_cents
+                 THEN t.cnt ELSE 0 END) AS n_outliers,
+        (1000 * SUM(CASE WHEN ABS(t.cents - m.median_cents) * 10000
+                              > {MAD_K_X10000} * v.mad_cents
+                         THEN t.cnt ELSE 0 END)) // m.n AS outlier_permille
+    FROM mad_tab t
+    JOIN mad_med m USING (event_type)
+    JOIN mad_val v USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type
+) mog"""

@@ -2363,3 +2363,29 @@ def _hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_INT_ORACLE = sql_select(HLL_INT_SPEC, sk.hll_set_intersection_sql("events"))
 
 EXTENSIONS["hll_set_intersection"] = QuerySpec(_hll_intersection, HLL_INT_ORACLE)
+
+MAD_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("median_cents", "long"),
+    ("mad_cents", "long"),
+    ("n_outliers", "long"),
+    ("outlier_permille", "long"),
+]
+
+
+def _mad_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as pf
+
+    return shape(
+        pf.mad_outlier_gate(load_table(spark, sf_dir, "events")), MAD_SPEC
+    )
+
+
+def _mad_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(MAD_SPEC, pf.mad_outlier_gate_sql("events"))
+
+
+EXTENSIONS["mad_outlier_gate"] = QuerySpec(_mad_gate, _mad_oracle())

@@ -718,6 +718,7 @@ _CHANGED_R04 = [
     "events_ohlc_hourly",            # new: OHLC / M4 downsample
     "streaming_custom_source",       # new: Python stream source offsets
     "streaming_custom_source_dist",  # new: partition-planned stream src
+    "mad_outlier_gate",              # new: robust MAD modified z-score
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

@@ -292,3 +292,23 @@ def test_time_weighted_avg_locf_integral(spark, tmp_path):
     assert r["span_s"] == 10
     assert r["twa_milli"] == 19  # (10*9 + 100*1) / 10 milli-units
     assert r["n_events"] == 3
+
+
+def test_mad_gate_flags_tail_not_bulk(spark):
+    """MAD contract on a crafted heavy tail: 98 values at 1.00, one at
+    1.02, one at 99.00 -> median 100 cents, MAD 0, and ONLY the two
+    off-median points are flagged (with MAD=0 any deviation trips the
+    modified z rule); the bulk never flags. Mean/stddev z-scores would
+    let the 99.00 point drag the threshold."""
+    from iot_temp_data_pipeline_spark.operators.profiling import mad_outlier_gate
+
+    rows = [(i, "t", 1.00) for i in range(98)] + [
+        (98, "t", 1.02),
+        (99, "t", 99.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = mad_outlier_gate(df).collect()[0]
+    assert r["median_cents"] == 100
+    assert r["mad_cents"] == 0
+    assert r["n_outliers"] == 2
+    assert r["outlier_permille"] == 20

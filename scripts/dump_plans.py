@@ -248,6 +248,31 @@ SHOWCASE = {
         "intersection pure arithmetic on three 1-row digests — no "
         "user-id join anywhere in the plan."
     ),
+    "mad_outlier_gate": (
+        "Robust MAD gate, sort-free: both medians come from cumulative "
+        "windows over value-GROUPED (cents, cnt) tables — exchanges "
+        "are value-range bounded; the raw rows are scanned once and "
+        "the deviation table is re-derived from the grouped pairs, "
+        "never from a second scan."
+    ),
+    "time_weighted_avg": (
+        "LOCF integral: ONE lead window per event_type (partition-"
+        "local sort) produces holding durations; the integral is a "
+        "single map-side-combined aggregate of vm * hold_s — no "
+        "self-join, no grid materialization."
+    ),
+    "events_ohlc_hourly": (
+        "OHLC/M4 in ONE hash aggregate: open/close are min_by/max_by "
+        "on a decimal-packed (ts, event_id) total order evaluated in "
+        "the scan projection; partial aggregation shrinks each task to "
+        "one candidate bar per (type, hour) before the exchange."
+    ),
+    "events_variant_props": (
+        "Spark 4 VARIANT: one try_parse_json per row in the scan "
+        "projection, typed variant_get reads from the binary open type "
+        "— then a single map-side-combined aggregate; no string "
+        "re-parse per path."
+    ),
 }
 
 

@@ -2389,3 +2389,59 @@ def _mad_oracle() -> str:
 
 
 EXTENSIONS["mad_outlier_gate"] = QuerySpec(_mad_gate, _mad_oracle())
+
+SALTED_JOIN_SPEC = [
+    ("event_type", ""),
+    ("type_label", ""),
+    ("n_events", "long"),
+    ("sum_cents", "long"),
+]
+
+
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER skew primitive as a first-class query (salted_aggregate
+    already is): 100 K events against a 5-row event-type dimension
+    through the salt-replicated join — the planner-independent fallback
+    when one hot key would pin a reducer and the small side must join
+    pre-partitioned (e.g. AQE disabled or a non-broadcastable build
+    side). Replicating the dim across 16 salts and salting the fact
+    spreads every hot key over 16 reducers; for a unique-keyed dim the
+    rewrite is exact, so the plain-join oracle pins it bit-for-bit."""
+    from ..functions.skew import salted_broadcast_left_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.upper(F.col("event_type")).alias("type_label"),
+        )
+    )
+    joined = salted_broadcast_left_join(ev, dim, "event_type", n_salts=16)
+    df = (
+        joined.groupBy("event_type", "type_label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+    return shape(df, SALTED_JOIN_SPEC)
+
+
+SALTED_JOIN_ORACLE = sql_select(
+    SALTED_JOIN_SPEC,
+    """(
+    SELECT e.event_type, UPPER(e.event_type) AS type_label,
+        COUNT(*) AS n_events,
+        SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS sum_cents
+    FROM events e
+    GROUP BY 1, 2
+    ORDER BY e.event_type
+) sj""",
+)
+
+EXTENSIONS["salted_hot_key_join"] = QuerySpec(_salted_join, SALTED_JOIN_ORACLE)

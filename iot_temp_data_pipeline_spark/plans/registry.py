@@ -719,6 +719,7 @@ _CHANGED_R04 = [
     "streaming_custom_source",       # new: Python stream source offsets
     "streaming_custom_source_dist",  # new: partition-planned stream src
     "mad_outlier_gate",              # new: robust MAD modified z-score
+    "salted_hot_key_join",           # new: salt-replicated skew join
     "pack_sequences_sharded",        # new: shard-keyed packing
     "anomaly_scores",                # aggform dedup + local stats
     "anomaly_scores_t2",

@@ -1113,6 +1113,146 @@ AUDIT_SQL = sql_select(
 )
 
 
+# ------------------------- per-file ingest mechanics (S3-S6, I11, I12)
+
+FILELOG_SPEC = [
+    ("file_name", ""),
+    ("file_size_bytes", "long"),
+    ("file_sha256", ""),
+    ("encoding", ""),
+    ("sanitized_columns", ""),
+    ("rows_ingested", "long"),
+    ("min_row_number", "long"),
+    ("max_row_number", "long"),
+    ("distinct_row_numbers", "long"),
+    ("distinct_record_ids", "long"),
+    ("load_ids", "long"),
+    ("hash_stamp_consistent", ""),
+]
+
+# The latin-1 fixture file's exact bytes are module constants
+# (_LATIN1_ROWS), so its size and SHA-256 are derivable here without
+# touching the filesystem — the oracle pins them as literals.
+_LATIN1_BYTES = (
+    "\n".join(
+        ["id,room_id/id,noted_date,temp,out/in"]
+        + [",".join(r) for r in _LATIN1_ROWS]
+    )
+    + "\n"
+).encode("latin-1")
+
+
+def ingest_file_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-S6 + I11/I12 per-file mechanics as one oracle-checked query
+    (`dlt_ingest/iot_temperature_pipeline.py:27-102,224-245`): ingest the
+    full landing zone (no skip — `ingest_audit_log` pins S3's skip path)
+    and emit, per file, the exact byte size and SHA-256 content hash
+    (I12; the oracle RECONSTRUCTS each utf-8 file's bytes from `events`
+    via the same `event_id % 3` assignment and hashes them in SQL, so a
+    single byte of drift in the landing writer or the hash chunking
+    mismatches), the encoding the fallback chain settled on (S2), the
+    post-sanitize header (I11), the per-file row count after the
+    null-timestamp drop, row-number extremes/uniqueness (S5: min=1,
+    max=count, all distinct), record-id uniqueness (I12 row ids), the
+    batch load-id cardinality (S6: one load id per batch), and agreement
+    between the audit row's hash and the hash stamped on every reading
+    (S4 metadata enrichment consistency)."""
+    from ..sources.csv_ingest import ingest_directory
+
+    landing = _audit_landing_dir(spark, sf_dir)
+    res = ingest_directory(spark, landing)
+    per_file = res.readings.groupBy("file_name").agg(
+        F.count("*").alias("rows_ingested"),
+        F.min("row_number").alias("min_row_number"),
+        F.max("row_number").alias("max_row_number"),
+        F.countDistinct("row_number").alias("distinct_row_numbers"),
+        F.countDistinct("file_record_id").alias("distinct_record_ids"),
+        F.countDistinct("_dlt_load_id").alias("load_ids"),
+        F.max("file_hash").alias("stamped_hash"),
+        F.countDistinct("file_hash").alias("stamped_hashes"),
+    )
+    df = (
+        res.audit_log.select(
+            "file_name",
+            "file_size_bytes",
+            F.col("file_hash").alias("file_sha256"),
+            "encoding",
+            "sanitized_columns",
+        )
+        .join(per_file, "file_name")
+        .withColumn(
+            "hash_stamp_consistent",
+            (F.col("stamped_hashes") == 1)
+            & (F.col("stamped_hash") == F.col("file_sha256")),
+        )
+    )
+    return shape(df, FILELOG_SPEC)
+
+
+# The oracle rebuilds each utf-8 landing file's exact content from
+# `events` (same row order, same CSV line shape as the byte-stable
+# Python writer in `_audit_landing_dir` — no field ever needs csv
+# quoting, all content is ASCII so strlen == bytes) and pins the
+# latin-1 file from the module constants above.
+FILELOG_SQL = sql_select(
+    FILELOG_SPEC,
+    f"""(
+    WITH lines AS (
+        SELECT event_id % 3 AS part,
+            event_id,
+            COALESCE(
+                CASE WHEN event_id % 97 != 0 THEN
+                    '__export__.temp_log_' || CAST(event_id AS VARCHAR)
+                    || '_bd' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                END, '')
+            || ',' ||
+            COALESCE(
+                CASE WHEN user_id % 5 = 0 THEN 'Room Admin'
+                     WHEN user_id % 5 = 1 THEN 'Room 809'
+                     WHEN user_id % 5 = 2 THEN 'Room Lab 2'
+                     WHEN user_id % 5 = 3 THEN NULL
+                     ELSE 'Admin Office'
+                END, '')
+            || ',' ||
+            CASE WHEN event_id % 89 = 0 THEN 'not a date'
+                 ELSE strftime(ts, '%d-%m-%Y %H:%M')
+            END
+            || ',' || CAST(value AS VARCHAR) || ',' ||
+            CASE WHEN user_id % 2 = 0 THEN 'In' ELSE 'Out' END AS line,
+            (event_id % 89 != 0) AS kept
+        FROM events
+    ),
+    contents AS (
+        SELECT part,
+            'id,room_id/id,noted_date,temp,out/in' || chr(10)
+                || string_agg(line, chr(10) ORDER BY event_id) || chr(10)
+                AS content,
+            COUNT(*) FILTER (WHERE kept) AS n
+        FROM lines GROUP BY part
+    )
+    SELECT 'part_' || CAST(part AS VARCHAR) || '.csv' AS file_name,
+        strlen(content) AS file_size_bytes,
+        sha256(content) AS file_sha256,
+        'utf-8' AS encoding,
+        'id,room_id_id,noted_date,temp,out_in' AS sanitized_columns,
+        n AS rows_ingested,
+        1 AS min_row_number,
+        n AS max_row_number,
+        n AS distinct_row_numbers,
+        n AS distinct_record_ids,
+        1 AS load_ids,
+        true AS hash_stamp_consistent
+    FROM contents
+    UNION ALL
+    SELECT '{_LATIN1_FILE}', {len(_LATIN1_BYTES)},
+        '{hashlib.sha256(_LATIN1_BYTES).hexdigest()}', 'latin1',
+        'id,room_id_id,noted_date,temp,out_in',
+        {len(_LATIN1_ROWS)}, 1, {len(_LATIN1_ROWS)}, {len(_LATIN1_ROWS)},
+        {len(_LATIN1_ROWS)}, 1, true
+) s""",
+)
+
+
 # ------------------------------------- synthetic sensor fields (I6-I9) contract
 
 SYNTH_SPEC = [
@@ -1236,6 +1376,106 @@ ANALYZE_SQL = sql_select(
 )
 
 
+# -------------------------- catalog guard + small-files compaction
+
+MAINT_SPEC = [
+    ("exists_before", ""),
+    ("exists_after", ""),
+    ("rows_initial", "long"),
+    ("rows_after_noop", "long"),
+    ("rows_after_overwrite", "long"),
+    ("files_before", "long"),
+    ("files_after", "long"),
+    ("compact_rows_preserved", ""),
+    ("compact_checksum_preserved", ""),
+]
+
+
+def catalog_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table_exists` / `ensure_table` guard semantics (the reference's
+    `dbt_transform/macros/table_exists.sql:1-15` macro and its
+    incremental-guard use) plus `compact_small_files`, pinned end to end:
+
+    - catalog probe is False before / True after materialization;
+    - a second `ensure_table` with a DIFFERENT build is a no-op (the
+      guard must reuse the existing table — row count stays at build1's);
+    - `overwrite=True` forces the rebuild (row count moves to build2's);
+    - a 16-file parquet directory compacts to 1 file with row count and
+      an order-independent checksum (sum of keys) preserved.
+
+    The oracle recomputes both build counts from `orders` and pins the
+    file counts and invariants as literals — any drift in the guard
+    (rebuilding when it must reuse, or vice versa) or a row lost in the
+    compaction swap mismatches."""
+    import shutil
+    import tempfile
+
+    from ..maintenance import compact_small_files
+    from ..sources.catalog import ensure_table, table_exists
+
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = f"maint_probe_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    exists_before = table_exists(spark, tbl)
+    build1 = lambda: orders.filter(F.col("o_orderkey") % 7 == 0)  # noqa: E731
+    build2 = lambda: orders.filter(F.col("o_orderkey") % 3 == 0)  # noqa: E731
+    rows_initial = ensure_table(spark, tbl, build1).count()
+    exists_after = table_exists(spark, tbl)
+    # guard path: build2 must NOT run — the catalog copy is reused
+    rows_after_noop = ensure_table(spark, tbl, build2).count()
+    rows_after_overwrite = ensure_table(spark, tbl, build2, overwrite=True).count()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    scratch = tempfile.mkdtemp(prefix="sg_compact_")
+    try:
+        table_dir = os.path.join(scratch, "t")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+        li.repartition(16).write.parquet(table_dir)
+        before = spark.read.parquet(table_dir).agg(
+            F.count("*").alias("n"), F.sum("l_orderkey").alias("s")
+        ).first()
+        files_before, files_after = compact_small_files(spark, table_dir)
+        after = spark.read.parquet(table_dir).agg(
+            F.count("*").alias("n"), F.sum("l_orderkey").alias("s")
+        ).first()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    df = spark.createDataFrame(
+        [
+            (
+                exists_before,
+                exists_after,
+                rows_initial,
+                rows_after_noop,
+                rows_after_overwrite,
+                files_before,
+                files_after,
+                before["n"] == after["n"],
+                before["s"] == after["s"],
+            )
+        ],
+        schema="exists_before boolean, exists_after boolean, "
+        "rows_initial long, rows_after_noop long, rows_after_overwrite long, "
+        "files_before long, files_after long, "
+        "compact_rows_preserved boolean, compact_checksum_preserved boolean",
+    )
+    return shape(df, MAINT_SPEC)
+
+
+MAINT_SQL = sql_select(
+    MAINT_SPEC,
+    """(
+    SELECT false AS exists_before, true AS exists_after,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS rows_initial,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS rows_after_noop,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS rows_after_overwrite,
+        16 AS files_before, 1 AS files_after,
+        true AS compact_rows_preserved, true AS compact_checksum_preserved
+) s""",
+)
+
+
 # --------------------------------------------------------- Z-order layout
 
 ZORDER_SPEC = [
@@ -1323,8 +1563,10 @@ RELATIONAL: dict[str, QuerySpec] = {
     "retention_filter": QuerySpec(retention_filter, _with_prelude(RETENTION_SQL)),
     "ingest_kaggle_transform": QuerySpec(ingest_kaggle_transform, INGEST_SQL),
     "ingest_audit_log": QuerySpec(ingest_audit_log, AUDIT_SQL),
+    "ingest_file_log": QuerySpec(ingest_file_log, FILELOG_SQL),
     "synthetic_fields_contract": QuerySpec(synthetic_fields_contract, SYNTH_SQL),
     "analyze_table_stats": QuerySpec(analyze_table_stats, ANALYZE_SQL),
+    "catalog_maintenance_report": QuerySpec(catalog_maintenance_report, MAINT_SQL),
     "zorder_events_box": QuerySpec(zorder_events_box, ZORDER_SQL),
 }
 

@@ -267,6 +267,10 @@ def ingest_directory(
     for path in files:
         df, enc = read_csv_with_fallback(spark, path)
         df = sanitize_columns(df)
+        # S4/I11: the per-file audit row records the post-sanitize header
+        # (the reference's file log stores per-file metadata alongside the
+        # hash, `dlt_ingest/iot_temperature_pipeline.py:27-102`)
+        sanitized_header = ",".join(df.columns)
         # I1 format dispatch — py:126-143
         raw_cols = set(df.columns)
         if {"id", "room_id_id", "noted_date", "temp", "out_in"} <= raw_cols:
@@ -317,12 +321,14 @@ def ingest_directory(
                 file_hash,
                 "processed",
                 enc,
+                sanitized_header,
             )
         )
 
     schema = (
         "file_name string, file_path string, file_size_bytes long, "
-        "file_hash string, status string, encoding string"
+        "file_hash string, status string, encoding string, "
+        "sanitized_columns string"
     )
     audit = spark.createDataFrame(audit_rows, schema=schema)
     if parts:

@@ -365,8 +365,12 @@ CLUSTER_SPEC = [
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical doc per
     cluster (min doc_id). The step that turns a pair list into an
-    actually-deduplicated corpus: keep rows where is_canonical."""
-    corpus = dd.dedup_corpus(spark, sf_dir)
+    actually-deduplicated corpus: keep rows where is_canonical.
+
+    The corpus feeds two tokenization passes inside the pair search
+    (pruned shingles + per-doc counts); persisting it trades one
+    materialization for a second union-scan re-derivation."""
+    corpus = dd.dedup_corpus(spark, sf_dir).persist()
     pairs = dd.ngram_jaccard_pairs(corpus)
     cc = dd.connected_components(pairs, "doc_a", "doc_b")
     df = cc.withColumn(
@@ -379,7 +383,7 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixpoint as `dedup_clusters_ngram` via large-star/small-star
     contraction — the O(log n)-round path for adversarial long-chain
     graphs. Checked against the identical recursive-CTE oracle."""
-    corpus = dd.dedup_corpus(spark, sf_dir)
+    corpus = dd.dedup_corpus(spark, sf_dir).persist()
     pairs = dd.ngram_jaccard_pairs(corpus)
     cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
     df = cc.withColumn(

@@ -477,6 +477,143 @@ def knn_pq_rerank(
     )
 
 
+IVFPQ_N_PROBE = 3
+
+
+def knn_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+    n_probe: int = IVFPQ_N_PROBE,
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ search — the FAISS "IVFADC" production index
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011, §IV): a coarse quantizer routes each vector to one
+    inverted list (the IVF cell assignment, exact-int cosine, same
+    machinery as knn_ivf), vectors are stored as M one-byte PQ codes,
+    and a query ADC-scans ONLY its ``n_probe`` nearest cells' codes.
+    Cost per query: n_probe/C of the corpus touched, 8 bytes per
+    candidate — the two savings (selective scan + compressed scan)
+    compose multiplicatively, which is why this is the architecture
+    disk-resident ANN actually ships.
+
+    Deviation from the paper, documented: codes quantize the RAW unit
+    vector, not the residual (vector − cell centroid); residual
+    encoding couples the codebook to the coarse quantizer and buys
+    accuracy, but the deterministic-seed codebook story (the oracle
+    contract) stays engine-reproducible either way. The recall dial is
+    still (n_probe, NCENT).
+
+    Scale shape: cell assignment is the cost-based map-side pass
+    (Arrow matmul kernel above MATMUL_ASSIGN_MIN_N); codes+cells is a
+    vec_id equi-join of two map-side outputs; probes are Q·n_probe rows
+    broadcast into the code scan; ADC is the literal-LUT Catalyst
+    expression over the probed subset (at 100 TB the inverted lists are
+    written `partitionBy(cell_id)` so the probe join becomes partition
+    pruning, and the per-cell scan reuses adc_topm's distributive
+    Arrow-LUT kernel). All-int64 distances — the oracle re-trains the
+    codebook and re-derives the cells in SQL and matches bit-for-bit."""
+    from .similarity import (
+        MATMUL_ASSIGN_MIN_N,
+        adaptive_centroid_mod,
+        ivf_cell_assignments,
+        ivf_cell_assignments_matmul,
+    )
+
+    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(n)
+    assigner = (
+        ivf_cell_assignments_matmul
+        if n >= MATMUL_ASSIGN_MIN_N
+        else ivf_cell_assignments
+    )
+    assigned, cent = assigner(emb, centroid_mod)
+
+    q, cb = train_codebook(spark, sf_dir)
+    enc = pq_encode(q, cb).join(assigned.select("vec_id", "cell_id"), "vec_id")
+
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+        F.col("uvec").alias("q_uvec"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        qcosine(
+            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
+        ).alias("p_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cell_id").alias("q_cell"))
+    )
+    cand = enc.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+    # ADC scoring via the Arrow LUT kernel, not the literal Catalyst
+    # expression: at M·NCENT = 512 the inlined lookup tree's FIXED
+    # plan-processing cost dominates any input size (measured ~14 s at
+    # sf0.1 — the same pathology adc_topm's cost model documents). The
+    # kernel precomputes each query's M×NCENT distance table once on
+    # the driver (Q·M·NCENT ints, query-side-bounded) and scores each
+    # probed candidate with M int64 gathers.
+    import numpy as np
+
+    q_rows = queries.select("query_id", "q_uvec").collect()
+    qidx = {int(r["query_id"]): i for i, r in enumerate(q_rows)}
+    lut = np.full((len(q_rows), M, NCENT), 2**62, dtype=np.int64)
+    for qi, row in enumerate(q_rows):
+        uv = np.asarray(row["q_uvec"], dtype=np.int64)
+        for j in range(M):
+            sub = uv[j * SUBDIM : (j + 1) * SUBDIM]
+            for code, centv in cb[j]:
+                diff = sub - np.asarray(centv, dtype=np.int64)
+                lut[qi, j, code] = int((diff * diff).sum())
+    bc = spark.sparkContext.broadcast((qidx, lut))
+
+    def score(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qidx, lut = bc.value
+        jdx = np.arange(M)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = pdf[[f"c{j}" for j in range(M)]].to_numpy(dtype=np.int64)
+            qi = pdf["query_id"].map(qidx).to_numpy(dtype=np.int64)
+            d = lut[qi[:, None], jdx, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "adc_dist": d,
+                }
+            )
+
+    scored = cand.select(
+        "query_id", "vec_id", *[f"c{j}" for j in range(M)]
+    ).mapInPandas(score, schema="query_id long, neighbor_id long, adc_dist long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # SQL twins ------------------------------------------------------------
 #
 # The oracle recomputes the ENTIRE pipeline — seeds, refinement, encode,
@@ -583,6 +720,63 @@ def knn_pq_rerank_sql(k: int = PQ_K, r: int = PQ_RERANK_R) -> str:
         JOIN qnormed a ON a.vec_id = s.query_id
         JOIN qnormed b ON b.vec_id = s.neighbor_id
     ) ranked
+    WHERE rank <= {k}
+) s"""
+
+
+def ivfpq_cte_sql(
+    query_mod: int = PQ_QUERY_MOD, n_probe: int = IVFPQ_N_PROBE
+) -> str:
+    """IVF coarse-quantizer CTEs for the composed index (expects the
+    QUANT_SQL prelude and the pq_cte_sql chain in scope): the same
+    deterministic centroid rule, exact-int cosine assignment, and
+    multi-probe selection as knn_ivf_sql, re-expressed as named CTEs so
+    the ADC join can filter to probed cells."""
+    from .similarity import ADAPTIVE_MOD_SQL, sql_qcos
+
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    probe_cos = sql_qcos("q.qvec", "a.qvec", "q.qnorm2", "a.qnorm2")
+    return f"""
+ivf_centroids AS (
+    SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+    WHERE vec_id % {ADAPTIVE_MOD_SQL} = 0
+),
+ivf_assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, a.cell_id, ROW_NUMBER() OVER (
+            PARTITION BY b.vec_id ORDER BY {assign_cos} DESC, a.cell_id) AS rn
+        FROM qnormed b CROSS JOIN ivf_centroids a
+    ) t WHERE rn = 1
+),
+ivfpq_probes AS (
+    SELECT query_id, cell_id AS q_cell FROM (
+        SELECT q.vec_id AS query_id, a.cell_id, ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {probe_cos} DESC, a.cell_id) AS prn
+        FROM qnormed q CROSS JOIN ivf_centroids a
+        WHERE q.vec_id % {query_mod} = 0
+    ) p WHERE prn <= {n_probe}
+),
+ivfpq_pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           SUM({_sql_sub_l2("q.sub", "r.cent")}) AS adc_dist
+    FROM pqueries q
+    JOIN ivfpq_probes pr ON pr.query_id = q.query_id
+    JOIN ivf_assigned a ON a.cell_id = pr.q_cell AND a.vec_id <> q.query_id
+    JOIN encode e ON e.vec_id = a.vec_id AND e.j = q.j
+    JOIN refined r ON r.j = e.j AND r.code = e.code
+    GROUP BY q.query_id, e.vec_id
+)"""
+
+
+def knn_ivfpq_sql(k: int = PQ_K) -> str:
+    """Final subselect over pq_cte_sql + ivfpq_cte_sql."""
+    return f"""(
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM ivfpq_pairs
+    ) r
     WHERE rank <= {k}
 ) s"""
 

@@ -1450,6 +1450,29 @@ KNN_PQ_ORACLE = (
 EXTENSIONS["knn_pq_adc"] = QuerySpec(_knn_pq, KNN_PQ_ORACLE)
 
 
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ (FAISS IVFADC architecture, operators/pq.py
+    knn_ivfpq): coarse cells route the scan, PQ codes compress it — a
+    query ADC-scans only its n_probe nearest cells' 8-byte codes. The
+    oracle re-derives cells AND codebook in SQL; exact int64 distances
+    match bit-for-bit."""
+    return shape(pq.knn_ivfpq(spark, sf_dir), PQ_SPEC)
+
+
+KNN_IVFPQ_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + pq.pq_cte_sql().strip()
+    + ",\n"
+    + pq.ivfpq_cte_sql().strip()
+    + "\n"
+    + sql_select(PQ_SPEC, pq.knn_ivfpq_sql())
+)
+
+EXTENSIONS["knn_ivfpq_adc"] = QuerySpec(_knn_ivfpq, KNN_IVFPQ_ORACLE)
+
+
 PQ_RERANK_SPEC = [
     ("query_id", "long"),
     ("neighbor_id", "long"),

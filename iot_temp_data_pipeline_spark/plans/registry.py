@@ -719,6 +719,7 @@ _CHANGED_R05 = [
     "ingest_file_log",    # new: S3-S6/I11/I12 per-file mechanics, byte-exact
     "ingest_audit_log",   # audit schema gained sanitized_columns (S4/I11)
     "catalog_maintenance_report",  # new: ensure_table guard + compaction
+    "knn_ivfpq_adc",      # new: composed IVF-PQ (FAISS IVFADC shape)
 ]
 _has_row = (
     _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04

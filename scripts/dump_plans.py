@@ -150,6 +150,24 @@ SHOWCASE = {
         "pre-truncates to k rows per partition before the full Window "
         "sort materializes."
     ),
+    "knn_ivfpq_adc": (
+        "Composed IVFADC: the cell-assignment and code-encoding passes "
+        "are map-side (Arrow matmul / literal argmin — no corpus "
+        "shuffle), codes join their cell ids on vec_id, the Q·n_probe "
+        "probe table broadcasts into the code scan (BroadcastHashJoin "
+        "— at 100 TB the inverted lists are written partitionBy(cell_id) "
+        "and this becomes partition pruning), and ADC scoring is an "
+        "Arrow LUT MapInPandas (per-query M×NCENT distance tables, M "
+        "int64 gathers per candidate) — the literal Catalyst lookup "
+        "tree at M·NCENT=512 would cost ~14 s of fixed plan processing."
+    ),
+    "ingest_file_log": (
+        "Per-file ingest mechanics: each file's read is a narrow map "
+        "stage (PERMISSIVE csv scan + native-expression transforms), "
+        "row numbering is a per-file window (partitioned on the file "
+        "hash literal, so files parallelize independently), and the "
+        "audit join is a broadcast of the file-count-sized audit frame."
+    ),
     "knn_pq_rerank": (
         "PQ shortlist-then-rerank: the ADC scan is an Arrow-batched "
         "MapInPandas over the 8-byte code table emitting only per-batch "

@@ -381,3 +381,16 @@ def test_range_audit_no_data_sized_sort(spark, sf_dir):
     plan = plan_of(REGISTRY["range_partition_audit"].spark(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_scores_via_lut_kernel_and_broadcast_probes(spark, sf_dir):
+    """knn_ivfpq_adc: ADC scoring must run through the Arrow LUT
+    MapInPandas (the literal Catalyst lookup tree at M·NCENT = 512
+    costs ~14 s of FIXED plan processing — SCALE.md round-5 wave 2),
+    and the Q·n_probe probe table must broadcast into the code scan
+    (the shape that becomes partition pruning over cell-partitioned
+    inverted lists at scale)."""
+    plan = plan_of(REGISTRY["knn_ivfpq_adc"].spark(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -276,6 +276,26 @@ def knn_brute_force_sql(query_mod: int = 100, k: int = 5) -> str:
 
 # -------------------------------------------------------------------- IVF
 
+def cost_based_cell_assignments(
+    emb: DataFrame, centroid_mod: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The assignment pass every IVF consumer should call: picks the
+    Catalyst HOF fold below MATMUL_ASSIGN_MIN_N vectors and the
+    Arrow-batched matmul kernel above it (bit-identical rows — same
+    exact int64 dots, same IEEE operation order; verified at 1× and
+    30×). One count() supplies both the strategy pick and the adaptive
+    centroid sizing — the same plan-time statistic."""
+    n = emb.count()
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(n)
+    assigner = (
+        ivf_cell_assignments_matmul
+        if n >= MATMUL_ASSIGN_MIN_N
+        else ivf_cell_assignments
+    )
+    return assigner(emb, centroid_mod)
+
+
 def ivf_cell_assignments(
     emb: DataFrame, centroid_mod: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -761,7 +781,7 @@ def embedding_near_pairs(
     algorithm, so blocking-boundary misses (inherent to n_probe=1) are
     reproduced exactly."""
     emb = _with_quantized(embedding_corpus(spark, sf_dir))
-    assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    assigned, _ = cost_based_cell_assignments(emb, centroid_mod)
     assigned = assigned.persist()  # feeds both sides of the self-join
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -840,7 +860,7 @@ def semantic_dedup(
     Output per corpus vector: (vec_id, cell_id, kept, dup_of = lowest
     in-cell duplicate id, n_dup_neighbors)."""
     emb = _with_quantized(embedding_corpus(spark, sf_dir))
-    assigned, _ = ivf_cell_assignments(emb, centroid_mod)
+    assigned, _ = cost_based_cell_assignments(emb, centroid_mod)
     assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")

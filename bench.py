@@ -100,6 +100,7 @@ HEADLINE = [
 HEADLINE_EXTRA = [
     "bm25_topk",
     "knn_pq_rerank",
+    "knn_ivfpq_adc",
     "hll_register_sketch",
     "cms_frequency_check",
     "events_ohlc_hourly",

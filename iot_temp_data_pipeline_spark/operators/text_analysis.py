@@ -610,3 +610,118 @@ def tokenizer_fertility_sql(source: str = "documents") -> str:
     GROUP BY lang
     ORDER BY lang
 ) tf"""
+
+
+# --------------------------------------------- vocabulary coverage curve
+
+COVERAGE_SIZES = (16, 256, 4096)
+COVERAGE_ORDERS = (1, 2, 3)
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    orders: tuple[int, ...] = COVERAGE_ORDERS,
+    sizes: tuple[int, ...] = COVERAGE_SIZES,
+) -> DataFrame:
+    """Token coverage of a frequency-truncated vocabulary, by n-gram
+    order — the sizing curve behind every "how big should the
+    tokenizer/feature vocabulary be" decision: for each order n and
+    candidate vocab size V, what fraction of corpus token OCCURRENCES
+    does the top-V most-frequent vocabulary cover (equivalently: the
+    OOV rate a V-entry vocab would incur)?
+
+    Deterministic rank: (count DESC, term ASC) — ties at the truncation
+    boundary resolve identically in any engine. Coverage is emitted in
+    exact integer ppm (1e6·covered div total), bit-stable cross-engine.
+
+    Scale shape: one explode+groupBy per order over the corpus (the
+    same map-side-combined shuffle as every tf build), then ALL further
+    work happens on the AGGREGATED vocabulary (|vocab| ≪ corpus): a
+    per-order rank window (at 100 TB the vocab table is millions of
+    rows — sort it, it is five orders smaller than the corpus; the
+    3-partition n-key skew is bounded by that same size), a broadcast
+    cross join against the |sizes|-row grid, and one grouped
+    conditional aggregate. The corpus is never shuffled on content.
+
+    Output: (n, vocab_size, vocab_terms = |top-V| actually available,
+    covered_tokens, total_tokens, coverage_ppm, oov_ppm)."""
+    base = docs.select(tokens(F.col("text")).alias("tk"))
+    per_order = []
+    for n in orders:
+        grams = F.col("tk") if n == 1 else shingles_of_tokens(F.col("tk"), n)
+        per_order.append(
+            base.select(F.explode(grams).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(n).cast("long").alias("n"), "term", "cnt")
+        )
+    vocab = per_order[0]
+    for p in per_order[1:]:
+        vocab = vocab.unionByName(p)
+    w = Window.partitionBy("n").orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    sizes_df = ranked.sparkSession.createDataFrame(
+        [(v,) for v in sizes], schema="vocab_size long"
+    )
+    hit = F.col("rank") <= F.col("vocab_size")
+    return (
+        ranked.crossJoin(F.broadcast(sizes_df))
+        .groupBy("n", "vocab_size")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("vocab_terms"),
+            F.sum(F.when(hit, F.col("cnt")).otherwise(0)).alias("covered_tokens"),
+            F.sum("cnt").alias("total_tokens"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("div(1000000 * covered_tokens, total_tokens)"),
+        )
+        .withColumn("oov_ppm", F.lit(1_000_000) - F.col("coverage_ppm"))
+        .orderBy("n", "vocab_size")
+    )
+
+
+def vocab_coverage_curve_sql(
+    source: str = "documents",
+    orders: tuple[int, ...] = COVERAGE_ORDERS,
+    sizes: tuple[int, ...] = COVERAGE_SIZES,
+) -> str:
+    def gram_select(n: int) -> str:
+        if n == 1:
+            return f"SELECT 1 AS n, unnest(t) AS term FROM vc_tk"
+        expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return (
+            f"SELECT {n} AS n, {expr} AS term FROM vc_tk, "
+            f"unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)"
+        )
+
+    grams = "\n        UNION ALL\n        ".join(gram_select(n) for n in orders)
+    size_rows = ", ".join(f"({v})" for v in sizes)
+    return f"""(
+    WITH vc_tk AS (
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM {source}
+    ),
+    vc_grams AS (
+        {grams}
+    ),
+    vc_vocab AS (
+        SELECT n, term, COUNT(*) AS cnt FROM vc_grams GROUP BY n, term
+    ),
+    vc_ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY n ORDER BY cnt DESC, term) AS rank
+        FROM vc_vocab
+    )
+    SELECT n, vocab_size,
+        SUM(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS vocab_terms,
+        SUM(CASE WHEN rank <= vocab_size THEN cnt ELSE 0 END) AS covered_tokens,
+        SUM(cnt) AS total_tokens,
+        (1000000 * SUM(CASE WHEN rank <= vocab_size THEN cnt ELSE 0 END))
+            // SUM(cnt) AS coverage_ppm,
+        1000000 - (1000000 * SUM(CASE WHEN rank <= vocab_size THEN cnt ELSE 0 END))
+            // SUM(cnt) AS oov_ppm
+    FROM vc_ranked
+    CROSS JOIN (VALUES {size_rows}) s(vocab_size)
+    GROUP BY n, vocab_size
+    ORDER BY n, vocab_size
+) vc"""

@@ -2263,6 +2263,34 @@ FERTILITY_ORACLE = sql_select(FERTILITY_SPEC, ta.tokenizer_fertility_sql("docume
 
 EXTENSIONS["tokenizer_fertility"] = QuerySpec(_fertility, FERTILITY_ORACLE)
 
+VOCAB_COVERAGE_SPEC = [
+    ("n", "long"),
+    ("vocab_size", "long"),
+    ("vocab_terms", "long"),
+    ("covered_tokens", "long"),
+    ("total_tokens", "long"),
+    ("coverage_ppm", "long"),
+    ("oov_ppm", "long"),
+]
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-truncated vocabulary coverage / OOV curve by n-gram
+    order (operators/text_analysis.vocab_coverage_curve): the sizing
+    analysis behind tokenizer/feature-vocab decisions, exact integer
+    ppm so the truncation boundary is engine-stable."""
+    return shape(
+        ta.vocab_coverage_curve(load_table(spark, sf_dir, "documents")),
+        VOCAB_COVERAGE_SPEC,
+    )
+
+
+VOCAB_COVERAGE_ORACLE = sql_select(
+    VOCAB_COVERAGE_SPEC, ta.vocab_coverage_curve_sql("documents")
+)
+
+EXTENSIONS["vocab_coverage_curve"] = QuerySpec(_vocab_coverage, VOCAB_COVERAGE_ORACLE)
+
 TRIANGLE_SPEC = [
     ("node", "long"),
     ("n_triangles", "long"),

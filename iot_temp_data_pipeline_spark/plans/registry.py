@@ -720,6 +720,7 @@ _CHANGED_R05 = [
     "ingest_audit_log",   # audit schema gained sanitized_columns (S4/I11)
     "catalog_maintenance_report",  # new: ensure_table guard + compaction
     "knn_ivfpq_adc",      # new: composed IVF-PQ (FAISS IVFADC shape)
+    "vocab_coverage_curve",  # new: vocab-size/OOV sizing curve by n-gram order
 ]
 _has_row = (
     _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04

@@ -668,6 +668,51 @@ SUBSTR_WINDOW = 16  # span granularity in tokens
 SUBSTR_SEED = 17
 
 
+def _repeated_spans(base: DataFrame, window: int = SUBSTR_WINDOW) -> DataFrame:
+    """(doc_id, span_start, span_end): merged [start, end) token spans
+    covered by some ``window``-token fingerprint that occurs >= 2 times
+    anywhere in the corpus. ``base`` is the tokenized (doc_id, tk)
+    frame — persisted by callers that also need it for other passes.
+    Shared by the span REPORT (exact_substring_spans) and the span
+    REMOVAL application (apply_substring_removal)."""
+    wins = base.select(
+        "doc_id",
+        F.posexplode(shingles_of_tokens(F.col("tk"), window)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 16)
+        .alias("gh"),
+    )
+    repeated = (
+        wins.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    )
+    hits = wins.join(repeated, "gh").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("pos") > F.col("prev_max") + window),
+        1,
+    ).otherwise(0)
+    return (
+        hits.withColumn("prev_max", F.max("pos").over(w_prev))
+        .withColumn("grp", F.sum(new_island).over(w_cum))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+    )
+
+
 def exact_substring_spans(
     corpus: DataFrame, window: int = SUBSTR_WINDOW
 ) -> DataFrame:
@@ -702,42 +747,7 @@ def exact_substring_spans(
     token count), n_tokens, repeated_frac — exact copies score 1.0.
     """
     base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
-    wins = base.select(
-        "doc_id",
-        F.posexplode(shingles_of_tokens(F.col("tk"), window)).alias("pos", "gram"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.substring(F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 16)
-        .alias("gh"),
-    )
-    repeated = (
-        wins.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
-    )
-    hits = wins.join(repeated, "gh").select("doc_id", "pos")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    new_island = F.when(
-        F.col("prev_max").isNull() | (F.col("pos") > F.col("prev_max") + window),
-        1,
-    ).otherwise(0)
-    spans = (
-        hits.withColumn("prev_max", F.max("pos").over(w_prev))
-        .withColumn("grp", F.sum(new_island).over(w_cum))
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + window).alias("span_end"),
-        )
-    )
+    spans = _repeated_spans(base, window)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("repeated_tokens"),
@@ -815,6 +825,130 @@ def exact_substring_spans_sql(
             AS repeated_frac
     FROM ss_per_doc d JOIN ss_len l ON d.doc_id = l.doc_id
 ) ss"""
+
+
+def apply_substring_removal(
+    corpus: DataFrame, window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """The APPLICATION stage of exact-substring dedup (Lee et al. 2022
+    actually rewrite the corpus, not just report it): remove every
+    merged repeated span from every document and emit the cleaned text,
+    pinned by md5 so the whole rewrite — boundary handling included —
+    hash-checks against the oracle.
+
+    Per doc: tokens whose 0-based position falls inside any
+    [span_start, span_end) are dropped; survivors re-join with single
+    spaces (tokenization is whitespace-normalizing, so this is the
+    canonical form). Docs with no repeated spans pass through intact
+    (md5 of their normalized token join).
+
+    Scale shape: span detection is the shared :func:`_repeated_spans`
+    machinery (fingerprint count + window merge); the rewrite is one
+    per-doc collect_list of its OWN spans (bounded by n_tokens/window
+    per doc — never corpus-sized) joined back to the tokenized corpus,
+    then a single projection of nested higher-order functions (filter
+    over exists) — whole-stage codegen, zero Python.
+
+    Output: (doc_id, n_tokens, removed_tokens, kept_tokens,
+    cleaned_md5)."""
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
+    spans = _repeated_spans(base, window)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("sp")
+    )
+    joined = base.join(sp, "doc_id", "left")
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.coalesce(
+            F.exists(F.col("sp"), lambda x: (i >= x["s"]) & (i < x["e"])),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
+def apply_substring_removal_sql(
+    source: str = "corpus", window: int = SUBSTR_WINDOW
+) -> str:
+    """DuckDB twin of :func:`apply_substring_removal`; reuses the span
+    CTE chain (same fingerprints, same merge) and re-applies the same
+    positional filter — DuckDB lambda indexes are 1-based, hence the
+    ``i - 1``."""
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
+    return f"""(
+    WITH ss_base AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM {source}
+    ),
+    ss_wins AS (
+        SELECT doc_id, i - 1 AS pos, {h} AS gh
+        FROM (
+            SELECT doc_id, i, {gram} AS gram
+            FROM ss_base,
+            unnest(generate_series(1, greatest(len(tk) - {window - 1}, 0))) AS u(i)
+        ) g
+    ),
+    ss_rep AS (
+        SELECT gh FROM ss_wins GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    ss_hits AS (
+        SELECT w.doc_id, w.pos FROM ss_wins w JOIN ss_rep r ON w.gh = r.gh
+    ),
+    ss_flag AS (
+        SELECT doc_id, pos,
+            CASE WHEN prev_max IS NULL OR pos > prev_max + {window}
+                 THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos, MAX(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM ss_hits
+        ) p
+    ),
+    ss_spans AS (
+        SELECT doc_id, grp, MIN(pos) AS span_start, MAX(pos) + {window} AS span_end
+        FROM (
+            SELECT doc_id, pos, SUM(new_island) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM ss_flag
+        ) i
+        GROUP BY doc_id, grp
+    ),
+    ss_sp AS (
+        SELECT doc_id,
+            list(struct_pack(s := span_start, e := span_end)) AS sp
+        FROM ss_spans GROUP BY doc_id
+    ),
+    ss_kept AS (
+        SELECT b.doc_id, b.tk,
+            CASE WHEN s.sp IS NULL THEN b.tk
+                 ELSE list_filter(b.tk, (x, i) ->
+                     len(list_filter(s.sp,
+                         z -> i - 1 >= z.s AND i - 1 < z.e)) = 0)
+            END AS kept
+        FROM ss_base b LEFT JOIN ss_sp s ON b.doc_id = s.doc_id
+    )
+    SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(tk) - len(kept) AS BIGINT) AS removed_tokens,
+        CAST(len(kept) AS BIGINT) AS kept_tokens,
+        -- DuckDB array_to_string([]) is NULL (Spark array_join is '');
+        -- a fully-removed doc must hash the empty string on both sides
+        md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM ss_kept
+) ssa"""
 
 
 # ------------------------------------------------- incremental (delta) dedup

@@ -1134,6 +1134,34 @@ SUBSTR_ORACLE = _CORPUS + sql_select(
 
 EXTENSIONS["dedup_exact_substrings"] = QuerySpec(_exact_substrings, SUBSTR_ORACLE)
 
+SUBSTR_APPLY_SPEC = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("removed_tokens", "long"),
+    ("kept_tokens", "long"),
+    ("cleaned_md5", ""),
+]
+
+
+def _apply_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (operators/dedup.py
+    apply_substring_removal): every repeated span cut from every doc,
+    the cleaned text pinned by md5 — the rewrite stage of Lee et al.
+    2022, not just the report."""
+    return shape(
+        dd.apply_substring_removal(dd.dedup_corpus(spark, sf_dir)),
+        SUBSTR_APPLY_SPEC,
+    )
+
+
+SUBSTR_APPLY_ORACLE = _CORPUS + sql_select(
+    SUBSTR_APPLY_SPEC, dd.apply_substring_removal_sql("corpus")
+)
+
+EXTENSIONS["dedup_apply_substring_removal"] = QuerySpec(
+    _apply_substrings, SUBSTR_APPLY_ORACLE
+)
+
 DSIR_SPEC = [
     ("doc_id", "long"),
     ("n_grams", "long"),

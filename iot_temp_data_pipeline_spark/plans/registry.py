@@ -721,6 +721,7 @@ _CHANGED_R05 = [
     "catalog_maintenance_report",  # new: ensure_table guard + compaction
     "knn_ivfpq_adc",      # new: composed IVF-PQ (FAISS IVFADC shape)
     "vocab_coverage_curve",  # new: vocab-size/OOV sizing curve by n-gram order
+    "dedup_apply_substring_removal",  # new: span-removal APPLICATION (md5-pinned rewrite)
 ]
 _has_row = (
     _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04

@@ -161,6 +161,20 @@ SHOWCASE = {
         "int64 gathers per candidate) — the literal Catalyst lookup "
         "tree at M·NCENT=512 would cost ~14 s of fixed plan processing."
     ),
+    "vocab_coverage_curve": (
+        "One map-side-combined tf shuffle per n-gram order over the "
+        "corpus; the rank window, the broadcast size grid, and the "
+        "conditional sums all run on the AGGREGATED vocabulary "
+        "(|vocab| << corpus) — the corpus is never shuffled on content."
+    ),
+    "dedup_apply_substring_removal": (
+        "The rewrite stage stays JVM-side end-to-end: span detection is "
+        "the shared fingerprint count + window merge, the per-doc span "
+        "list is a bounded collect_list (n_tokens/window per doc), and "
+        "the token cut is a nested higher-order-function projection "
+        "(filter-over-exists) inside whole-stage codegen — no Python, "
+        "no corpus-sized shuffle beyond the fingerprint groupBy."
+    ),
     "ingest_file_log": (
         "Per-file ingest mechanics: each file's read is a narrow map "
         "stage (PERMISSIVE csv scan + native-expression transforms), "

@@ -722,6 +722,8 @@ _CHANGED_R05 = [
     "knn_ivfpq_adc",      # new: composed IVF-PQ (FAISS IVFADC shape)
     "vocab_coverage_curve",  # new: vocab-size/OOV sizing curve by n-gram order
     "dedup_apply_substring_removal",  # new: span-removal APPLICATION (md5-pinned rewrite)
+    "dedup_clusters_ngram",  # CC fused first round + cosmetic orderBy dropped
+    "dedup_clusters_star",   # corpus persist + cosmetic orderBy dropped
 ]
 _has_row = (
     _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04

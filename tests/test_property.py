@@ -456,3 +456,129 @@ def test_interval_merge_matches_brute_force(spark, starts):
     )
     want = _brute_merge([(s - INTERVAL_PAD_S, s + INTERVAL_PAD_S) for s in starts])
     assert got == want
+
+
+def _py_apply_removal(docs_tokens, w):
+    from collections import Counter
+    import hashlib
+
+    grams: Counter = Counter()
+    for toks in docs_tokens.values():
+        for i in range(len(toks) - w + 1):
+            grams[tuple(toks[i : i + w])] += 1
+    out = {}
+    for d, toks in docs_tokens.items():
+        hits = [
+            i
+            for i in range(len(toks) - w + 1)
+            if grams[tuple(toks[i : i + w])] >= 2
+        ]
+        covered = set()
+        for p in hits:
+            covered.update(range(p, p + w))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[d] = (
+            len(toks),
+            len(toks) - len(kept),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(0, 4),
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_apply_substring_removal_matches_reference(spark, docs_tokens):
+    """The REWRITE stage (cut every repeated span, md5 the survivors)
+    must agree with a naive per-position reference on the same dense
+    tiny-alphabet corpora as the span report — including fully-removed
+    docs (md5 of the empty string) and overlap-merge boundaries."""
+    from iot_temp_data_pipeline_spark.operators.dedup import (
+        apply_substring_removal,
+    )
+
+    w = 3
+    rows = [(d, " ".join(toks)) for d, toks in docs_tokens.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["removed_tokens"],
+            r["kept_tokens"],
+            r["cleaned_md5"],
+        )
+        for r in apply_substring_removal(df, window=w).collect()
+    }
+    assert got == _py_apply_removal(docs_tokens, w)
+
+
+def _py_vocab_coverage(docs_tokens, orders, sizes):
+    from collections import Counter
+
+    out = {}
+    for n in orders:
+        counts: Counter = Counter()
+        for toks in docs_tokens.values():
+            if n == 1:
+                counts.update(toks)
+            else:
+                counts.update(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+        if not counts:
+            continue  # no n-grams of this order anywhere -> no rows
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(counts.values())
+        for v in sizes:
+            top = ranked[:v]
+            covered = sum(c for _, c in top)
+            out[(n, v)] = (
+                len(top),
+                covered,
+                total,
+                (1_000_000 * covered) // total,
+                1_000_000 - (1_000_000 * covered) // total,
+            )
+    return out
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(0, 4),
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_vocab_coverage_matches_reference(spark, docs_tokens):
+    """Coverage curve vs a Counter-based reference: exercises frequency
+    ties at the truncation boundary (tiny alphabet -> many equal counts,
+    resolved by term order), V larger than the vocabulary, and orders
+    with no n-grams at all (single-token docs)."""
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        vocab_coverage_curve,
+    )
+
+    orders, sizes = (1, 2), (2, 5)
+    rows = [(d, " ".join(toks)) for d, toks in docs_tokens.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["n"], r["vocab_size"]): (
+            r["vocab_terms"],
+            r["covered_tokens"],
+            r["total_tokens"],
+            r["coverage_ppm"],
+            r["oov_ppm"],
+        )
+        for r in vocab_coverage_curve(df, orders=orders, sizes=sizes).collect()
+    }
+    assert got == _py_vocab_coverage(docs_tokens, orders, sizes)

@@ -274,19 +274,22 @@ def minhash_lsh_pairs(
     tables shuffle on (band_id, band_key) — bucket sizes bound the join."""
     sig = minhash_signatures(corpus, k).persist()
     rows_per_band = k // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws("-", *[c.cast("string") for c in cols]).alias("band_key"),
-            )
+    # One `inline(array(struct...))` generator instead of a `bands`-way
+    # union: the union form scans the cached signatures once PER BAND
+    # (b scans, b plan branches); the generator emits all band rows in a
+    # single pass — and builds as one selectExpr string (one py4j round
+    # trip vs hundreds of Column calls).
+    band_structs = ", ".join(
+        "struct({b} AS band_id, concat_ws('-', {key}) AS band_key)".format(
+            b=b,
+            key=", ".join(
+                f"CAST(mh{b * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
+            ),
         )
-    bands_df = band_frames[0]
-    for bf in band_frames[1:]:
-        bands_df = bands_df.unionByName(bf)
+        for b in range(bands)
+    )
+    bands_df = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
     cand = (
         bands_df.alias("x")
         .join(
@@ -300,9 +303,11 @@ def minhash_lsh_pairs(
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(k)
+    agree = F.expr(
+        " + ".join(
+            f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+            for i in range(k)
+        )
     )
     est = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -499,6 +504,11 @@ def connected_components(
     dedup pipeline's final step — pair lists don't dedup a corpus,
     cluster ids do (pick one canonical doc per component).
 
+    ``max_iter`` counts total propagation rounds and must be >= 1: the
+    fused first round below runs unconditionally (so ``max_iter=1``
+    does exactly one round with no convergence probe), and identity
+    labels are never a meaningful output for a graph given as edges.
+
     Scale stance: each round is one shuffle join (edges ⋈ labels on the
     neighbor key) + one aggregate — no driver-side graph state, and the
     per-round `localCheckpoint` truncates the plan lineage so the DAG
@@ -511,6 +521,8 @@ def connected_components(
     O(log n) rounds over the same primitives. Returns (doc_id,
     cluster_id) for every node that appears in an edge.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -1141,4 +1153,159 @@ def incremental_dedup_sql(
              ELSE 'kept' END AS verdict
     FROM exact_side e
     LEFT JOIN near n USING (doc_id)
+) s"""
+
+
+# -------------------------------------------- containment (overlap) pairs
+
+CONTAINMENT_MIN = 0.8
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    min_containment: float = CONTAINMENT_MIN,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-dup candidate pairs scored with the OVERLAP COEFFICIENT
+    |A∩B| / min(|A|, |B|) instead of Jaccard — the asymmetric-dup
+    detector: a truncated or excerpted copy is almost fully CONTAINED
+    in its source, so its overlap coefficient stays ~1.0 while Jaccard
+    collapses toward |B|/|A| (the fixture's +2M truncated replicas are
+    exactly this case, and the 0.6-Jaccard query misses the heavily
+    truncated ones by construction). Standard containment-dedup step in
+    training-data pipelines (quote/boilerplate/excerpt folding).
+
+    Same integer-exact recipe and scale shape as ngram_jaccard_pairs:
+    df-pruned shingle self-join (bounded by MAX_SHINGLE_DF — never
+    all-pairs), exact integer intersection counts, ONE division in
+    fixed IEEE order, so the oracle hash-matches bit-for-bit. The
+    doc-count side joins without a broadcast hint (grows with the
+    corpus; AQE broadcasts while genuinely small)."""
+    sh = doc_shingles(corpus, n, max_shingle_df).persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    counts = _shingle_counts(corpus, n)
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    cont = (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.col("ca.n_shingles").alias("shingles_a"),
+            F.col("cb.n_shingles").alias("shingles_b"),
+            (
+                F.col("common_shingles").cast("double")
+                / F.least(F.col("ca.n_shingles"), F.col("cb.n_shingles")).cast(
+                    "double"
+                )
+            ).alias("containment"),
+        )
+    )
+    return cont.filter(F.col("containment") >= min_containment)
+
+
+CONTAINMENT_SQL = f"""(
+    SELECT doc_a, doc_b, common_shingles,
+        ca.n_shingles AS shingles_a, cb.n_shingles AS shingles_b,
+        CAST(common_shingles AS DOUBLE)
+            / CAST(least(ca.n_shingles, cb.n_shingles) AS DOUBLE) AS containment
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+        FROM pruned_shingles a
+        JOIN pruned_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) c
+    JOIN shingle_counts ca ON c.doc_a = ca.doc_id
+    JOIN shingle_counts cb ON c.doc_b = cb.doc_id
+    WHERE CAST(common_shingles AS DOUBLE)
+        / CAST(least(ca.n_shingles, cb.n_shingles) AS DOUBLE)
+        >= {CONTAINMENT_MIN}
+) s"""
+
+
+# ------------------------------------------------------ n-gram novelty
+
+def ngram_novelty(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word n-grams whose FIRST corpus occurrence (lowest doc_id) is this
+    document — the forward-dedup / content-freshness metric a curation
+    pipeline tracks to see how much genuinely new text each document
+    (or each crawl increment, grouping by batch instead of doc) adds.
+    Bigrams by default: the fixture's 500-doc floor makes unigram
+    vocabularies fully saturated (every doc scores ~0), while bigrams
+    retain mid-frequency structure (same reasoning as the BM25 index).
+
+    One exchange for ownership: first_owner is a MIN window over the
+    SAME hash-partition-by-shingle the distinct explode needs anyway
+    (the doc_shingles single-exchange trick), then one aggregation by
+    doc_id. Integer permille via div (Spark div ≡ DuckDB //), one IEEE
+    division for the double — oracle-exact."""
+    sh = _tokenized(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("tk"), n))).alias(
+            "shingle"
+        ),
+    )
+    fo = F.min("doc_id").over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("first_owner", fo)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("div(1000 * n_novel, n_shingles)").alias("novelty_permille"),
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def ngram_novelty_sql(source: str = "documents", n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""(
+    WITH nv_sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                i -> {gram})
+        )) AS shingle
+        FROM (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source}
+        )
+    ),
+    nv_fo AS (
+        SELECT doc_id, shingle,
+            MIN(doc_id) OVER (PARTITION BY shingle) AS first_owner
+        FROM nv_sh
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+        SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS n_novel,
+        (1000 * SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS novelty_permille,
+        CAST(SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+    FROM nv_fo
+    GROUP BY doc_id
 ) s"""

@@ -49,6 +49,8 @@ PQ + recall checks).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -268,11 +270,45 @@ def _refine(q: DataFrame, cb0: Codebook) -> Codebook:
 
 def train_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Codebook]:
     """(quantized corpus, refined codebook). Two driver digests total:
-    the NCENT seed rows and the ≤ M·NCENT refined centroid rows."""
-    q = _with_unit(_with_quantized(load_table(spark, sf_dir, "embeddings")))
-    q = q.localCheckpoint(eager=False)
-    cb0 = _seed_codebook(q)
-    return q, _refine(q, cb0)
+    the NCENT seed rows and the ≤ M·NCENT refined centroid rows.
+
+    Session-cached per sf_dir: PQ training is the index-BUILD pass
+    (FAISS ``train()``), run once per corpus, not per query — the same
+    build-once/serve-many lifecycle as similarity.quantized_corpus /
+    ivf_index. Deterministic seed + one deterministic Lloyd step, so a
+    cold cache reproduces the warm cache bit-for-bit (the DuckDB oracle
+    retrains from scratch every run and still matches)."""
+    from ..sources.catalog import session_cache
+    from .similarity import quantized_corpus
+
+    cache = session_cache(spark, "_sg_pq_codebook_cache")
+    key = os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
+        corpus, _ = quantized_corpus(spark, sf_dir)
+        q = _with_unit(corpus).localCheckpoint(eager=True)
+        cb0 = _seed_codebook(q)
+        hit = (q, _refine(q, cb0))
+        cache[key] = hit
+    return hit
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Codebook]:
+    """(encoded corpus codes, codebook) — the stored PQ index (FAISS
+    ``add()``), session-cached like :func:`train_codebook`: the code
+    table is WHAT A PQ INDEX IS; re-encoding the corpus per query would
+    defeat the architecture. At 100 TB the codes are a written table
+    (8 bytes/vector), here a localCheckpoint."""
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_pq_codes_cache")
+    key = os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
+        q, cb = train_codebook(spark, sf_dir)
+        hit = (pq_encode(q, cb).localCheckpoint(eager=True), cb)
+        cache[key] = hit
+    return hit
 
 
 def pq_encode(q: DataFrame, cb: Codebook, strategy: str = "auto") -> DataFrame:
@@ -412,9 +448,11 @@ def knn_pq(
     codebook lookups only. adc_dist is EXACT int64 (no float in the
     scored path); rank ties break on neighbor_id. Physical form via
     :func:`adc_topm` (cost-based catalyst / distributive-numpy)."""
-    q, cb = train_codebook(spark, sf_dir)
-    n = q.count()
-    enc = pq_encode(q, cb)
+    q, _ = train_codebook(spark, sf_dir)
+    enc, cb = pq_codes(spark, sf_dir)
+    from .similarity import quantized_corpus
+
+    n = quantized_corpus(spark, sf_dir)[1]
     queries = q.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("uvec").alias("q_uvec")
     )
@@ -438,9 +476,11 @@ def knn_pq_rerank(
     deterministic (adc_dist, neighbor_id total order) and the rerank
     cosine is the same exact-int single-division form as
     knn_brute_force, so the whole pipeline stays bit-reproducible."""
-    q, cb = train_codebook(spark, sf_dir)
-    n = q.count()
-    enc = pq_encode(q, cb)
+    q, _ = train_codebook(spark, sf_dir)
+    enc, cb = pq_codes(spark, sf_dir)
+    from .similarity import quantized_corpus
+
+    n = quantized_corpus(spark, sf_dir)[1]
     queries = q.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("uvec").alias("q_uvec"),
@@ -518,23 +558,19 @@ def knn_ivfpq(
     from .similarity import (
         MATMUL_ASSIGN_MIN_N,
         adaptive_centroid_mod,
-        ivf_cell_assignments,
-        ivf_cell_assignments_matmul,
+        ivf_index,
+        quantized_corpus,
     )
 
-    emb = _with_quantized(load_table(spark, sf_dir, "embeddings"))
-    n = emb.count()
+    emb, n = quantized_corpus(spark, sf_dir)
     if centroid_mod is None:
         centroid_mod = adaptive_centroid_mod(n)
-    assigner = (
-        ivf_cell_assignments_matmul
-        if n >= MATMUL_ASSIGN_MIN_N
-        else ivf_cell_assignments
-    )
-    assigned, cent = assigner(emb, centroid_mod)
+    assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+    assigned, cent = ivf_index(spark, sf_dir, centroid_mod, assign)
 
-    q, cb = train_codebook(spark, sf_dir)
-    enc = pq_encode(q, cb).join(assigned.select("vec_id", "cell_id"), "vec_id")
+    q, _ = train_codebook(spark, sf_dir)
+    codes, cb = pq_codes(spark, sf_dir)
+    enc = codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
 
     queries = q.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),

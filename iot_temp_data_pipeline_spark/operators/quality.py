@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32, portable_hash32_sql
-from ..functions.text import shingles_of_tokens, tokens
+from ..functions.text import shingles_of_tokens, token_count, tokens
 
 # --- repetition-rule thresholds (Gopher-style, tuned so the word-soup
 # fixture corpus produces both passing and failing documents)
@@ -1074,23 +1074,44 @@ def quality_rank_fusion(docs: DataFrame) -> DataFrame:
     # 44 s -> ~3 s at sf0.1). localCheckpoint also truncates lineage,
     # same as the CC/PageRank iteration pattern.
     j = j.localCheckpoint()
-    n = j.count()
+    # BOTH bin histograms in ONE GROUPING SETS pass over the checkpoint,
+    # collected as a driver digest (bin counts are bounded by the two
+    # signal ranges / bin widths, never the corpus — the sanctioned
+    # k-row pattern). The midrank tables then broadcast from
+    # LocalRelations with no cluster job at all, and n falls out of the
+    # same digest — this replaced a count + two windowed-bin jobs + two
+    # broadcast-side jobs with a single cheap aggregation (the
+    # anomalies-stats job-count pattern; measured ~-0.5 s at sf0.1).
+    # gid bits for (sbin, rbin): [sbin] → rbin aggregated → gid=1,
+    # [rbin] → gid=2.
+    hist = (
+        j.groupingSets([["sbin"], ["rbin"]], "sbin", "rbin")
+        .agg(F.count("*").alias("c"), F.grouping_id().alias("gid"))
+        .collect()
+    )
+    sbins = sorted((r["sbin"], r["c"]) for r in hist if r["gid"] == 1)
+    rbins = sorted((r["rbin"], r["c"]) for r in hist if r["gid"] == 2)
+    n = sum(c for _, c in sbins)
 
-    def cdf_ranks(col: str) -> DataFrame:
+    def midranks(pairs):
         # midrank convention: a bin's rank is the midpoint of its CDF
         # step, so a signal where every doc ties lands at 500 (neutral)
         # instead of 1000 — otherwise a degenerate signal (e.g. mostly
-        # zero repetition) would saturate the blend.
-        bins = j.groupBy(col).agg(F.count("*").alias("c"))
-        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        return bins.select("c", col, F.sum("c").over(wb).alias("cum")).select(
-            col,
-            F.expr(f"div(1000 * (2 * cum - c), {2 * n})").alias(f"{col}_rank"),
-        )
+        # zero repetition) would saturate the blend. Exact ints: python
+        # // == Spark div == DuckDB // here (2*cum-c > 0 always).
+        cum, out = 0, []
+        for b, c in pairs:
+            cum += c
+            out.append((b, (1000 * (2 * cum - c)) // (2 * n)))
+        return out
+
+    spark = docs.sparkSession
+    srank = spark.createDataFrame(midranks(sbins), "sbin long, sbin_rank long")
+    rrank = spark.createDataFrame(midranks(rbins), "rbin long, rbin_rank long")
 
     blended = (
-        j.join(F.broadcast(cdf_ranks("sbin")), "sbin")
-        .join(F.broadcast(cdf_ranks("rbin")), "rbin")
+        j.join(F.broadcast(srank), "sbin")
+        .join(F.broadcast(rrank), "rbin")
         .select(
             "source",
             F.expr("div(sbin_rank + (1000 - rbin_rank), 2)").alias("blend_permille"),
@@ -1156,3 +1177,96 @@ def quality_rank_fusion_sql(source: str = "documents") -> str:
     GROUP BY source
     ORDER BY source
 ) qrf"""
+
+
+# ------------------------------------------------ token-budget selection
+
+TB_BUDGET = 25_000  # token budget for the greedy pick (fixture-sized)
+
+
+def token_budget_pick(docs: DataFrame, budget: int = TB_BUDGET) -> DataFrame:
+    """Budget-constrained data selection: greedily admit documents in
+    descending quality order until a global token budget is exhausted —
+    the "fill the training-run budget with the best data first" step
+    every compute-bounded pretraining pipeline runs after filtering.
+
+    Quality proxy = lexical diversity in exact integer permille,
+    ``div(1000·distinct_tokens, n_tokens)`` (the same integer-division
+    determinism recipe as the rest of the quality family — Spark div ≡
+    DuckDB //). Greedy order is (score DESC, doc_id) — a strict total
+    order, so the admitted prefix is unique and the oracle reproduces
+    the exact pick. A document is admitted iff the cumulative token
+    count INCLUDING it stays ≤ budget (prefix rule; no skip-and-refill,
+    which would be knapsack, not greedy).
+
+    Scale shape — NO corpus-wide sort: the naive form is one window
+    over (score DESC, doc_id), i.e. SinglePartition over the corpus.
+    Instead the prefix sums split into two levels (the two-phase
+    threshold-cap strategy, domain_cap_threshold's shape): a per-score
+    token/count histogram (≤ 1001 rows — the only global window runs
+    over this DIGEST), broadcast back as per-score offsets, plus
+    per-score partitioned windows ordered by doc_id (parallel across
+    score values). cum_tokens = score-offset + within-score prefix —
+    identical to the single-window form because the greedy total order
+    IS (score DESC, doc_id)."""
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.expr(
+            "div(1000 * size(array_distinct(split(lower(text), '\\\\s+'))),"
+            " size(split(lower(text), '\\\\s+')))"
+        ).alias("score_permille"),
+    ).filter(F.col("n_tokens") > 0)
+    hist = scored.groupBy("score_permille").agg(
+        F.sum("n_tokens").alias("sc_tokens"), F.count("*").alias("sc_docs")
+    )
+    w_hist = Window.orderBy(F.col("score_permille").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "score_permille",
+        F.coalesce(F.sum("sc_tokens").over(w_hist), F.lit(0)).alias("tok_off"),
+        F.coalesce(F.sum("sc_docs").over(w_hist), F.lit(0)).alias("doc_off"),
+    )
+    w_in = Window.partitionBy("score_permille").orderBy("doc_id")
+    return (
+        scored.join(F.broadcast(offsets), "score_permille")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_permille",
+            (
+                F.col("tok_off")
+                + F.sum("n_tokens").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+            ).alias("cum_tokens"),
+            (F.col("doc_off") + F.row_number().over(w_in)).cast("long").alias(
+                "pick_rank"
+            ),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_pick_sql(source: str = "documents", budget: int = TB_BUDGET) -> str:
+    return f"""(
+    WITH tbp AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+            (1000 * len(list_distinct(tk))) // len(tk) AS score_permille
+        FROM (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source}
+        )
+        WHERE len(tk) > 0
+    ),
+    tbc AS (
+        SELECT *,
+            SUM(n_tokens) OVER (ORDER BY score_permille DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+            ROW_NUMBER() OVER (ORDER BY score_permille DESC, doc_id)
+                AS pick_rank
+        FROM tbp
+    )
+    SELECT doc_id, n_tokens, score_permille, cum_tokens,
+        CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM tbc WHERE cum_tokens <= {budget}
+) s"""

@@ -2529,3 +2529,179 @@ SALTED_JOIN_ORACLE = sql_select(
 )
 
 EXTENSIONS["salted_hot_key_join"] = QuerySpec(_salted_join, SALTED_JOIN_ORACLE)
+
+
+# ------------------------------------------------- round-6 additions
+# SQ8 ANN + recall, containment dedup, n-gram novelty, token-budget pick
+
+from ..operators import sq8 as sq  # noqa: E402
+
+SQ8_SPEC = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("sq8_cos", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8 + per-vector scale) approximate cosine
+    top-k — the training-free compressed-scan ANN member
+    (operators/sq8.py). Fixed IEEE op order end-to-end, so the oracle
+    (which re-encodes from scratch in SQL) matches every score bit-
+    for-bit."""
+    return shape(sq.knn_sq8(spark, sf_dir), SQ8_SPEC)
+
+
+KNN_SQ8_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + sq.SQ8_CTE_SQL.strip()
+    + "\n"
+    + sql_select(SQ8_SPEC, sq.knn_sq8_sql())
+)
+
+EXTENSIONS["knn_sq8_cosine"] = QuerySpec(_knn_sq8, KNN_SQ8_ORACLE)
+
+
+SQ8_RECALL_SPEC = [
+    ("n_queries", "long"),
+    ("mean_recall_at_5", "f4"),
+]
+
+
+def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8 compressed scan against brute-force ground
+    truth — the quality dial that justifies (or rejects) the 8× scan
+    compression. Same composition as pq_recall_check."""
+    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sq.knn_sq8(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    df = (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("h")),
+            "query_id",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_recall_at_5"),
+        )
+    )
+    return shape(df, SQ8_RECALL_SPEC)
+
+
+SQ8_RECALL_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + sq.SQ8_CTE_SQL.strip()
+    + sql_select(
+        SQ8_RECALL_SPEC,
+        f"""(
+    WITH bf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_brute_force_sql()}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM {sq.knn_sq8_sql()}
+    ),
+    per_q AS (
+        SELECT bf.query_id, COUNT(*) AS k,
+            SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM bf
+        LEFT JOIN approx ON bf.query_id = approx.query_id
+                        AND bf.neighbor_id = approx.neighbor_id
+        GROUP BY bf.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
+    FROM per_q
+) s""",
+    )
+)
+
+EXTENSIONS["sq8_recall_check"] = QuerySpec(_sq8_recall, SQ8_RECALL_ORACLE)
+
+
+CONTAINMENT_SPEC = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("common_shingles", "long"),
+    ("shingles_a", "long"),
+    ("shingles_b", "long"),
+    ("containment", ""),
+]
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-dup pairs (operators/dedup.py
+    containment_pairs): catches the truncated/excerpted replicas whose
+    Jaccard collapses below the 0.6 gate."""
+    return shape(
+        dd.containment_pairs(dd.dedup_corpus(spark, sf_dir)), CONTAINMENT_SPEC
+    )
+
+
+CONTAINMENT_ORACLE = (
+    _CORPUS
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + sql_select(CONTAINMENT_SPEC, dd.CONTAINMENT_SQL)
+)
+
+EXTENSIONS["dedup_containment_pairs"] = QuerySpec(
+    _dedup_containment, CONTAINMENT_ORACLE
+)
+
+
+NOVELTY_SPEC = [
+    ("doc_id", "long"),
+    ("n_shingles", "long"),
+    ("n_novel", "long"),
+    ("novelty_permille", "long"),
+    ("novelty_frac", ""),
+]
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of corpus-first n-grams (operators/dedup.py
+    ngram_novelty) — the forward-dedup freshness metric, over the raw
+    documents table (no synthetic replicas: novelty of the real corpus)."""
+    return shape(
+        dd.ngram_novelty(load_table(spark, sf_dir, "documents")), NOVELTY_SPEC
+    )
+
+
+NOVELTY_ORACLE = sql_select(NOVELTY_SPEC, dd.ngram_novelty_sql("documents"))
+
+EXTENSIONS["ngram_novelty_scores"] = QuerySpec(_ngram_novelty, NOVELTY_ORACLE)
+
+
+TBPICK_SPEC = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("score_permille", "long"),
+    ("cum_tokens", "long"),
+    ("pick_rank", "long"),
+]
+
+
+def _token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first document selection under a global token budget
+    (operators/quality.token_budget_pick) — the compute-bounded data-
+    selection step; strict (score DESC, doc_id) total order pins the
+    admitted prefix exactly."""
+    return shape(
+        qa.token_budget_pick(load_table(spark, sf_dir, "documents")), TBPICK_SPEC
+    )
+
+
+TBPICK_ORACLE = sql_select(TBPICK_SPEC, qa.token_budget_pick_sql("documents"))
+
+EXTENSIONS["token_budget_pick"] = QuerySpec(_token_budget_pick, TBPICK_ORACLE)

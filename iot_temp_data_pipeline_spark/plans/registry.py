@@ -63,19 +63,26 @@ class QuerySpec:
 
 
 def shape(df: DataFrame, spec: ColSpec) -> DataFrame:
-    cols = []
+    # selectExpr with pre-rendered strings, not per-column Column
+    # objects: a 30-column spec as F.col().cast().alias() chains costs
+    # ~120 py4j round trips (~0.1 s of driver latency PER QUERY BUILD);
+    # one selectExpr call parses everything JVM-side. Same expressions
+    # after parsing (round/cast are the SQL functions F.round/F.cast
+    # resolve to), so oracle parity is unchanged.
+    exprs = []
     for name, kind in spec:
-        c = F.col(name)
+        q = f"`{name}`"
         if kind == "f4":
-            c = F.round(c.cast("double"), 4)
+            exprs.append(f"round(CAST({q} AS DOUBLE), 4) AS {q}")
         elif kind == "f2":
-            c = F.round(c.cast("double"), 2)
+            exprs.append(f"round(CAST({q} AS DOUBLE), 2) AS {q}")
         elif kind == "long":
-            c = c.cast("long")
+            exprs.append(f"CAST({q} AS BIGINT) AS {q}")
         elif kind == "str":
-            c = c.cast("string")
-        cols.append(c.alias(name))
-    return df.select(*cols)
+            exprs.append(f"CAST({q} AS STRING) AS {q}")
+        else:
+            exprs.append(q)
+    return df.selectExpr(*exprs)
 
 
 def sql_select(spec: ColSpec, from_clause: str, tail: str = "") -> str:
@@ -711,61 +718,87 @@ _DRIVER_VERIFIED_R04 = {
     "tokenizer_fertility", "unigram_surprisal_bits", "versioned_manifest_stats",
     "versioned_table_diff", "vocab_divergence_tvd",
 }
-# Round-5 changed/new set: queries added or whose operator/oracle was
-# reworked THIS round. They have no driver row (new) or need a fresh
-# one (changed), but per VERDICT r4 they must NOT displace the 21
-# queries that have waited since r3/r4 — those go absolutely first.
-_CHANGED_R05 = [
-    "ingest_file_log",    # new: S3-S6/I11/I12 per-file mechanics, byte-exact
-    "ingest_audit_log",   # audit schema gained sanitized_columns (S4/I11)
-    "catalog_maintenance_report",  # new: ensure_table guard + compaction
-    "knn_ivfpq_adc",      # new: composed IVF-PQ (FAISS IVFADC shape)
-    "vocab_coverage_curve",  # new: vocab-size/OOV sizing curve by n-gram order
-    "dedup_apply_substring_removal",  # new: span-removal APPLICATION (md5-pinned rewrite)
-    "dedup_clusters_ngram",  # CC fused first round + cosmetic orderBy dropped
-    "dedup_clusters_star",   # corpus persist + cosmetic orderBy dropped
+# Round-5 driver rows (CORRECTNESS_r05.json keys, frozen): every row
+# green. Union of r01-r05 covers ALL registry queries — the never-
+# verified backlog is empty from r6 on; ordering is pure freshness
+# rotation plus changed/new fronting.
+_DRIVER_VERIFIED_R05 = {
+    "catalog_maintenance_report", "cluster_aware_split", "compact_versioned_files",
+    "dedup_apply_substring_removal", "dedup_clusters_ngram", "dedup_clusters_star",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "drift_value_chi2",
+    "dup_source_matrix", "embedding_coverage_check", "events_hourly_tumbling",
+    "events_json_props", "events_session_windows", "events_sliding_window",
+    "hard_negative_mining", "ingest_audit_log", "ingest_file_log",
+    "ingest_kaggle_transform", "jl_projection_recall", "k_anonymity_audit",
+    "knn_brute_force_cosine", "knn_ivfpq_adc", "knn_lsh_cosine",
+    "knn_pq_adc", "knn_pq_rerank", "minhash_lsh_quality",
+    "mixture_token_budget", "multimodal_audio_energy", "multimodal_phash_dedup",
+    "padding_waste_by_bucket", "pq_recall_check", "retention_filter",
+    "simhash_fingerprints", "skew_key_diagnostics", "streaming_cms_partials",
+    "streaming_hll_partials", "streaming_pq_encode", "synthetic_fields_contract",
+    "text_stats", "tfidf_topk", "topk_orders",
+    "tpch_q18_large_volume_customers", "union_ops_counts", "vocab_coverage_curve",
+    "window_temperature_deltas", "winsorize_event_values",
+}
+# Round-6 changed/new set: queries whose OPERATOR code path changed
+# this round and therefore need a fresh driver row. The r6 rework was
+# performance-focused: session-cached index artifacts (quantized
+# corpus, IVF cells, PQ codebook/codes, TF-IDF/BM25 postings — the
+# build-once/serve-many materializations), the minhash inline(array)
+# band generator, the anomaly single-select consolidation, and the
+# PIL/soundfile-upgradeable decode_media. Every consumer of those
+# paths is listed; plus the five new r6 queries (SQ8 ANN + recall,
+# containment dedup, n-gram novelty, token-budget pick).
+_CHANGED_R06 = [
+    # new this round (no driver row yet)
+    "knn_sq8_cosine",
+    "sq8_recall_check",
+    "dedup_containment_pairs",
+    "ngram_novelty_scores",
+    "token_budget_pick",
+    # ANN family (quantized_corpus / ivf_index / pq codebook+codes caches)
+    "knn_brute_force_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
+    "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq_adc",
+    "ann_recall_check", "pq_recall_check", "ndcg_retrieval_eval",
+    "jl_projection_recall", "hard_negative_mining", "mmr_diverse_topk",
+    "dedup_embedding_cosine", "semantic_dedup_keep", "streaming_pq_encode",
+    # minhash band generator rework
+    "dedup_minhash_lsh", "minhash_lsh_quality",
+    # inverted-index caches
+    "tfidf_topk", "bm25_topk",
+    # anomaly single-select consolidation (+ its mart/summary consumers)
+    "anomaly_scores", "anomaly_scores_t2", "mart_readings",
+    "summary_by_load", "summary_by_device", "summary_by_location",
+    "summary_overall", "anomaly_breakdown", "ops_anomaly_count_per_device",
+    "union_ops_counts", "pipeline_run_report",
+    # decode_media optional-dependency upgrade path
+    "multimodal_decode_headers",
+    # rank-fusion job-count rework (GROUPING SETS digest + LocalRelation
+    # broadcasts replace count + per-signal windowed-bin jobs)
+    "quality_rank_fusion",
 ]
-_has_row = (
-    _DRIVER_VERIFIED_R0102 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
+_ROUND_SETS = [
+    _DRIVER_VERIFIED_R0102,
+    _DRIVER_VERIFIED_R03,
+    _DRIVER_VERIFIED_R04,
+    _DRIVER_VERIFIED_R05,
+]
+_last_round: dict[str, int] = {}
+for _i, _s in enumerate(_ROUND_SETS):
+    for _n in _s:
+        _last_round[_n] = _i
+_changed = [n for n in _CHANGED_R06 if n in REGISTRY]
+_new_this_round = [n for n in _changed if n not in _last_round]
+_changed_with_row = [n for n in _changed if n in _last_round]
+_rest_by_staleness = sorted(
+    (n for n in REGISTRY if n not in _changed),
+    key=lambda n: _last_round.get(n, -1),
 )
-# The 21 queries with no driver row in ANY round (VERDICT r4 list),
-# frozen so new-this-round additions cannot displace them from the
-# front of the ~50-query driver sample.
-_NEVER_VERIFIED_BACKLOG = [
-    n for n in REGISTRY if n not in _has_row and n not in _CHANGED_R05
-]
-_new_this_round = [
-    n for n in _CHANGED_R05 if n in REGISTRY and n not in _has_row
-]
-_changed_with_row = [
-    n for n in _CHANGED_R05 if n in REGISTRY and n in _has_row
-]
-_stale_r0102 = [
-    n
-    for n in REGISTRY
-    if n in _DRIVER_VERIFIED_R0102
-    and n not in _DRIVER_VERIFIED_R03
-    and n not in _DRIVER_VERIFIED_R04
-    and n not in _CHANGED_R05
-]
-_fresh_r03 = [
-    n
-    for n in REGISTRY
-    if n in _DRIVER_VERIFIED_R03
-    and n not in _DRIVER_VERIFIED_R04
-    and n not in _CHANGED_R05
-    and n not in _stale_r0102
-]
-_fresh_r04 = [
-    n
-    for n in REGISTRY
-    if n in _DRIVER_VERIFIED_R04 and n not in _CHANGED_R05
-]
 # Ordering priority (driver samples ~50 entries per round, dict order):
-# 1. the 21-query never-verified backlog (waiting since r3/r4),
-# 2. queries added this round (also no row),
-# 3. changed-this-round queries that hold a green row (re-verify),
-# 4. stalest rows (r1/r2), then r3, then freshest (r4).
+# 1. queries added this round (no row anywhere),
+# 2. changed-this-round queries (hold a green row; need a fresh one),
+# 3. everything else, stalest driver row first (r1/r2 → r3 → r4 → r5).
 # Within each block batch queries precede micro-batch streaming ones
 # (fixed ~2 s harness cost each) so a time-boxed run verifies the most
 # queries per second.
@@ -778,11 +811,8 @@ def _batch_first(names):
 
 
 _order = (
-    _batch_first(_NEVER_VERIFIED_BACKLOG)
-    + _batch_first(_new_this_round)
+    _batch_first(_new_this_round)
     + _batch_first(_changed_with_row)
-    + _batch_first(_stale_r0102)
-    + _batch_first(_fresh_r03)
-    + _batch_first(_fresh_r04)
+    + _batch_first(_rest_by_staleness)
 )
 REGISTRY = {n: REGISTRY[n] for n in _order}

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.ts is parquet TIMESTAMP(NANOS); see sources/catalog.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # for EVERY DataFrame API call (a stack walk plus an extra py4j
+        # round trip each) — profiled at ~30-40% of pure plan-build time
+        # on the wide queries here. Error call-site attribution is a
+        # debugger nicety; a production driver issuing thousands of
+        # plan builds a day turns it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

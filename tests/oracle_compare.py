@@ -2,7 +2,14 @@
 
 Stricter than a tolerance check: after the in-query rounding, values are
 expected representation-identical (atol/rtol 1e-12 only absorbs
-last-ulp noise that could never flip a rounded digit)."""
+last-ulp noise that could never flip a rounded digit).
+
+ORDER-INSENSITIVE BY DESIGN: `normalize` sorts rows by all columns
+before comparing, mirroring the driver's value-hash (which also sorts).
+Several registry queries deliberately omit a cosmetic output orderBy on
+that basis — `dedup_clusters_ngram` / `dedup_clusters_star` dropped a
+measured-1.3 s global sort (plans/extensions.py). If this compare ever
+becomes exact-order, those queries must regain their sorts."""
 
 from __future__ import annotations
 

@@ -1,0 +1,156 @@
+"""Round-6 operators: SQ8 ANN, containment pairs, n-gram novelty,
+token-budget pick — unit/property checks beyond the oracle parity suite
+(which already hash-checks all four against DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from iot_temp_data_pipeline_spark.operators import dedup as dd
+from iot_temp_data_pipeline_spark.operators import quality as qa
+from iot_temp_data_pipeline_spark.operators import sq8
+from iot_temp_data_pipeline_spark.operators.similarity import knn_brute_force
+from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+
+# ------------------------------------------------------------------ SQ8
+
+def test_sq8_codes_bounded_and_scale_exact(spark, sf_dir):
+    codes = sq8.sq8_index(spark, sf_dir)
+    bad = codes.filter(
+        F.exists(F.col("code"), lambda c: (c > sq8.SQ8_MAX) | (c < -sq8.SQ8_MAX))
+    ).count()
+    assert bad == 0
+    # m really is max |qvec| — the element achieving it must encode to ±127
+    hit_max = codes.filter(
+        ~F.exists(F.col("code"), lambda c: F.abs(c) == sq8.SQ8_MAX)
+    ).count()
+    assert hit_max == 0
+
+
+def test_sq8_index_is_session_cached(spark, sf_dir):
+    a = sq8.sq8_index(spark, sf_dir)
+    b = sq8.sq8_index(spark, sf_dir)
+    assert a is b  # build-once/serve-many: same materialized frame
+
+
+def test_sq8_topk_contract(spark, sf_dir):
+    res = sq8.knn_sq8(spark, sf_dir).collect()
+    assert res, "query set must be non-empty"
+    per_q: dict[int, list] = {}
+    for r in res:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["sq8_cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_sq8_recall_against_brute_force(spark, sf_dir):
+    """8-bit symmetric quantization of 64-dim vectors loses little
+    resolution — recall@5 against exact brute force should be high
+    (the isotropic fixture is ANN-hard for CELL-based methods, but SQ8
+    approximates the metric itself, not the candidate set)."""
+    bf = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = sq8.knn_sq8(spark, sf_dir).select("query_id", "neighbor_id")
+    n_bf = bf.count()
+    n_hit = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_bf > 0
+    assert n_hit / n_bf >= 0.6, f"SQ8 recall@5 {n_hit}/{n_bf} unexpectedly low"
+
+
+# ---------------------------------------------------------- containment
+
+def test_containment_catches_truncated_replicas(spark, sf_dir):
+    """The +2M replicas drop the first 5 tokens — their shingle sets are
+    near-subsets of the source's, so containment ≈ 1.0 even when
+    Jaccard < 0.6. Every (orig, orig+2M) pair with enough surviving
+    shingles must appear."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pairs = dd.containment_pairs(corpus)
+    rep = pairs.filter(
+        (F.col("doc_b") - F.col("doc_a") == 2_000_000)
+    ).count()
+    # how many truncated replicas exist with a tokenizable body
+    n_trunc = corpus.filter(F.col("doc_id") >= 2_000_000).count()
+    assert rep > 0
+    assert rep >= n_trunc * 0.5  # df-pruning may drop a few, not most
+
+
+def test_containment_bounds(spark, sf_dir):
+    rows = dd.containment_pairs(dd.dedup_corpus(spark, sf_dir)).collect()
+    for r in rows:
+        assert 0.0 < r["containment"] <= 1.0 + 1e-12
+        assert r["common_shingles"] <= min(r["shingles_a"], r["shingles_b"])
+
+
+# -------------------------------------------------------------- novelty
+
+def test_novelty_bounds_and_first_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    nov = dd.ngram_novelty(docs).collect()
+    assert nov
+    by_id = {r["doc_id"]: r for r in nov}
+    first = by_id[min(by_id)]
+    # the lowest doc_id owns every one of its shingles by definition
+    assert first["n_novel"] == first["n_shingles"]
+    assert first["novelty_permille"] == 1000
+    for r in nov:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_permille"] <= 1000
+
+
+def test_novelty_exact_duplicate_scores_zero(spark, sf_dir):
+    """A verbatim copy of an earlier doc owns none of its shingles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") == F.lit(docs.agg(F.min("doc_id")).collect()[0][0]))
+    dup = dup.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    nov = dd.ngram_novelty(docs.unionByName(dup))
+    row = nov.filter(F.col("doc_id") >= 10_000_000).collect()[0]
+    assert row["n_novel"] == 0
+    assert row["novelty_permille"] == 0
+
+
+# ----------------------------------------------------- token-budget pick
+
+def test_token_budget_pick_matches_naive_window(spark, sf_dir):
+    """The two-level (histogram-offset + per-score window) form must be
+    row-identical to the naive single-window greedy prefix — the
+    order-decomposition property the scale shape relies on."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = qa.token_budget_pick(docs)
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.expr(
+            "div(1000 * size(array_distinct(split(lower(text), '\\\\s+'))),"
+            " size(split(lower(text), '\\\\s+')))"
+        ).alias("score_permille"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy(F.col("score_permille").desc(), F.col("doc_id"))
+    naive = (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= qa.TB_BUDGET)
+    )
+    cols = ["doc_id", "n_tokens", "score_permille", "cum_tokens", "pick_rank"]
+    a = sorted(map(tuple, fast.select(*cols).collect()))
+    b = sorted(map(tuple, naive.select(*cols).collect()))
+    assert a == b and a
+
+
+def test_token_budget_pick_is_prefix(spark, sf_dir):
+    rows = qa.token_budget_pick(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    rows.sort(key=lambda r: r["pick_rank"])
+    assert [r["pick_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cum = 0
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+    assert cum <= qa.TB_BUDGET

@@ -696,10 +696,17 @@ def _repeated_spans(base: DataFrame, window: int = SUBSTR_WINDOW) -> DataFrame:
         F.substring(F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 16)
         .alias("gh"),
     )
-    repeated = (
-        wins.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    # Repeated-fingerprint filter as a COUNT WINDOW over the one
+    # hash-partition-by-gh exchange (the doc_shingles single-exchange
+    # trick) instead of groupBy + join back: the groupBy/join form
+    # evaluates the tokenize→gram→md5 explode TWICE (once per join
+    # side) and pays a second shuffle — measured ~40% of this
+    # operator's wall clock at sf0.1.
+    hits = (
+        wins.withColumn("cnt", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
     )
-    hits = wins.join(repeated, "gh").select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

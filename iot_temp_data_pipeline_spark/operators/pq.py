@@ -54,8 +54,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
-from .similarity import QUANT_SQL, _with_quantized, qcosine, sql_qcos
+from .similarity import QUANT_SQL, qcosine, sql_qcos
 
 M = 8           # subspaces
 SUBDIM = 8      # dims per subspace (M * SUBDIM == EMB_DIM == 64)

@@ -94,11 +94,30 @@ def knn_sq8(
     sf_dir: str,
     query_mod: int = SQ8_QUERY_MOD,
     k: int = SQ8_K,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-k by SQ8 approximate cosine for query vectors (vec_id %
     query_mod == 0), self-matches excluded; rank ties on neighbor_id.
-    Same broadcast-bound contract as knn_brute_force."""
+    Same broadcast-bound contract as knn_brute_force — and the same
+    cost-based physical split: the Catalyst crossJoin+window form
+    shuffles all N·Q scored pairs (fine at toy scale), so above
+    BRUTE_MATMUL_MIN_PAIRS the scan switches to a per-partition integer
+    GEMM over the code matrix with distributive partial top-k
+    (:func:`knn_sq8_matmul`) — the 30× probe's superlinear slope
+    (25× at 900× pairs) is exactly the blowup this removes. Both forms
+    bit-identical: exact int64 code dots, identical IEEE op order."""
     codes = sq8_index(spark, sf_dir)
+    if strategy == "auto":
+        from .similarity import BRUTE_MATMUL_MIN_PAIRS, quantized_corpus
+
+        n = quantized_corpus(spark, sf_dir)[1]
+        strategy = (
+            "matmul"
+            if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS
+            else "catalyst"
+        )
+    if strategy == "matmul":
+        return knn_sq8_matmul(codes, query_mod, k)
     q = codes.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("code").alias("q_code"),
@@ -126,6 +145,77 @@ def knn_sq8(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_sq8_matmul(
+    codes: DataFrame, query_mod: int = SQ8_QUERY_MOD, k: int = SQ8_K
+) -> DataFrame:
+    """Large-N strategy (knn_brute_force_matmul's shape, over CODES):
+    the query code matrix is collected once, each corpus partition
+    scores its rows as ONE int64 GEMM per Arrow batch and emits only
+    its per-batch top-(k+1) per query; the final exact window ranks
+    #partitions·Q·(k+1) candidates instead of shuffling N·Q pairs.
+    Bit parity with the Catalyst form: the dot is exact int64, and the
+    float chain applies the IDENTICAL operation order
+    (cast → ·q_m → ·m → /127² → /√q_n2 → /√n2), with per-batch
+    selection under the same strict (cos DESC, neighbor_id ASC) total
+    order the final window uses, so partial top-k loses nothing."""
+    import numpy as np
+
+    q_rows = (
+        codes.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "code", "m", "qnorm2")
+        .collect()
+    )
+    qmat = np.array([r["code"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["m"] for r in q_rows], dtype=np.int64).astype(np.float64)
+    qsqrt = np.sqrt(
+        np.array([r["qnorm2"] for r in q_rows], dtype=np.int64).astype(np.float64)
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    bc = codes.sparkSession.sparkContext.broadcast((qmat, qm, qsqrt, qids))
+
+    def partial_topk(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qmat, qm, qsqrt, qids = bc.value
+        mtop = k + 1  # self-match removed post-selection
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["code"]])
+            mm = pdf["m"].to_numpy(dtype=np.int64).astype(np.float64)
+            nsqrt = np.sqrt(
+                pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64)
+            )
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # same op order as the Catalyst expression, one step per line
+            cos = (x @ qmat.T).astype(np.float64)
+            cos = cos * qm[None, :]
+            cos = cos * mm[:, None]
+            cos = cos / float(SQ8_MAX * SQ8_MAX)
+            cos = cos / qsqrt[None, :]
+            cos = cos / nsqrt[:, None]
+            out = {"query_id": [], "neighbor_id": [], "sq8_cos": []}
+            for j in range(qids.shape[0]):
+                order = np.lexsort((vec_ids, -cos[:, j]))[:mtop]
+                keep = order[vec_ids[order] != qids[j]][:k]
+                out["query_id"].extend([int(qids[j])] * keep.shape[0])
+                out["neighbor_id"].extend(vec_ids[keep].tolist())
+                out["sq8_cos"].extend(cos[keep, j].tolist())
+            yield pd.DataFrame(out)
+
+    candidates = codes.select("vec_id", "m", "qnorm2", "code").mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, sq8_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -777,6 +777,8 @@ _CHANGED_R06 = [
     # rank-fusion job-count rework (GROUPING SETS digest + LocalRelation
     # broadcasts replace count + per-signal windowed-bin jobs)
     "quality_rank_fusion",
+    # repeated-fingerprint filter reworked to one window-count exchange
+    "dedup_exact_substrings", "dedup_apply_substring_removal",
 ]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,

@@ -121,10 +121,27 @@ SHOWCASE = {
         "anywhere in the plan; chunking parallelizes per input split."
     ),
     "knn_ivf_cosine": (
-        "Cell assignment is BroadcastNestedLoopJoin (centroids broadcast) "
-        "followed by a partial/final max_by HashAggregate pair — the "
-        "shuffle carries one row per vector (argmax pre-reduced map-side), "
-        "not one per (vector, centroid)."
+        "SERVING plan over the session-cached IVF index: the cell-assigned "
+        "corpus is a localCheckpoint scan (Scan ExistingRDD — the argmax "
+        "assignment ran ONCE at index build, as a BroadcastNestedLoopJoin "
+        "+ partial/final max_by pair, and is not re-run per query); probes "
+        "broadcast into it, the final top-k is the rank window over the "
+        "probed subset only."
+    ),
+    "knn_sq8_cosine": (
+        "Scalar-quantized compressed scan: the SQ8 code table is a cached "
+        "index scan (8x smaller rows than raw vectors — the point of SQ8); "
+        "queries broadcast (BroadcastNestedLoopJoin), scores are exact "
+        "int64 code dots in the projection, top-k via rank window. Above "
+        "BRUTE_MATMUL_MIN_PAIRS the scan switches to the per-partition "
+        "GEMM kernel with distributive partial top-k (bit-identical)."
+    ),
+    "token_budget_pick": (
+        "Greedy budget selection WITHOUT a corpus-wide sort: the only "
+        "all-rows window is partitioned by score_permille (parallel); the "
+        "global prefix offsets come from a <=1001-row score histogram "
+        "whose window runs on the digest, broadcast back as a "
+        "BroadcastHashJoin build side."
     ),
     "quality_repetition_rules": (
         "The dup-5-gram fraction computes inside the per-row projection "

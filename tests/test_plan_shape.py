@@ -134,9 +134,18 @@ def test_ivf_assignment_preaggregates_mapside(spark, sf_dir):
     around the exchange), never sort C rows per vector through a window.
     At test scale (N < MATMUL_ASSIGN_MIN_N) the auto strategy picks the
     pure-Catalyst HOF form — this pins BOTH the small-N choice and its
-    map-side-combine shape."""
-    plan = plan_of(REGISTRY["knn_ivf_cosine"].spark(spark, sf_dir))
-    assert "partial_max_by" in plan
+    map-side-combine shape. Pinned on the index-BUILD plan: the serving
+    path (knn_ivf_cosine) reads the session-cached localCheckpoint of
+    this build and must NOT re-run the aggregation per query."""
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    emb, _ = sim.quantized_corpus(spark, sf_dir)
+    assigned, _ = sim.ivf_cell_assignments(emb, centroid_mod=37)
+    assert "partial_max_by" in plan_of(assigned)
+    # serving path: cached index scan, no per-query assignment rebuild
+    serve = plan_of(REGISTRY["knn_ivf_cosine"].spark(spark, sf_dir))
+    assert "partial_max_by" not in serve
+    assert "Scan ExistingRDD" in serve or "LogicalRDD" in serve
 
 
 def test_ivf_matmul_assignment_zero_shuffle_and_parity(spark, sf_dir):

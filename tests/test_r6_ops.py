@@ -154,3 +154,32 @@ def test_token_budget_pick_is_prefix(spark, sf_dir):
         cum += r["n_tokens"]
         assert r["cum_tokens"] == cum
     assert cum <= qa.TB_BUDGET
+
+
+def test_sq8_matmul_bit_identical_to_catalyst(spark, sf_dir):
+    """The distributive GEMM kernel must reproduce the Catalyst
+    crossJoin+window form bit-for-bit (same int64 dots, same IEEE op
+    order, same total order in the partial selection)."""
+    a = sorted(map(tuple, sq8.knn_sq8(spark, sf_dir, strategy="catalyst").collect()))
+    b = sorted(map(tuple, sq8.knn_sq8(spark, sf_dir, strategy="matmul").collect()))
+    assert a == b and a
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, overlap coefficient >= Jaccard (min(|A|,|B|) <=
+    |A|+|B|-|A∩B|), with equality iff one set contains the other —
+    the algebraic relationship that makes containment the superset
+    detector. Checked on all pairs both queries emit."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(corpus, min_jaccard=0.0).collect()
+    }
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dd.containment_pairs(corpus, min_containment=0.0).collect()
+    }
+    assert set(jac) == set(cont)  # same candidate generation
+    assert jac
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-12

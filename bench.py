@@ -130,6 +130,8 @@ HEADLINE_EXTRA = [
     "dedup_containment_pairs",
     "ngram_novelty_scores",
     "token_budget_pick",
+    "cluster_balanced_sample",
+    "embedding_space_diagnostics",
 ]
 
 

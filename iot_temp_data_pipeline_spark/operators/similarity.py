@@ -1485,3 +1485,169 @@ def mmr_diverse_topk_sql(
         + ",\n    ".join(parts)
         + f"\n    {prev_all}\n    ORDER BY rank\n) s"
     )
+
+
+# --------------------------------------------- cluster-balanced sampling
+
+CB_CAP = 8  # max vectors kept per coarse cluster
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = CB_CAP,
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """Diversity-preserving subsampling: cap how many vectors survive
+    per coarse embedding cluster — the curation step that keeps a
+    training subsample from being dominated by the corpus's dense
+    regions (the cluster-balanced selection used alongside SemDeDup in
+    modern data-curation recipes; dedup removes near-twins, this caps
+    whole neighborhoods). Within a cell the kept set is a deterministic
+    pseudo-random draw: rank by (md5-derived 32-bit hash of vec_id,
+    vec_id) — unbiased w.r.t. vec_id order, reshuffleable by seed, and
+    exactly reproducible in the oracle.
+
+    Scale shape: reuses the session-cached IVF index (one checkpointed
+    scan), then ONE window partitioned by cell_id (parallel across
+    ~√N cells, no global sort). Output is row-level (vec_id, cell_id,
+    pick_order, kept) so downstream joins can filter kept=true."""
+    emb, n = quantized_corpus(spark, sf_dir)
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(n)
+    assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+    assigned, _ = ivf_index(spark, sf_dir, centroid_mod, assign)
+    from ..functions.hashing import portable_hash32
+
+    h = portable_hash32(F.col("vec_id").cast("string"), seed=11)
+    w = Window.partitionBy("cell_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return assigned.select("vec_id", "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.row_number().over(w).cast("long").alias("pick_order"),
+        (F.row_number().over(w) <= cap).alias("kept"),
+    )
+
+
+def cluster_balanced_sample_sql(
+    cap: int = CB_CAP, centroid_mod: int | None = None
+) -> str:
+    from ..functions.hashing import portable_hash32_sql
+
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    mod_sql = str(centroid_mod) if centroid_mod is not None else ADAPTIVE_MOD_SQL
+    h = portable_hash32_sql("CAST(vec_id AS VARCHAR)", seed=11)
+    return f"""(
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+        WHERE vec_id % {mod_sql} = 0
+    ),
+    cell_scored AS (
+        SELECT b.vec_id, b.qvec, b.qnorm2, a.cell_id, {assign_cos} AS c_cos
+        FROM qnormed b CROSS JOIN centroids a
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+            FROM cell_scored
+        ) t WHERE rn = 1
+    )
+    SELECT vec_id, cell_id, CAST(pick_order AS BIGINT) AS pick_order,
+        pick_order <= {cap} AS kept
+    FROM (
+        SELECT vec_id, cell_id, ROW_NUMBER() OVER (
+            PARTITION BY cell_id ORDER BY {h} ASC, vec_id ASC) AS pick_order
+        FROM assigned
+    ) r
+) s"""
+
+
+# --------------------------------------- embedding-space diagnostics
+
+def embedding_space_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row health report of the embedding space — the collapse /
+    anisotropy gate an embedding-production pipeline runs before
+    trusting similarity search over a new model's vectors: per-dimension
+    variance spread (a collapsed dimension has ~0; a dominant one
+    carries most of the energy) and the top dimension's share of total
+    variance in exact ppm.
+
+    Exactness: everything stays integer until four final fixed-order
+    IEEE divisions — per-dim variance numerators are n·Σv² − (Σv)² on
+    exact split-accumulator sums (functions/stats.exact_long_sum shape,
+    decimal(38,0) ≡ DuckDB HUGEINT), the ppm share is an integer
+    division of two exact decimals, and min/max/mean derive from those
+    numerators without any float summation.
+
+    Scale shape: ONE posexplode pass (corpus × 64 rows, map-side
+    partial aggregation into ≤64 groups) then a 64-row digest
+    aggregate — the corpus is never shuffled on content."""
+    from ..functions.stats import exact_long_sum
+
+    emb, _ = quantized_corpus(spark, sf_dir)
+    v = F.col("v")
+    per_dim = (
+        emb.select(F.posexplode(F.col("qvec")).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            exact_long_sum(v).alias("s"),
+            exact_long_sum(v * v).alias("s2"),
+        )
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s") * F.col("s")
+    )
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double")
+    dims = per_dim.select(
+        "dim", num.alias("var_num"), denom.alias("var_den")
+    )
+    return dims.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        (F.min(F.col("var_num").cast("double") / F.col("var_den"))).alias(
+            "min_dim_var"
+        ),
+        (F.max(F.col("var_num").cast("double") / F.col("var_den"))).alias(
+            "max_dim_var"
+        ),
+        (
+            F.sum("var_num").cast("double")
+            / (F.count("*").cast("double") * F.first("var_den"))
+        ).alias("mean_dim_var"),
+        (
+            (F.lit(1_000_000).cast("decimal(38,0)") * F.max("var_num"))
+            / F.sum("var_num")
+        )
+        .cast("long")
+        .alias("top_dim_var_share_ppm"),
+    )
+
+
+def embedding_space_diagnostics_sql() -> str:
+    return """(
+    WITH esd_per_dim AS (
+        SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+        FROM (
+            SELECT i AS dim, qvec[i + 1] AS v
+            FROM qnormed, unnest(generate_series(0, len(qvec) - 1)) AS u(i)
+        )
+        GROUP BY dim
+    ),
+    esd_nums AS (
+        SELECT dim,
+            CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS var_num,
+            CAST(n * (n - 1) AS DOUBLE) AS var_den
+        FROM esd_per_dim
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        MIN(CAST(var_num AS DOUBLE) / var_den) AS min_dim_var,
+        MAX(CAST(var_num AS DOUBLE) / var_den) AS max_dim_var,
+        CAST(SUM(var_num) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * ANY_VALUE(var_den)) AS mean_dim_var,
+        CAST((1000000 * MAX(var_num)) // SUM(var_num) AS BIGINT)
+            AS top_dim_var_share_ppm
+    FROM esd_nums
+) s"""

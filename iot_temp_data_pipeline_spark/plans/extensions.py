@@ -2705,3 +2705,57 @@ def _token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBPICK_ORACLE = sql_select(TBPICK_SPEC, qa.token_budget_pick_sql("documents"))
 
 EXTENSIONS["token_budget_pick"] = QuerySpec(_token_budget_pick, TBPICK_ORACLE)
+
+
+CBSAMPLE_SPEC = [
+    ("vec_id", "long"),
+    ("cell_id", "long"),
+    ("pick_order", "long"),
+    ("kept", ""),
+]
+
+
+def _cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cap subsampling over the cached IVF index
+    (operators/similarity.py cluster_balanced_sample) — the diversity-
+    preserving selection that stops dense embedding regions from
+    dominating a training subsample."""
+    return shape(sim.cluster_balanced_sample(spark, sf_dir), CBSAMPLE_SPEC)
+
+
+CBSAMPLE_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(CBSAMPLE_SPEC, sim.cluster_balanced_sample_sql())
+)
+
+EXTENSIONS["cluster_balanced_sample"] = QuerySpec(
+    _cluster_balanced, CBSAMPLE_ORACLE
+)
+
+
+ESD_SPEC = [
+    ("n_dims", "long"),
+    ("min_dim_var", "f4"),
+    ("max_dim_var", "f4"),
+    ("mean_dim_var", "f4"),
+    ("top_dim_var_share_ppm", "long"),
+]
+
+
+def _embedding_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space collapse/anisotropy gate (operators/similarity.py
+    embedding_space_diagnostics): per-dimension variance spread and the
+    top dimension's exact-ppm share of total variance."""
+    return shape(sim.embedding_space_diagnostics(spark, sf_dir), ESD_SPEC)
+
+
+ESD_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + sql_select(ESD_SPEC, sim.embedding_space_diagnostics_sql())
+)
+
+EXTENSIONS["embedding_space_diagnostics"] = QuerySpec(
+    _embedding_diagnostics, ESD_ORACLE
+)

@@ -757,6 +757,8 @@ _CHANGED_R06 = [
     "dedup_containment_pairs",
     "ngram_novelty_scores",
     "token_budget_pick",
+    "cluster_balanced_sample",
+    "embedding_space_diagnostics",
     # ANN family (quantized_corpus / ivf_index / pq codebook+codes caches)
     "knn_brute_force_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
     "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq_adc",

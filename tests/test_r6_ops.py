@@ -183,3 +183,38 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert jac
     for pair, j in jac.items():
         assert cont[pair] >= j - 1e-12
+
+
+# ------------------------------------- cluster-balanced sample / diagnostics
+
+def test_cluster_balanced_sample_caps_every_cell(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    rows = sim.cluster_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    per_cell: dict[int, list] = {}
+    for r in rows:
+        per_cell.setdefault(r["cell_id"], []).append(r)
+    kept_total = sum(1 for r in rows if r["kept"])
+    assert 0 < kept_total < len(rows) or all(
+        len(v) <= sim.CB_CAP for v in per_cell.values()
+    )
+    for cell_rows in per_cell.values():
+        cell_rows.sort(key=lambda r: r["pick_order"])
+        assert [r["pick_order"] for r in cell_rows] == list(
+            range(1, len(cell_rows) + 1)
+        )
+        for r in cell_rows:
+            assert r["kept"] == (r["pick_order"] <= sim.CB_CAP)
+        assert sum(r["kept"] for r in cell_rows) <= sim.CB_CAP
+
+
+def test_embedding_space_diagnostics_sanity(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators import similarity as sim
+
+    row = sim.embedding_space_diagnostics(spark, sf_dir).collect()[0]
+    assert row["n_dims"] == 64
+    assert 0 <= row["min_dim_var"] <= row["mean_dim_var"] <= row["max_dim_var"]
+    # the max-variance dim must carry at least the uniform 1/64 share
+    assert row["top_dim_var_share_ppm"] >= 1_000_000 // 64
+    assert row["top_dim_var_share_ppm"] <= 1_000_000

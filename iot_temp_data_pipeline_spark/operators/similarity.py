@@ -162,6 +162,29 @@ def sql_qcos(vec_a: str, vec_b: str, n2_a: str, n2_b: str) -> str:
 
 # ----------------------------------------------------------- brute force
 
+# Largest magnitude a float64 holds exactly; integer dot products whose
+# worst-case |value| stays below this are EXACT in f64 regardless of
+# accumulation order (every partial sum is an integer < 2^53, and FMA /
+# blocked BLAS reorderings of exact integers stay exact).
+EXACT_F64_DOT_BOUND = float(2**53)
+
+
+def _exact_f64_matmul(x, q, np):
+    """x (B×D int64) @ q.T (Q×D int64) with EXACT integer results, via
+    float64 BLAS when the worst-case dot magnitude provably fits 2^53 —
+    numpy has no BLAS path for int64 (the int64 @ falls back to naive
+    loops, ~20× slower at GEMM shapes); f64 dgemm gives the same exact
+    integers under the bound. Falls back to int64 matmul (still exact,
+    just slow) if the conservative bound is exceeded."""
+    bound = (
+        float(np.abs(x).max(initial=0)) * float(np.abs(q).max(initial=0)) * x.shape[1]
+    )
+    if bound < EXACT_F64_DOT_BOUND:
+        return x.astype(np.float64) @ q.astype(np.float64).T
+    return (x @ q.T).astype(np.float64)
+
+
+
 def knn_brute_force(
     spark: SparkSession,
     sf_dir: str,
@@ -256,7 +279,7 @@ def knn_brute_force_matmul(
             nsqrt = np.sqrt(pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64))
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             labels = pdf["label"].to_numpy()
-            cos = (x @ qmat.T).astype(np.float64) / qsqrt[None, :] / nsqrt[:, None]
+            cos = _exact_f64_matmul(x, qmat, np) / qsqrt[None, :] / nsqrt[:, None]
             out = {"query_id": [], "neighbor_id": [], "neighbor_label": [], "cosine": []}
             for j in range(qids.shape[0]):
                 order = np.lexsort((vec_ids, -cos[:, j]))[:m]
@@ -444,8 +467,10 @@ def ivf_cell_assignments_matmul(
                 continue
             x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
             n2 = pdf["qnorm2"].to_numpy(dtype=np.int64)
-            dot = x @ cmat.T  # exact int64, same values as the HOF fold
-            cos = (dot.astype(np.float64) / np.sqrt(n2.astype(np.float64))[:, None]) / csqrt[None, :]
+            # exact integer dots, same values as the HOF fold (f64 BLAS
+            # under the 2^53 bound — see _exact_f64_matmul)
+            dot = _exact_f64_matmul(x, cmat, np)
+            cos = (dot / np.sqrt(n2.astype(np.float64))[:, None]) / csqrt[None, :]
             out = pdf[["vec_id", "label", "qvec", "qnorm2"]].copy()
             out["cell_id"] = cell_ids[np.argmax(cos, axis=1)]
             yield out
@@ -1044,7 +1069,7 @@ def _hnm_partial_matmul(emb, query_mod: int):
             )
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             labels = pdf["label"].to_numpy(dtype=np.int64)
-            cos = (x @ qmat.T).astype(np.float64) / qsqrt[None, :] / nsqrt[:, None]
+            cos = _exact_f64_matmul(x, qmat, np) / qsqrt[None, :] / nsqrt[:, None]
             out = {
                 "query_id": [], "q_label": [], "neighbor_id": [],
                 "is_same": [], "cosine": [],

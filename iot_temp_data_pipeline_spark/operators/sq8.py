@@ -192,8 +192,12 @@ def knn_sq8_matmul(
                 pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64)
             )
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            # same op order as the Catalyst expression, one step per line
-            cos = (x @ qmat.T).astype(np.float64)
+            # same op order as the Catalyst expression, one step per
+            # line; code dots are exact integers <= 64*127^2 so the f64
+            # BLAS path is exact (similarity._exact_f64_matmul bound)
+            from .similarity import _exact_f64_matmul  # noqa: PLC0415
+
+            cos = _exact_f64_matmul(x, qmat, np)
             cos = cos * qm[None, :]
             cos = cos * mm[:, None]
             cos = cos / float(SQ8_MAX * SQ8_MAX)

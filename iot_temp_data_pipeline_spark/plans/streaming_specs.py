@@ -1451,3 +1451,73 @@ STREAMING: dict[str, QuerySpec] = {
     "streaming_tumbling_watermark": QuerySpec(_streaming_tumbling, WINDOW_ORACLE),
     "streaming_stateful_device_stats": QuerySpec(_streaming_stateful, STATEFUL_ORACLE),
 }
+
+
+# ------------------------------------- streaming SQ8 index maintenance
+
+SQ8ENC_SPEC = [
+    ("vec_id", "long"),
+    ("m", "long"),
+    ("code_sum", "long"),
+    ("code_norm2", "long"),
+]
+
+
+def _streaming_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SQ8 encoding — streaming_pq_encode's training-free
+    sibling: arriving vectors are int8-quantized per micro-batch by the
+    same map-side projection the batch index build uses
+    (operators/sq8.py sq8_encode), so the compressed scan table stays
+    fresh without rebuilds. Stateless per-row transform =>
+    split-invariant => the batch encode is the exact oracle. Codes are
+    summarized per vector (sum + exact norm²) so the sink schema stays
+    flat-typed; both are exact integers."""
+    from ..operators import sq8 as sq8op
+    from ..operators.similarity import _with_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = workdir("sq8enc")
+    emb.repartition(4).write.mode("overwrite").parquet(f"{work}/landing")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/landing")
+    )
+    enc = sq8op.sq8_encode(_with_quantized(stream)).select(
+        "vec_id",
+        "m",
+        F.aggregate(
+            F.col("code"), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("code_sum"),
+        F.aggregate(
+            F.col("code"), F.lit(0).cast("long"), lambda a, v: a + v * v
+        ).alias("code_norm2"),
+    )
+    run_available_now(enc, f"{work}/sink", f"{work}/ckpt")
+    return shape(spark.read.parquet(f"{work}/sink"), SQ8ENC_SPEC)
+
+
+def _sq8enc_oracle() -> str:
+    from ..operators import sq8 as sq8op
+    from ..operators.similarity import QUANT_SQL
+
+    return (
+        "WITH "
+        + QUANT_SQL.strip()
+        + ",\n"
+        + sq8op.SQ8_CTE_SQL.strip()
+        + sql_select(
+            SQ8ENC_SPEC,
+            """(
+    SELECT vec_id, m,
+        list_sum(code) AS code_sum,
+        list_sum(list_transform(code, v -> v * v)) AS code_norm2
+    FROM sq8codes
+) s""",
+        )
+    )
+
+
+STREAMING["streaming_sq8_encode"] = QuerySpec(
+    _streaming_sq8_encode, _sq8enc_oracle()
+)

@@ -132,6 +132,7 @@ HEADLINE_EXTRA = [
     "token_budget_pick",
     "cluster_balanced_sample",
     "embedding_space_diagnostics",
+    "knn_ivfsq8_cosine",
 ]
 
 

@@ -274,3 +274,184 @@ def knn_sq8_sql(query_mod: int = SQ8_QUERY_MOD, k: int = SQ8_K) -> str:
     ) r
     WHERE rank <= {k}
 ) s"""
+
+
+IVFSQ8_N_PROBE = 3
+
+
+def knn_ivfsq8(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+    n_probe: int = IVFSQ8_N_PROBE,
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """Composed IVF + SQ8 search (FAISS ``IVF,SQ8`` — the training-light
+    sibling of IVFADC): the coarse quantizer routes each vector to one
+    inverted list (same session-cached cells as knn_ivf), vectors are
+    stored as int8 codes + per-vector scale (same cached table as
+    knn_sq8), and a query scans ONLY its ``n_probe`` nearest cells'
+    codes. Selective scan × compressed scan compose multiplicatively,
+    like IVFPQ, but with zero codebook training and a cheaper per-pair
+    score (one 64-dim int8 dot vs M LUT gathers) at ~8× the code size
+    (64 B vs 8 B per vector) — the classic SQ-vs-PQ memory/accuracy
+    trade both real systems ship.
+
+    Exactness: probes rank by the exact quantized cosine (same
+    expression as knn_ivf); candidate scores are the SQ8 approximate
+    cosine (exact int64 code dots + the pinned IEEE op order), so the
+    oracle reproduces every boundary bit-for-bit.
+
+    Scale shape: two cached index scans joined on vec_id, probes
+    (Q·n_probe rows) broadcast into the code scan; at 100 TB the code
+    table is written partitionBy(cell_id) so the probe join becomes
+    partition pruning; the probed subset is ~n_probe/C of the corpus,
+    so the Catalyst expression path suffices (the distributive GEMM
+    kernel applies unchanged if probed volume ever dominates)."""
+    from .similarity import (
+        MATMUL_ASSIGN_MIN_N,
+        adaptive_centroid_mod,
+        ivf_index,
+        qcosine,
+        quantized_corpus,
+    )
+
+    emb, n = quantized_corpus(spark, sf_dir)
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(n)
+    assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+    assigned, cent = ivf_index(spark, sf_dir, centroid_mod, assign)
+    codes = sq8_index(spark, sf_dir)
+    enc = codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
+
+    queries = (
+        codes.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("code").alias("q_code"),
+            F.col("m").alias("q_m"),
+            F.col("qnorm2").alias("q_qnorm2"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qvec").alias("q_qvec"),
+            ),
+            "query_id",
+        )
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_code",
+        "q_m",
+        "q_qnorm2",
+        "cell_id",
+        qcosine(
+            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
+        ).alias("p_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id", "q_code", "q_m", "q_qnorm2",
+            F.col("cell_id").alias("q_cell"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(probes), F.col("cell_id") == F.col("q_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _code_dot(F.col("q_code"), F.col("code")).cast("double")
+                * F.col("q_m").cast("double")
+                * F.col("m").cast("double")
+                / F.lit(float(SQ8_MAX * SQ8_MAX))
+                / F.sqrt(F.col("q_qnorm2").cast("double"))
+                / F.sqrt(F.col("qnorm2").cast("double"))
+            ).alias("sq8_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivfsq8_sql(
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+    n_probe: int = IVFSQ8_N_PROBE,
+    centroid_mod: int | None = None,
+) -> str:
+    from .similarity import ADAPTIVE_MOD_SQL, sql_qcos
+
+    assign_cos = sql_qcos("b.qvec", "a.qvec", "b.qnorm2", "a.qnorm2")
+    probe_cos = sql_qcos("q.q_qvec", "a.qvec", "q.q_qnorm2", "a.qnorm2")
+    dot = _sql_code_dot("q.q_code", "n.code")
+    mod_sql = str(centroid_mod) if centroid_mod is not None else ADAPTIVE_MOD_SQL
+    return f"""(
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, qvec, qnorm2 FROM qnormed
+        WHERE vec_id % {mod_sql} = 0
+    ),
+    cell_scored AS (
+        SELECT b.vec_id, b.qvec, b.qnorm2, a.cell_id, {assign_cos} AS c_cos
+        FROM qnormed b CROSS JOIN centroids a
+    ),
+    ivfsq8_assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+            FROM cell_scored
+        ) t WHERE rn = 1
+    ),
+    ivfsq8_enc AS (
+        SELECT c.vec_id, c.m, c.qnorm2, c.code, a.cell_id
+        FROM sq8codes c JOIN ivfsq8_assigned a USING (vec_id)
+    ),
+    ivfsq8_queries_raw AS (
+        SELECT c.vec_id AS query_id, c.code AS q_code, c.m AS q_m,
+            c.qnorm2 AS q_qnorm2, e.qvec AS q_qvec
+        FROM sq8codes c JOIN qnormed e USING (vec_id)
+        WHERE c.vec_id % {query_mod} = 0
+    ),
+    ivfsq8_probes AS (
+        SELECT query_id, q_code, q_m, q_qnorm2, cell_id AS q_cell FROM (
+            SELECT q.query_id, q.q_code, q.q_m, q.q_qnorm2, a.cell_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY {probe_cos} DESC, a.cell_id) AS prn
+            FROM ivfsq8_queries_raw q
+            CROSS JOIN centroids a
+        ) p WHERE prn <= {n_probe}
+    ),
+    ivfsq8_scored AS (
+        SELECT q.query_id, n.cell_id, n.vec_id AS neighbor_id,
+            CAST({dot} AS DOUBLE) * CAST(q.q_m AS DOUBLE)
+                * CAST(n.m AS DOUBLE) / {float(SQ8_MAX * SQ8_MAX)}
+                / sqrt(CAST(q.q_qnorm2 AS DOUBLE))
+                / sqrt(CAST(n.qnorm2 AS DOUBLE)) AS sq8_cos
+        FROM ivfsq8_enc n
+        JOIN ivfsq8_probes q ON n.cell_id = q.q_cell
+        WHERE n.vec_id != q.query_id
+    )
+    SELECT query_id, cell_id, neighbor_id, sq8_cos,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sq8_cos DESC, neighbor_id) AS rank
+        FROM ivfsq8_scored
+    ) r
+    WHERE rank <= {k}
+) s"""

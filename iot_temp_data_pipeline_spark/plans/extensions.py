@@ -2759,3 +2759,31 @@ ESD_ORACLE = (
 EXTENSIONS["embedding_space_diagnostics"] = QuerySpec(
     _embedding_diagnostics, ESD_ORACLE
 )
+
+
+IVFSQ8_SPEC = [
+    ("query_id", "long"),
+    ("cell_id", "long"),
+    ("neighbor_id", "long"),
+    ("sq8_cos", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF + SQ8 (FAISS "IVF,SQ8" shape, operators/sq8.py
+    knn_ivfsq8): coarse cells route the scan, int8 codes compress it —
+    training-free, one exact int8 dot per probed candidate."""
+    return shape(sq.knn_ivfsq8(spark, sf_dir), IVFSQ8_SPEC)
+
+
+KNN_IVFSQ8_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + sq.SQ8_CTE_SQL.strip()
+    + "\n"
+    + sql_select(IVFSQ8_SPEC, sq.knn_ivfsq8_sql())
+)
+
+EXTENSIONS["knn_ivfsq8_cosine"] = QuerySpec(_knn_ivfsq8, KNN_IVFSQ8_ORACLE)

@@ -759,6 +759,7 @@ _CHANGED_R06 = [
     "token_budget_pick",
     "cluster_balanced_sample",
     "embedding_space_diagnostics",
+    "knn_ivfsq8_cosine",
     "streaming_sq8_encode",
     # ANN family (quantized_corpus / ivf_index / pq codebook+codes caches)
     "knn_brute_force_cosine", "knn_ivf_cosine", "knn_lsh_cosine",

@@ -218,3 +218,20 @@ def test_embedding_space_diagnostics_sanity(spark, sf_dir):
     # the max-variance dim must carry at least the uniform 1/64 share
     assert row["top_dim_var_share_ppm"] >= 1_000_000 // 64
     assert row["top_dim_var_share_ppm"] <= 1_000_000
+
+
+def test_ivfsq8_topk_contract_and_probe_subset(spark, sf_dir):
+    """IVF,SQ8 composition: valid dense ranks, no self-matches, and every
+    result's cell is one of its query's n_probe probed cells."""
+    from pyspark.sql import functions as F2
+
+    res = sq8.knn_ivfsq8(spark, sf_dir).collect()
+    assert res
+    per_q: dict[int, list] = {}
+    for r in res:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len({r["cell_id"] for r in rows}) <= sq8.IVFSQ8_N_PROBE

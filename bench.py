@@ -133,7 +133,69 @@ HEADLINE_EXTRA = [
     "cluster_balanced_sample",
     "embedding_space_diagnostics",
     "knn_ivfsq8_cosine",
+    # round-7 additions
+    "char_entropy_quality",
+    "trimmed_mean_events",
+    "knn_sq8_rerank",
+    "ivf_recall_sweep",
+    "minhash_band_tuning",
 ]
+
+
+# Queries whose measured time is the SERVING path of a session-cached
+# artifact (ADVICE r6 #5): their plans consume a build-once/serve-many
+# materialization (quantized corpus / IVF cells / PQ+SQ8 codes /
+# TF-IDF+BM25 postings / exact ground-truth top-k / mart table / dedup
+# valid-readings table / streaming landing fixture) that the warm-up
+# runs — or an earlier query — already built. The DuckDB oracle rebuilds
+# everything per query, so these per-query ratios compare Spark SERVING
+# against DuckDB BUILD+SERVE; read them as serving-path numbers (the
+# deployment-relevant ones), not apples-to-apples engine races. The
+# detail artifact tags them under "cache_consuming".
+CACHE_CONSUMING = sorted(
+    {
+        # quantized-corpus / index / codes / ground-truth consumers
+        "knn_brute_force_cosine",
+        "knn_ivf_cosine",
+        "knn_pq_rerank",
+        "knn_ivfpq_adc",
+        "knn_sq8_cosine",
+        "knn_ivfsq8_cosine",
+        "sq8_recall_check",
+        "semantic_dedup_keep",
+        "cluster_balanced_sample",
+        "embedding_space_diagnostics",
+        # inverted-index postings
+        "bm25_topk",
+        # mart table + dedup valid-readings materializations
+        "mart_readings",
+        "summary_by_device",
+        "summary_overall",
+        "anomaly_scores_t2",
+        # landing-zone fixture is process-cached (the stream itself is not)
+        "streaming_ingest_kaggle",
+        # r7: consume ground-truth / index / corpus caches
+        "knn_sq8_rerank",
+        "ivf_recall_sweep",
+    }
+)
+
+
+def bench_round() -> int | None:
+    """Round number for artifact stamping: SPARK_GRAFT_ROUND env wins;
+    otherwise 1 + the highest committed BENCH_r{N}.json (the driver
+    writes BENCH_r{N} AFTER running bench, so during round N the repo
+    holds rounds 1..N-1). None if neither source resolves."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return max(rounds) + 1 if rounds else None
 
 
 def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -291,21 +353,32 @@ def main() -> None:
 
     # Full-detail artifact: file + early stdout line (survives in the
     # repo even when the driver's 2000-char tail window drops it).
+    rnd = bench_round()
     detail = {
         "metric": "headline_queries_detail",
         "unit": "sec",
         "sf": sf,
+        "round": rnd,
         **aggregates,
         "queries": timings,
         "extra_queries": extra,
         "duckdb_queries": duck,
         "ratio_queries": ratios,
         "floor_corrected_ratio_queries": fc_ratios,
+        "cache_consuming": [n for n in CACHE_CONSUMING if n in both],
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    with open(detail_path, "w") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Round-stamped artifact (VERDICT r6 #4): bench_detail.json is a
+    # mutable working file any invocation (including sf0.01 smokes)
+    # clobbers; the per-round record the BENCH artifact's "detail" key
+    # names is written ONLY by a full-scale (sf0.1) run and carries the
+    # round in its name, so smokes can't version the wrong run.
+    detail_name = "bench_detail.json"
+    if rnd is not None and sf == 0.1:
+        detail_name = f"bench_detail_r{rnd:02d}.json"
+        with open(os.path.join(here, detail_name), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    with open(os.path.join(here, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail))
 
@@ -319,8 +392,10 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             **aggregates,
-            "queries": {n: round(t, 2) for n, t in timings.items()},
-            "detail": "bench_detail.json",
+            # display floor 0.01 (VERDICT r6 nit): a rounded 0.0 reads
+            # as "didn't run"; full precision lives in the detail file
+            "queries": {n: max(round(t, 2), 0.01) for n, t in timings.items()},
+            "detail": detail_name,
         }
     )
     assert len(final_line) < 1900, (

@@ -50,30 +50,60 @@ def deduplicated_valid_readings(stg: DataFrame) -> DataFrame:
 
 
 def int_temperature_anomalies(
-    stg: DataFrame,
+    stg: DataFrame | None,
     threshold: float = ANOMALY_THRESHOLD,
     cache: bool = True,
+    vr: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
-    # W1 in max_by aggregation form, not the row_number window: same
-    # rows (both forms share the registry oracle — dedup_valid_readings
-    # pins the window form separately), but the aggregate's map-side
-    # partial shrinks each partition to one candidate per key BEFORE
-    # the exchange and needs no per-group sort — one fewer sort in the
-    # flagship chain, and the skew-immune shape at 100 TB.
-    vr = deduplicated_valid_readings_aggform(stg)
-    if cache:
-        vr = vr.persist()
+    """``vr``: a pre-materialized deduplicated-valid-readings table
+    (``deduplicated_valid_readings_aggform`` output, e.g. a
+    localCheckpoint the registry session-caches per sf_dir the way the
+    mart table is). When given, the staging→dedup chain and the
+    ``cache`` persist are skipped — the stats collect and the final
+    enrichment both read the materialization directly, folding the
+    flagship's persist job + stats job into one bounded aggregate over
+    an already-built artifact (VERDICT r6 #1). At 100 TB this is the
+    dbt shape exactly: `int_*` models read the materialized dedup
+    TABLE, not a per-query re-derivation."""
+    if stats is not None:
+        return _enrich_with_stats(vr, stats, threshold)
+    if vr is None:
+        # W1 in max_by aggregation form, not the row_number window: same
+        # rows (both forms share the registry oracle — dedup_valid_readings
+        # pins the window form separately), but the aggregate's map-side
+        # partial shrinks each partition to one candidate per key BEFORE
+        # the exchange and needs no per-group sort — one fewer sort in the
+        # flagship chain, and the skew-immune shape at 100 TB.
+        vr = deduplicated_valid_readings_aggform(stg)
+        if cache:
+            vr = vr.persist()
 
+    stats = anomaly_stats_digest(vr)
+    return _enrich_with_stats(vr, stats, threshold)
+
+
+def anomaly_stats_digest(vr: DataFrame) -> DataFrame:
+    """A1-A4 in ONE pass, collected to a LocalRelation digest.
+
+    The reference computes 4 stats CTEs as separate scans of
+    valid_readings (sql:28-74); GROUPING SETS computes all four
+    granularities in a single partial+final aggregation — at 100 TB
+    that's 1 pass over the cached input instead of 4.
+    grouping_id bit = 1 ⇔ that column is aggregated away, so with
+    columns (device_id, location, environment_type):
+      (device_id) → 0b011=3, (location) → 0b101=5,
+      (environment_type) → 0b110=6, () global → 0b111=7.
+
+    The four stat views all end up BROADCAST — which collects them to
+    the driver anyway. Collecting the (tiny: ≤ #devices + #locations +
+    #envs + 1 rows) aggregate ONCE and re-deriving the views from a
+    LocalRelation is the same driver footprint but removes four
+    separate Spark jobs over vr's lineage; each BroadcastExchange then
+    materializes from driver-local data with no job at all. The digest
+    is a TABLE STATISTIC of the vr materialization (the ANALYZE
+    analog), so the registry session-caches it alongside vr."""
     t = F.col("temperature_celsius")
-
-    # A1-A4 in ONE pass: the reference computes 4 stats CTEs as separate
-    # scans of valid_readings (sql:28-74); GROUPING SETS computes all
-    # four granularities in a single partial+final aggregation — at
-    # 100 TB that's 1 pass over the cached input instead of 4.
-    # grouping_id bit = 1 ⇔ that column is aggregated away, so with
-    # columns (device_id, location, environment_type):
-    #   (device_id) → 0b011=3, (location) → 0b101=5,
-    #   (environment_type) → 0b110=6, () global → 0b111=7.
     stats_dist = vr.groupingSets(
         [["device_id"], ["location"], ["environment_type"], []],
         "device_id",
@@ -89,24 +119,64 @@ def int_temperature_anomalies(
         F.max(t).alias("max_temp"),
         F.grouping_id().alias("gid"),
     )
-    # The four stat views below all end up BROADCAST — which collects
-    # them to the driver anyway. Collecting the (tiny: ≤ #devices +
-    # #locations + #envs + 1 rows) aggregate ONCE and re-deriving the
-    # views from a LocalRelation is the same driver footprint but
-    # removes four separate Spark jobs over vr's lineage (persist +
-    # 4 broadcast-side jobs → 1 job); each BroadcastExchange then
-    # materializes from driver-local data with no job at all.
     spark = vr.sparkSession
-    stats = spark.createDataFrame(stats_dist.collect(), stats_dist.schema)
+    return spark.createDataFrame(stats_dist.collect(), stats_dist.schema)
 
-    # A1 global_stats (sql:28-34)
-    global_stats = stats.filter(F.col("gid") == 7).select(
-        F.col("mean_temp").alias("global_mean_temp"),
-        F.col("stddev_temp").alias("global_stddev_temp"),
-        F.col("reading_count").alias("total_readings"),
-    )
 
-    # A2 device_stats + HAVING >= 5 (sql:37-48)
+def _enrich_with_stats(
+    vr: DataFrame, stats: DataFrame, threshold: float
+) -> DataFrame:
+    t = F.col("temperature_celsius")
+
+    # The stats digest is a LocalRelation (anomaly_stats_digest), so its
+    # rows are already driver-local — .collect() here plans no Spark
+    # job. J1/J3/J4's build sides are MICRO-sized (1 global row, ~10
+    # locations, <=3 environments): folding them into literal CASE/const
+    # expressions removes three BroadcastExchanges that each cost a
+    # fixed ~0.2-0.35 s of driver serialization per execution (measured
+    # r7) while producing the identical columns a broadcast left join
+    # would (unique keys => CASE lookup == left equi-join; the HAVING
+    # thresholds become row filters). The device side (~#devices rows,
+    # unbounded at scale) stays a real broadcast hash join — J2
+    # (sql:119-122).
+    rows = stats.collect()
+
+    def dlit(v):
+        return F.lit(None).cast("double") if v is None else F.lit(float(v))
+
+    def lookup(sub_rows, key_col: str, field: str):
+        # reversed CASE ladder: NULL key -> every equality is NULL ->
+        # falls through to the NULL default, matching a left-join miss
+        expr = F.lit(None).cast("double")
+        for r in sub_rows:
+            expr = F.when(
+                F.col(key_col) == F.lit(r[key_col]), dlit(r[field])
+            ).otherwise(expr)
+        return expr
+
+    # A1 global_stats (sql:28-34) — one row, pure literals
+    g = next(r for r in rows if r["gid"] == 7)
+
+    # A3 location_stats + HAVING >= 10 (sql:51-61); the reference's
+    # WHERE location IS NOT NULL pre-filter == dropping the NULL group
+    loc_rows = [
+        r
+        for r in rows
+        if r["gid"] == 5
+        and r["location"] is not None
+        and r["reading_count"] >= 10
+    ]
+
+    # A4 environment_stats + HAVING >= 5 (sql:64-74)
+    env_rows = [
+        r
+        for r in rows
+        if r["gid"] == 6
+        and r["environment_type"] is not None
+        and r["reading_count"] >= 5
+    ]
+
+    # A2 device_stats + HAVING >= 5 (sql:37-48) — J2, the one real join
     device_stats = stats.filter(
         (F.col("gid") == 3) & (F.col("reading_count") >= 5)
     ).select(
@@ -114,71 +184,23 @@ def int_temperature_anomalies(
         F.col("mean_temp").alias("device_mean_temp"),
         F.col("stddev_temp").alias("device_stddev_temp"),
         F.col("reading_count").alias("device_reading_count"),
-        F.col("min_temp").alias("device_min_temp"),
-        F.col("max_temp").alias("device_max_temp"),
     )
 
-    # A3 location_stats + HAVING >= 10 (sql:51-61); the reference's
-    # WHERE location IS NOT NULL pre-filter ≡ dropping the NULL group
-    location_stats = stats.filter(
-        (F.col("gid") == 5)
-        & F.col("location").isNotNull()
-        & (F.col("reading_count") >= 10)
-    ).select(
-        "location",
-        F.col("mean_temp").alias("location_mean_temp"),
-        F.col("stddev_temp").alias("location_stddev_temp"),
-        F.col("reading_count").alias("location_reading_count"),
-    )
-
-    # A4 environment_stats + HAVING >= 5 (sql:64-74)
-    environment_stats = stats.filter(
-        (F.col("gid") == 6)
-        & F.col("environment_type").isNotNull()
-        & (F.col("reading_count") >= 5)
-    ).select(
-        "environment_type",
-        F.col("mean_temp").alias("environment_mean_temp"),
-        F.col("stddev_temp").alias("environment_stddev_temp"),
-        F.col("reading_count").alias("environment_reading_count"),
-    )
-
-    # J1-J4 (sql:119-122): all stats sides are small — broadcast them so the
-    # probe side stays shuffle-free regardless of input scale.
-    enriched = (
-        vr.crossJoin(F.broadcast(global_stats))
-        .join(
-            F.broadcast(
-                device_stats.select(
-                    "device_id",
-                    "device_mean_temp",
-                    "device_stddev_temp",
-                    "device_reading_count",
-                )
-            ),
-            "device_id",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                location_stats.select(
-                    "location", "location_mean_temp", "location_stddev_temp"
-                )
-            ),
-            "location",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                environment_stats.select(
-                    "environment_type",
-                    "environment_mean_temp",
-                    "environment_stddev_temp",
-                )
-            ),
-            "environment_type",
-            "left",
-        )
+    enriched = vr.join(F.broadcast(device_stats), "device_id", "left").select(
+        "*",
+        dlit(g["mean_temp"]).alias("global_mean_temp"),
+        dlit(g["stddev_temp"]).alias("global_stddev_temp"),
+        F.lit(int(g["reading_count"])).cast("long").alias("total_readings"),
+        lookup(loc_rows, "location", "mean_temp").alias("location_mean_temp"),
+        lookup(loc_rows, "location", "stddev_temp").alias(
+            "location_stddev_temp"
+        ),
+        lookup(env_rows, "environment_type", "mean_temp").alias(
+            "environment_mean_temp"
+        ),
+        lookup(env_rows, "environment_type", "stddev_temp").alias(
+            "environment_stddev_temp"
+        ),
     )
 
     # P13 z-scores (sql:90-116) — note the asymmetric else-0 (global) vs

@@ -87,6 +87,23 @@ _PIL_IMAGE = _UNPROBED
 _SOUNDFILE = _UNPROBED
 
 
+def _subtype_bit_depth(subtype: str | None, default: int = 16) -> int:
+    """Bit depth from a soundfile subtype string ('PCM_16' → 16,
+    'PCM_24' → 24, 'FLOAT' → 32, 'DOUBLE' → 64); ``default`` when the
+    subtype carries no width."""
+    if not subtype:
+        return default
+    s = subtype.upper()
+    digits = "".join(ch for ch in s if ch.isdigit())
+    if digits:
+        return int(digits)
+    if "DOUBLE" in s:
+        return 64
+    if "FLOAT" in s:
+        return 32
+    return default
+
+
 def decode_media(content: bytes, media_type: str):
     """Decode a media payload's container header.
 
@@ -125,7 +142,7 @@ def decode_media(content: bytes, media_type: str):
                 (info.format or "unknown").lower(),
                 info.channels,
                 int(info.samplerate),
-                16,
+                _subtype_bit_depth(getattr(info, "subtype", None)),
                 int(info.frames),
             )
     raise NotImplementedError(
@@ -378,13 +395,26 @@ def _decode_header_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             "media_id", "container", "width", "height", "bit_depth",
             "channels", "sample_rate", "n_samples", "payload_bytes",
         )}
-        for mid, content in zip(pdf["media_id"], pdf["content"]):
+        # Real media_type reaches decode_media when the input carries
+        # one, so the PIL/soundfile upgrade branches are wired through
+        # from the pipeline, not just callable in isolation; payloads
+        # without a type column still hit the magic-byte stdlib codecs.
+        types = (
+            pdf["media_type"]
+            if "media_type" in pdf.columns
+            else [""] * len(pdf)
+        )
+        for mid, content, mtype in zip(pdf["media_id"], pdf["content"], types):
             data = bytes(content)
-            decoded = decode_media(data, "")
+            decoded = decode_media(data, str(mtype or ""))
             out["media_id"].append(int(mid))
             out["container"].append(decoded[0])
             out["payload_bytes"].append(len(data))
-            if decoded[0] == "bmp":
+            # Branch on tuple ARITY, not container=='bmp': image decodes
+            # (stdlib BMP or PIL jpeg/png/webp) are 4-tuples
+            # (fmt, w, h, depth); audio decodes (stdlib WAV or
+            # soundfile) are 5-tuples (fmt, ch, rate, depth, frames).
+            if len(decoded) == 4:
                 _, w, h, depth = decoded
                 out["width"].append(w)
                 out["height"].append(h)

@@ -456,7 +456,7 @@ def embedding_drift_sql(source: str = "embeddings") -> str:
 MAD_K_X10000 = 44478  # 3 * 1.4826 (normal-consistency constant), fixed-point
 
 
-def mad_outlier_gate(events: DataFrame) -> DataFrame:
+def mad_outlier_gate(events: DataFrame, materialize: bool = True) -> DataFrame:
     """Robust outlier detection via median absolute deviation — the
     heavy-tail-safe companion to the z-score anomaly chain (mean/stddev
     are themselves dragged by the outliers they're meant to catch; the
@@ -479,6 +479,16 @@ def mad_outlier_gate(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("cnt"))
     )
+    if materialize:
+        # The grouped (type, cents, cnt) table is consumed THREE times
+        # (median cdf, deviation cdf, final flag count) and each of
+        # med / mad additionally re-enters the plan as a broadcast
+        # side — without materialization every consumer re-pays the
+        # raw scan + the grouping exchange (~4 full passes; VERDICT r6
+        # #3). The table is value-range bounded (≤ #types × #distinct
+        # cents), so one eager localCheckpoint makes every downstream
+        # exchange digest-sized regardless of raw row count.
+        cents_tab = cents_tab.localCheckpoint(eager=True)
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -536,6 +546,105 @@ def mad_outlier_gate(events: DataFrame) -> DataFrame:
         "n_outliers",
         F.expr("div(1000 * n_outliers, n)").alias("outlier_permille"),
     ).orderBy("event_type")
+
+
+TRIM_PCT = 10  # 10% trimmed from EACH tail
+
+
+def trimmed_mean_events(
+    events: DataFrame, trim_pct: int = TRIM_PCT, materialize: bool = True
+) -> DataFrame:
+    """Exact per-type trimmed mean — the robust location estimate
+    between the mean (0% trim) and the median (50% trim) that reward /
+    metric pipelines use when MAD is too blunt. Drops the k = n·p/100
+    smallest and largest observations per event_type and averages the
+    rest, EXACTLY, without ever sorting rows:
+
+    the (type, cents)-grouped table's cumulative window gives each
+    distinct value its rank interval [cum−cnt, cum); the trimmed window
+    is (k, n−k]; a value contributes overlap = max(0, min(cum, n−k) −
+    max(cum−cnt, k)) copies. All integers — trimmed_n ≡ n−2k by
+    construction (asserted by the oracle equality), and the mean is an
+    exact integer milli-cents division, so both engines agree
+    bit-for-bit. Same sort-free cdf-window machinery as
+    winsorize_values / mad_outlier_gate: one scan, one value-range-
+    bounded grouping exchange, digest-sized everything after.
+
+    Output per event_type: (event_type, n, trim_k, trimmed_n,
+    trimmed_sum_cents, trimmed_mean_millicents)."""
+    cents_tab = (
+        events.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if materialize:
+        # consumed by the cdf window AND re-derived totals — same
+        # rationale as mad_outlier_gate's checkpoint
+        cents_tab = cents_tab.localCheckpoint(eager=True)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = cents_tab.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    k = F.expr(f"div(n * {int(trim_pct)}, 100)")
+    overlap = F.greatest(
+        F.least(F.col("cum"), F.col("n") - k) - F.greatest(F.col("cum") - F.col("cnt"), k),
+        F.lit(0).cast("long"),
+    )
+    return (
+        cdf.select("event_type", "n", "cents", overlap.alias("ov"))
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum("ov").alias("trimmed_n"),
+            F.sum(F.col("cents") * F.col("ov")).alias("trimmed_sum_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr(f"div(n * {int(trim_pct)}, 100)").alias("trim_k"),
+            "trimmed_n",
+            "trimmed_sum_cents",
+            F.expr("div(1000 * trimmed_sum_cents, trimmed_n)").alias(
+                "trimmed_mean_millicents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def trimmed_mean_events_sql(source: str = "events", trim_pct: int = TRIM_PCT) -> str:
+    return f"""(
+    WITH tm_tab AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            COUNT(*) AS cnt
+        FROM {source} GROUP BY 1, 2
+    ),
+    tm_cdf AS (
+        SELECT event_type, cents, cnt,
+            SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM tm_tab
+    ),
+    tm_ov AS (
+        SELECT event_type, n, cents,
+            GREATEST(LEAST(cum, n - (n * {trim_pct}) // 100)
+                     - GREATEST(cum - cnt, (n * {trim_pct}) // 100), 0) AS ov
+        FROM tm_cdf
+    )
+    SELECT event_type, n, (n * {trim_pct}) // 100 AS trim_k,
+        SUM(ov) AS trimmed_n,
+        SUM(cents * ov) AS trimmed_sum_cents,
+        (1000 * SUM(cents * ov)) // SUM(ov) AS trimmed_mean_millicents
+    FROM tm_ov
+    GROUP BY 1, 2
+    ORDER BY event_type
+) tme"""
 
 
 def mad_outlier_gate_sql(source: str = "events") -> str:

@@ -239,6 +239,35 @@ def knn_brute_force(
     )
 
 
+def ground_truth_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """Session-cached EXACT top-k ground truth — the eval baseline
+    every recall/nDCG check compares an approximate index against.
+    Ground truth is an index-shaped artifact (build-once/serve-many,
+    the quantized_corpus rule applied to eval baselines — VERDICT r6
+    #2): ann/pq/sq8/jl recall checks all need the same exact top-k, so
+    rebuilding the brute-force scan inside each eval re-pays the most
+    expensive job in the family once per metric. Keyed by every
+    parameter that shapes the result; deterministic derivation, so
+    cold and warm caches agree (the DuckDB oracles rebuild from
+    scratch every run and still hash-match)."""
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_ann_ground_truth")
+    key = (os.path.abspath(sf_dir), query_mod, k)
+    hit = cache.get(key)
+    if hit is None:
+        hit = knn_brute_force(spark, sf_dir, query_mod, k).localCheckpoint(
+            eager=True
+        )
+        cache[key] = hit
+    return hit
+
+
 def knn_brute_force_matmul(
     emb: DataFrame, query_mod: int = 100, k: int = 5
 ) -> DataFrame:
@@ -1281,7 +1310,7 @@ def jl_projection_recall(
             F.col("rank") <= k
         )
     approx = ranked.select("query_id", "neighbor_id")
-    bf = knn_brute_force(spark, sf_dir, query_mod, k).select(
+    bf = ground_truth_topk(spark, sf_dir, query_mod, k).select(
         "query_id", "neighbor_id"
     )
     hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -1641,9 +1670,14 @@ def embedding_space_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("var_num").cast("double")
             / (F.count("*").cast("double") * F.first("var_den"))
         ).alias("mean_dim_var"),
-        (
-            (F.lit(1_000_000).cast("decimal(38,0)") * F.max("var_num"))
-            / F.sum("var_num")
+        # div(), not decimal `/` + cast: decimal division rounds
+        # HALF_UP to the result scale before the long cast truncates,
+        # which can land one ppm above the oracle's floor `//` when the
+        # exact quotient sits within ~5e-7 of an integer. div() is the
+        # repo's pinned exact-integer-division recipe (trunc toward
+        # zero ≡ floor here — both operands are non-negative).
+        F.expr(
+            "div(CAST(1000000 AS DECIMAL(38,0)) * max(var_num), sum(var_num))"
         )
         .cast("long")
         .alias("top_dim_var_share_ppm"),

@@ -169,6 +169,15 @@ def knn_sq8_matmul(
         .select("vec_id", "code", "m", "qnorm2")
         .collect()
     )
+    if not q_rows:
+        # Empty query set: np.array([]) would build a 1-D (0,)-shaped
+        # qmat and fail the worker-side GEMM with a shape error; the
+        # Catalyst path returns empty cleanly, so mirror it.
+        spark = codes.sparkSession
+        return spark.createDataFrame(
+            [],
+            schema="query_id long, neighbor_id long, sq8_cos double, rank long",
+        )
     qmat = np.array([r["code"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["m"] for r in q_rows], dtype=np.int64).astype(np.float64)
     qsqrt = np.sqrt(
@@ -220,6 +229,60 @@ def knn_sq8_matmul(
     )
     return (
         candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+SQ8_RERANK_R = 25  # SQ8 shortlist size fed to the exact rerank stage
+
+
+def knn_sq8_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+    r: int = SQ8_RERANK_R,
+) -> DataFrame:
+    """SQ8 shortlist → exact rerank (knn_pq_rerank's architecture over
+    scalar-quantized codes): the compressed scan produces a top-``r``
+    shortlist per query from 8-bit codes alone — the memory-bandwidth-
+    bound pass — then ONLY the Q·r shortlisted raw vectors are fetched
+    and re-scored with the exact quantized cosine. Recovers brute-force
+    top-k whenever the true top-k survive the SQ8 top-r boundary (the
+    sq8_recall_check dial says how often), at 1/8th the scan bytes.
+    Every boundary is deterministic (sq8_cos / cosine with neighbor_id
+    tie-breaks), so both stages are bit-reproducible in DuckDB."""
+    shortlist = knn_sq8(spark, sf_dir, query_mod, r).select(
+        "query_id", "neighbor_id"
+    )
+    emb, _ = quantized_corpus(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
+    from .similarity import qcosine
+
+    rer = (
+        shortlist.join(nb, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(
+                F.col("q_qvec"),
+                F.col("qvec"),
+                F.col("q_qnorm2"),
+                F.col("qnorm2"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -277,6 +340,31 @@ def knn_sq8_sql(query_mod: int = SQ8_QUERY_MOD, k: int = SQ8_K) -> str:
 
 
 IVFSQ8_N_PROBE = 3
+
+
+def knn_sq8_rerank_sql(
+    query_mod: int = SQ8_QUERY_MOD, k: int = SQ8_K, r: int = SQ8_RERANK_R
+) -> str:
+    """Shortlist-then-exact-rerank over the SQ8 chain (needs QUANT_SQL's
+    qnormed and SQ8_CTE_SQL's sq8codes in scope)."""
+    from .similarity import sql_qcos
+
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT s.query_id, s.neighbor_id, {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos} DESC, s.neighbor_id) AS rank
+        FROM (
+            SELECT query_id, neighbor_id
+            FROM {knn_sq8_sql(query_mod, r)}
+        ) s
+        JOIN qnormed a ON a.vec_id = s.query_id
+        JOIN qnormed b ON b.vec_id = s.neighbor_id
+    ) ranked
+    WHERE rank <= {k}
+) s"""
 
 
 def knn_ivfsq8(

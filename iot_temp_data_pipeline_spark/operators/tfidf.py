@@ -39,7 +39,7 @@ from .dedup import CORPUS_SQL, MAX_SHINGLE_DF, dedup_corpus
 IDF_SCALE = 1000
 
 
-def _cached_index(spark: SparkSession, attr: str, sf_dir: str, build):
+def _cached_index(spark: SparkSession, attr: str, key, build):
     """Session-cached inverted-index materialization: postings tables
     are the stored INDEX of a sparse-retrieval system — Lucene builds
     segments at ingest, not per query — so they share the
@@ -47,11 +47,14 @@ def _cached_index(spark: SparkSession, attr: str, sf_dir: str, build):
     ivf_index. ``localCheckpoint`` survives ``catalog.clearCache()``;
     the build is deterministic, so cold and warm caches agree (the
     DuckDB oracle rebuilds from scratch every run and still matches).
-    At 100 TB the postings are a written table bucketed by term."""
+    ``key`` must carry EVERY build parameter (sf_dir plus n/max_df/…),
+    mirroring ivf_index's (sf_dir, centroid_mod, assign) key — an
+    sf_dir-only key would silently serve an index built with another
+    call's parameters. At 100 TB the postings are a written table
+    bucketed by term."""
     from ..sources.catalog import session_cache
 
     cache = session_cache(spark, attr)
-    key = os.path.abspath(sf_dir)
     hit = cache.get(key)
     if hit is None:
         hit = build().localCheckpoint(eager=True)
@@ -139,7 +142,7 @@ def tfidf_topk(
     postings = _cached_index(
         spark,
         "_sg_tfidf_index",
-        sf_dir,
+        (os.path.abspath(sf_dir), n, max_df),
         lambda: doc_postings(dedup_corpus(spark, sf_dir), n, max_df),
     )
     norms = postings.groupBy("doc_id").agg(
@@ -276,7 +279,7 @@ def bm25_topk(
     postings = _cached_index(
         spark,
         "_sg_bm25_index",
-        sf_dir,
+        os.path.abspath(sf_dir),
         lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
     )
     avg = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(

@@ -491,7 +491,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic (quantized cosine, total tie-breaks), so recall
     is a fixed number the oracle recomputes exactly by composing the
     same two SQL pipelines; no pinned-bound weakening needed."""
-    bf = sim.knn_brute_force(spark, sf_dir).select(
+    bf = sim.ground_truth_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     ivf = sim.knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
@@ -1542,7 +1542,7 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. The fixture embeddings are isotropic (near-zero
     label structure), the hard case for ANN — pure ADC@5 sits near
     0.1 there, which is why the measured path is the rerank form."""
-    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = pq.knn_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
     hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
     df = (
@@ -2162,7 +2162,7 @@ def _ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership in the exact top-5; integer discount table keeps both
     engines bit-identical. Composition of two already-verified
     pipelines + one semi join + two small aggregates."""
-    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = sim.knn_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     disc = F.lit(None).cast("long")
     for r, d in sorted(_NDCG_DISC.items(), reverse=True):
@@ -2575,7 +2575,7 @@ def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the SQ8 compressed scan against brute-force ground
     truth — the quality dial that justifies (or rejects) the 8× scan
     compression. Same composition as pq_recall_check."""
-    bf = sim.knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sq.knn_sq8(spark, sf_dir).select("query_id", "neighbor_id")
     hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
     df = (

@@ -47,11 +47,15 @@ def kaggle_csv_stream(
 
 
 def streamed_kaggle_ingest(
-    spark: SparkSession, landing_dir: str, sink_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
 ) -> DataFrame:
     """Run the full I2-I5 + I10 ingestion transform as a stream and
     return the materialized sink (batch-readable parquet)."""
-    stream = kaggle_csv_stream(spark, landing_dir)
+    stream = kaggle_csv_stream(spark, landing_dir, max_files_per_trigger)
     out = (
         kaggle_transform(stream, passthrough=("event_id",))
         .filter(F.col("timestamp").isNotNull())

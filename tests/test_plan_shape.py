@@ -24,13 +24,17 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 def test_anomaly_enrichment_joins_broadcast(spark, sf_dir):
-    """J1-J4: all four stats joins broadcast; no SortMergeJoin anywhere
-    in the anomaly plan — at scale the probe side must not shuffle for
-    enrichment."""
+    """J1-J4: the device stats join (the only one whose build side grows
+    with the data — J2) broadcasts; J1/J3/J4's micro-sized sides (1
+    global row, ~10 locations, <=3 environments) are folded into literal
+    CASE/const expressions, so they appear as NO join at all (r7 rework
+    — each LocalRelation BroadcastExchange cost a fixed ~0.2-0.35 s per
+    execution). No SortMergeJoin anywhere — at scale the probe side must
+    not shuffle for enrichment."""
     plan = plan_of(REGISTRY["anomaly_scores_t2"].spark(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3  # J2-J4 equi joins
-    assert "BroadcastNestedLoopJoin" in plan  # J1 1-row cross join
+    assert plan.count("BroadcastHashJoin") >= 1  # J2 device equi join
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # J1 folded to literals
 
 
 def test_staging_scan_prunes_columns(spark, sf_dir):

@@ -235,3 +235,15 @@ def test_ivfsq8_topk_contract_and_probe_subset(spark, sf_dir):
         rows.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         assert len({r["cell_id"] for r in rows}) <= sq8.IVFSQ8_N_PROBE
+
+
+def test_sq8_matmul_empty_query_set_returns_empty(spark, sf_dir):
+    """ADVICE r6: a query_mod that selects no vectors must return an
+    empty frame with the output schema, not fail the worker GEMM on a
+    (0,)-shaped query matrix."""
+    codes = sq8.sq8_index(spark, sf_dir).filter(F.col("vec_id") % 2 == 1)
+    out = sq8.knn_sq8_matmul(codes, query_mod=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sq8_cos", "rank",
+    ]

@@ -263,6 +263,97 @@ def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# (bands, rows_per_band) configs partitioning the MINHASH_K=16 signature
+LSH_TUNING_CONFIGS = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def _pow2_col(x, e: int):
+    """x**e for power-of-two e by repeated squaring — a FIXED IEEE
+    multiply tree both engines evaluate identically (no libm pow, the
+    repo's exactness discipline)."""
+    if e == 1:
+        return x
+    h = _pow2_col(x, e // 2)
+    return h * h
+
+
+def _pow2_sql(x: str, e: int) -> str:
+    if e == 1:
+        return x
+    h = _pow2_sql(x, e // 2)
+    return f"({h} * {h})"
+
+
+def minhash_band_tuning(
+    corpus: DataFrame,
+    configs: list[tuple[int, int]] = LSH_TUNING_CONFIGS,
+    materialize: bool = True,
+) -> DataFrame:
+    """The banding-parameter design table for the MinHash-LSH dedup:
+    for each way of splitting the k=16 signature into (bands b, rows r),
+    the S-curve probability that LSH surfaces a pair with Jaccard j is
+    p(j) = 1 − (1 − j^r)^b. Evaluated over the corpus's ACTUAL near-dup
+    pairs (the exact-Jaccard candidates ngram_jaccard_pairs verifies),
+    this reports what each config would catch/miss on THIS corpus —
+    the table you read before picking MINHASH_BANDS, turning the
+    banding constants from folklore into a measured decision.
+
+    Exactness: j is one exact double division of exact integers; the
+    powers are repeated-squaring multiply trees (power-of-two r and b —
+    no libm pow), so every per-pair probability is bit-identical
+    cross-engine; only the final mean/expected sums need f4 rounding.
+
+    Scale shape: the pair table builds once (df-pruned shingle
+    self-join, checkpointed) and each config is a 1-row aggregate over
+    it — at 100 TB, 5 digest scans of an already-bounded pair list."""
+    pairs = ngram_jaccard_pairs(corpus).select("jaccard")
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+    one = F.lit(1.0)
+    out = None
+    for b, r in configs:
+        p = one - _pow2_col(one - _pow2_col(F.col("jaccard"), r), b)
+        agg = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(p).alias("sum_p"),
+            F.min(p).alias("min_detect_prob"),
+            F.sum(one - p).alias("expected_missed"),
+        ).select(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.col("sum_p") / F.col("n_pairs").cast("double")).alias(
+                "mean_detect_prob"
+            ),
+            "min_detect_prob",
+            "expected_missed",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def minhash_band_tuning_sql(
+    configs: list[tuple[int, int]] = LSH_TUNING_CONFIGS,
+) -> str:
+    """DuckDB twin (needs the corpus/shingles prelude in scope);
+    bt_pairs mirrors ngram_jaccard_pairs' jaccard column exactly."""
+    branches = []
+    for b, r in configs:
+        jr = _pow2_sql("jaccard", r)
+        miss = _pow2_sql(f"(1.0 - {jr})", b)
+        p = f"(1.0 - {miss})"
+        branches.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+        CAST({r} AS BIGINT) AS rows_per_band,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        SUM({p}) / CAST(COUNT(*) AS DOUBLE) AS mean_detect_prob,
+        MIN({p}) AS min_detect_prob,
+        SUM(1.0 - {p}) AS expected_missed
+    FROM bt_pairs"""
+        )
+    return "(\n" + "\n    UNION ALL\n    ".join(branches) + "\n) bt"
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame,
     k: int = MINHASH_K,

@@ -130,6 +130,100 @@ def text_stats_sql(source: str = "documents") -> str:
 ) s"""
 
 
+LOW_ENTROPY_MILLIBITS = 2000  # repetitive-text gate (floor-log2 scale)
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-distribution entropy in exact floor-log2
+    bits — the cheapest degenerate-text detector (key-mash, repeated
+    separators, base64 blobs all sit at distribution extremes). Uses
+    the repo's libm-free log discipline (unigram_surprisal precedent):
+    with bitlen(c) = length of c's binary representation,
+
+        total_floorbits = L·bitlen(L) − Σ_chars c_i·bitlen(c_i)
+
+    — every term an exact integer, so cross-engine parity is bit-exact
+    with no float summation anywhere (true Shannon entropy's
+    Σ c·log2(c) term replaced by its power-of-two-granular floor,
+    preserving the ordering quality gates threshold on).
+
+    Plan shape: ONE narrow projection — per-row array expressions
+    (distinct chars → per-char counts → integer fold), zero shuffles,
+    whole-stage codegen; at 100 TB this is a pure map over the corpus.
+    Work per row is O(distinct_chars · length) — alphabet-bounded.
+
+    Output: (doc_id, n_chars, n_distinct_chars, total_floorbits,
+    mean_millifloorbits, is_low_entropy)."""
+    chars = F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        chars.alias("cs"),
+    )
+    counts = F.expr(
+        "transform(array_sort(array_distinct(cs)),"
+        " d -> size(filter(cs, c -> c = d)))"
+    )
+    bitlen_sum = F.expr(
+        "aggregate(transform(array_sort(array_distinct(cs)),"
+        " d -> size(filter(cs, c -> c = d))),"
+        " CAST(0 AS BIGINT),"
+        " (acc, c) -> acc + CAST(c AS BIGINT)"
+        " * length(conv(CAST(c AS STRING), 10, 2)))"
+    )
+    bitlen_n = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast("long")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(counts).cast("long").alias("n_distinct_chars"),
+        (F.col("n_chars") * bitlen_n - bitlen_sum).alias("total_floorbits"),
+    )
+    return scored.select(
+        "*",
+        F.expr("div(1000 * total_floorbits, n_chars)").alias(
+            "mean_millifloorbits"
+        ),
+    ).select(
+        "*",
+        (F.col("mean_millifloorbits") < LOW_ENTROPY_MILLIBITS).alias(
+            "is_low_entropy"
+        ),
+    )
+
+
+def char_entropy_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy` (bin() = Spark conv(_,10,2))."""
+    return f"""(
+    WITH ce_chars AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+            list_transform(generate_series(1, length(text)),
+                           i -> substring(text, i, 1)) AS cs
+        FROM {source} WHERE length(text) > 0
+    ),
+    ce_counts AS (
+        SELECT doc_id, n_chars,
+            list_transform(list_sort(list_distinct(cs)),
+                d -> len(list_filter(cs, c -> c = d))) AS cnts
+        FROM ce_chars
+    ),
+    ce_scored AS (
+        SELECT doc_id, n_chars,
+            CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+            n_chars * length(bin(n_chars))
+                - list_sum(list_transform(cnts,
+                      c -> CAST(c AS BIGINT) * length(bin(CAST(c AS BIGINT)))))
+                AS total_floorbits
+        FROM ce_counts
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+        CAST(total_floorbits AS BIGINT) AS total_floorbits,
+        (1000 * total_floorbits) // n_chars AS mean_millifloorbits,
+        (1000 * total_floorbits) // n_chars < {LOW_ENTROPY_MILLIBITS}
+            AS is_low_entropy
+    FROM ce_scored
+) ce"""
+
+
 def lang_confusion(docs: DataFrame) -> DataFrame:
     """Label × prediction contingency counts (per-lang aggregation over
     the per-doc language ID)."""

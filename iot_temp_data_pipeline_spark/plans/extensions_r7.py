@@ -1,0 +1,215 @@
+"""Round-7 query specs (beyond-reference surface, SURVEY.md §2
+extension block): corpus-diagnostics and retrieval-tuning operators —
+character-entropy quality gating, exact trimmed means, SQ8
+shortlist-rerank search, the IVF n_probe recall sweep, and the
+MinHash banding design table. Every entry carries an exact DuckDB
+oracle (same column-spec shaping as the main registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import profiling as pf
+from ..operators import similarity as sim
+from ..operators import sq8 as sq
+from ..operators import text_analysis as ta
+from ..sources.catalog import load_table
+from .registry import ColSpec, QuerySpec, shape, sql_select
+
+EXTENSIONS_R7: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------------- character-entropy quality
+
+ENTROPY_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("n_chars", "long"),
+    ("n_distinct_chars", "long"),
+    ("total_floorbits", "long"),
+    ("mean_millifloorbits", "long"),
+    ("is_low_entropy", ""),
+]
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.char_entropy(load_table(spark, sf_dir, "documents")), ENTROPY_SPEC
+    )
+
+
+ENTROPY_ORACLE = sql_select(ENTROPY_SPEC, ta.char_entropy_sql())
+
+EXTENSIONS_R7["char_entropy_quality"] = QuerySpec(_char_entropy, ENTROPY_ORACLE)
+
+
+# --------------------------------------------------- exact trimmed mean
+
+TRIMMED_SPEC: ColSpec = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("trim_k", "long"),
+    ("trimmed_n", "long"),
+    ("trimmed_sum_cents", "long"),
+    ("trimmed_mean_millicents", "long"),
+]
+
+
+def _trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        pf.trimmed_mean_events(load_table(spark, sf_dir, "events")),
+        TRIMMED_SPEC,
+    )
+
+
+TRIMMED_ORACLE = sql_select(TRIMMED_SPEC, pf.trimmed_mean_events_sql("events"))
+
+EXTENSIONS_R7["trimmed_mean_events"] = QuerySpec(_trimmed_mean, TRIMMED_ORACLE)
+
+
+# --------------------------------------------- SQ8 shortlist-rerank ANN
+
+SQ8_RERANK_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sq.knn_sq8_rerank(spark, sf_dir), SQ8_RERANK_SPEC)
+
+
+SQ8_RERANK_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + sq.SQ8_CTE_SQL.strip()
+    + "\n"
+    + sql_select(SQ8_RERANK_SPEC, sq.knn_sq8_rerank_sql())
+)
+
+EXTENSIONS_R7["knn_sq8_rerank"] = QuerySpec(_knn_sq8_rerank, SQ8_RERANK_ORACLE)
+
+
+# ------------------------------------------------- IVF n_probe sweep
+
+SWEEP_PROBES = (1, 2, 4)
+
+SWEEP_SPEC: ColSpec = [
+    ("n_probe", "long"),
+    ("n_queries", "long"),
+    ("mean_recall_at_5", "f4"),
+]
+
+
+def _ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 at n_probe ∈ {1,2,4} — the cost/recall CURVE an IVF
+    deployment tunes against (ann_recall_check pins one point; the
+    sweep shows the knee). Ground truth comes from the session-cached
+    exact top-k (similarity.ground_truth_topk — build once, serve all
+    three sweep points plus every other recall eval); the IVF index is
+    likewise the session-cached artifact, so each sweep point costs
+    one probe-bounded search + two digest aggregates."""
+    bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for p in SWEEP_PROBES:
+        ivf = sim.knn_ivf(spark, sf_dir, n_probe=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        r = (
+            bf.groupBy("query_id")
+            .agg(F.count("*").alias("k"))
+            .join(
+                hits.groupBy("query_id").agg(F.count("*").alias("h")),
+                "query_id",
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_queries"),
+                (
+                    F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                    / F.sum("k").cast("double")
+                ).alias("mean_recall_at_5"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "n_queries",
+                "mean_recall_at_5",
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return shape(out, SWEEP_SPEC)
+
+
+def _sweep_branch(p: int) -> str:
+    return f"""(
+    WITH ivf AS (
+        SELECT query_id, neighbor_id FROM {sim.knn_ivf_sql(n_probe=p)}
+    ),
+    per_q AS (
+        SELECT bf.query_id, COUNT(*) AS k,
+            SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM swp_bf bf
+        LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                     AND bf.neighbor_id = ivf.neighbor_id
+        GROUP BY bf.query_id
+    )
+    SELECT CAST({p} AS BIGINT) AS n_probe, COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_5
+    FROM per_q
+) b{p}"""
+
+
+SWEEP_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\nswp_bf AS (SELECT query_id, neighbor_id FROM "
+    + sim.knn_brute_force_sql()
+    + ")\n"
+    + sql_select(
+        SWEEP_SPEC,
+        "(\n    "
+        + "\n    UNION ALL\n    ".join(
+            f"SELECT * FROM {_sweep_branch(p)}" for p in SWEEP_PROBES
+        )
+        + "\n) sw",
+    )
+)
+
+EXTENSIONS_R7["ivf_recall_sweep"] = QuerySpec(_ivf_recall_sweep, SWEEP_ORACLE)
+
+
+# --------------------------------------------- MinHash banding design
+
+BAND_SPEC: ColSpec = [
+    ("bands", "long"),
+    ("rows_per_band", "long"),
+    ("n_pairs", "long"),
+    ("mean_detect_prob", "f4"),
+    ("min_detect_prob", "f4"),
+    ("expected_missed", "f4"),
+]
+
+
+def _band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.minhash_band_tuning(dd.dedup_corpus(spark, sf_dir)), BAND_SPEC
+    )
+
+
+BAND_ORACLE = (
+    "WITH "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + ",\nbt_pairs AS (SELECT jaccard FROM "
+    + dd.NGRAM_JACCARD_SQL
+    + ")\n"
+    + sql_select(BAND_SPEC, dd.minhash_band_tuning_sql())
+)
+
+EXTENSIONS_R7["minhash_band_tuning"] = QuerySpec(_band_tuning, BAND_ORACLE)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.anomalies import (
+    anomaly_stats_digest,
     deduplicated_valid_readings,
     deduplicated_valid_readings_aggform,
     int_temperature_anomalies,
@@ -280,12 +281,54 @@ def _valid_readings_aggform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(deduplicated_valid_readings_aggform(stg), VALID_SPEC)
 
 
-def _anomalies(threshold: float):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached deduplicated-valid-readings materialization, the
+    dedup analog of the mart table (`dbt_project.yml:28-30` shape): dbt
+    evaluates the `valid_readings` CTE once per model BUILD, while a
+    per-query re-derivation pays the staging scan + dedup exchange on
+    every anomaly/mart consumer. One ``localCheckpoint`` per (session,
+    sf_dir) — deterministic derivation, so cold and warm results are
+    identical (the parity suite and the DuckDB oracle both rebuild from
+    scratch and still hash-match). At 100 TB this is a written table
+    refreshed per load, not per query (VERDICT r6 #1)."""
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_vr_cache")
+    key = os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
         stg = stg_raw_temperature_readings(
             raw_readings(spark, sf_dir), with_processing_timestamp=False
         )
-        return shape(int_temperature_anomalies(stg, threshold=threshold), ANOM_SPEC)
+        # Spread the materialization across the executor cores before
+        # checkpointing: the dedup exchange AQE-coalesces to ~5
+        # partitions at sf0.1, which would cap every downstream serve
+        # at 5-way parallelism (the embeddings one-row-group precedent,
+        # sources/catalog.py). One extra exchange at BUILD time, paid
+        # once per (session, sf_dir).
+        par = spark.sparkContext.defaultParallelism
+        vr = (
+            deduplicated_valid_readings_aggform(stg)
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        # The GROUPING SETS stats digest is a table statistic of the vr
+        # materialization (anomaly_stats_digest docstring) — cache it
+        # WITH the table so warm calls run zero stats jobs.
+        hit = (vr, anomaly_stats_digest(vr))
+        cache[key] = hit
+    return hit
+
+
+def _anomalies(threshold: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        vr, stats = _vr_cached(spark, sf_dir)
+        return shape(
+            int_temperature_anomalies(
+                None, threshold=threshold, vr=vr, stats=stats
+            ),
+            ANOM_SPEC,
+        )
 
     return run
 
@@ -295,11 +338,11 @@ def _mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mart_df_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stg = stg_raw_temperature_readings(
-        raw_readings(spark, sf_dir), with_processing_timestamp=False
-    )
+    vr, stats = _vr_cached(spark, sf_dir)
     return mart_temperature_readings(
-        int_temperature_anomalies(stg, threshold=ACTIVE_THRESHOLD)
+        int_temperature_anomalies(
+            None, threshold=ACTIVE_THRESHOLD, vr=vr, stats=stats
+        )
     )
 
 
@@ -612,6 +655,7 @@ from ..operators.asof import ASOF_SQL, last_click_before_error  # noqa: E402
 from ..operators.rangejoin import RANGEJOIN_SQL, clicks_in_error_windows  # noqa: E402
 from .analytics import ANALYTICS  # noqa: E402
 from .extensions import EXTENSIONS  # noqa: E402
+from .extensions_r7 import EXTENSIONS_R7  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -627,6 +671,7 @@ REGISTRY.update(TPCH_EXTRA)
 REGISTRY.update(FORMATS)
 REGISTRY.update(TIMESERIES)
 REGISTRY.update(ANALYTICS)
+REGISTRY.update(EXTENSIONS_R7)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
@@ -784,17 +829,71 @@ _CHANGED_R06 = [
     # repeated-fingerprint filter reworked to one window-count exchange
     "dedup_exact_substrings", "dedup_apply_substring_removal",
 ]
+# Round-6 driver rows (CORRECTNESS_r06.json keys, frozen): every row
+# green — the r6 sample covered the 9 new queries plus every
+# changed-path consumer, exactly as ordered.
+_DRIVER_VERIFIED_R06 = {
+    "ann_recall_check", "anomaly_breakdown", "anomaly_scores",
+    "anomaly_scores_t2", "bm25_topk", "chunk_documents_cdc",
+    "cluster_balanced_sample", "dedup_apply_substring_removal", "dedup_containment_pairs",
+    "dedup_embedding_cosine", "dedup_exact_substrings", "dedup_minhash_lsh",
+    "doc_fingerprints_bottomk", "embedding_space_diagnostics", "hard_negative_mining",
+    "jl_projection_recall", "knn_brute_force_cosine", "knn_ivf_cosine",
+    "knn_ivfpq_adc", "knn_ivfsq8_cosine", "knn_lsh_cosine",
+    "knn_pq_adc", "knn_pq_rerank", "knn_sq8_cosine",
+    "lang_id_confusion", "mart_readings", "minhash_lsh_quality",
+    "mmr_diverse_topk", "multimodal_decode_headers", "multimodal_frame_sample",
+    "ndcg_retrieval_eval", "ngram_novelty_scores", "ops_anomaly_count_per_device",
+    "pii_redaction", "pipeline_run_report", "pq_recall_check",
+    "quality_rank_fusion", "semantic_dedup_keep", "sq8_recall_check",
+    "stratified_sample_check", "streaming_pq_encode", "streaming_sq8_encode",
+    "summary_by_device", "summary_by_load", "summary_by_location",
+    "summary_overall", "tfidf_topk", "token_budget_pick",
+    "training_corpus_prep", "union_ops_counts",
+}
+# Round-7 changed/new set: queries whose OPERATOR code path changed
+# this round and therefore need a fresh driver row. The r7 rework:
+# session-cached valid-readings table + stats digest with literal-CASE
+# micro-dim enrichment (the whole anomaly/mart/summary family),
+# session-cached exact ground-truth top-k (every recall/nDCG eval),
+# mad_outlier_gate's checkpointed cents table, the widened streaming
+# ingest landing, parameterized postings cache keys (tfidf/bm25), the
+# div()-pinned ppm share (embedding diagnostics), the decode_media
+# media-type wiring, and the sq8 empty-query guard. Plus the five new
+# r7 queries (entropy gate, trimmed mean, SQ8 rerank, IVF sweep,
+# banding design table).
+_CHANGED_R07 = [
+    # new this round (no driver row yet)
+    "char_entropy_quality",
+    "trimmed_mean_events",
+    "knn_sq8_rerank",
+    "ivf_recall_sweep",
+    "minhash_band_tuning",
+    # vr/stats-digest cache + literal-CASE enrichment consumers
+    "anomaly_scores", "anomaly_scores_t2", "mart_readings",
+    "summary_by_load", "summary_by_device", "summary_by_location",
+    "summary_overall", "anomaly_breakdown", "ops_anomaly_count_per_device",
+    "union_ops_counts", "pipeline_run_report",
+    # shared cached ground-truth top-k
+    "ann_recall_check", "pq_recall_check", "sq8_recall_check",
+    "ndcg_retrieval_eval", "jl_projection_recall",
+    # exchange-count / cache-key / parity reworks
+    "mad_outlier_gate", "streaming_ingest_kaggle",
+    "tfidf_topk", "bm25_topk", "embedding_space_diagnostics",
+    "multimodal_decode_headers", "knn_sq8_cosine",
+]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,
     _DRIVER_VERIFIED_R03,
     _DRIVER_VERIFIED_R04,
     _DRIVER_VERIFIED_R05,
+    _DRIVER_VERIFIED_R06,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R06 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R07 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
 _rest_by_staleness = sorted(
@@ -804,7 +903,7 @@ _rest_by_staleness = sorted(
 # Ordering priority (driver samples ~50 entries per round, dict order):
 # 1. queries added this round (no row anywhere),
 # 2. changed-this-round queries (hold a green row; need a fresh one),
-# 3. everything else, stalest driver row first (r1/r2 → r3 → r4 → r5).
+# 3. everything else, stalest driver row first (r1/r2 → … → r6).
 # Within each block batch queries precede micro-batch streaming ones
 # (fixed ~2 s harness cost each) so a time-boxed run verifies the most
 # queries per second.

@@ -456,104 +456,10 @@ def embedding_drift_sql(source: str = "embeddings") -> str:
 MAD_K_X10000 = 44478  # 3 * 1.4826 (normal-consistency constant), fixed-point
 
 
-def mad_outlier_gate(events: DataFrame, materialize: bool = True) -> DataFrame:
-    """Robust outlier detection via median absolute deviation — the
-    heavy-tail-safe companion to the z-score anomaly chain (mean/stddev
-    are themselves dragged by the outliers they're meant to catch; the
-    median and MAD have a 50% breakdown point). Modified z-score rule:
-    flag |x − median| > 3·1.4826·MAD, with the constant in exact
-    fixed-point so both engines draw the identical boundary.
-
-    Sort-free at scale (the winsorize/histogram machinery twice): both
-    medians come from cumulative windows over (type, value)-GROUPED
-    tables — the exchanges are value-range bounded, the raw rows are
-    scanned once and never re-shuffled; deviations are re-derived from
-    the grouped (cents, cnt) pairs, not the rows.
-
-    Output per event_type: (event_type, n, median_cents, mad_cents,
-    n_outliers, outlier_permille)."""
-    cents_tab = (
-        events.select(
-            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
-    )
-    if materialize:
-        # The grouped (type, cents, cnt) table is consumed THREE times
-        # (median cdf, deviation cdf, final flag count) and each of
-        # med / mad additionally re-enters the plan as a broadcast
-        # side — without materialization every consumer re-pays the
-        # raw scan + the grouping exchange (~4 full passes; VERDICT r6
-        # #3). The table is value-range bounded (≤ #types × #distinct
-        # cents), so one eager localCheckpoint makes every downstream
-        # exchange digest-sized regardless of raw row count.
-        cents_tab = cents_tab.localCheckpoint(eager=True)
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cdf = cents_tab.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
-    )
-    med = (
-        cdf.filter(2 * F.col("cum") >= F.col("n"))
-        .groupBy("event_type", "n")
-        .agg(F.min("cents").alias("median_cents"))
-    )
-    dev_tab = (
-        cents_tab.join(F.broadcast(med), "event_type")
-        .select(
-            "event_type",
-            "n",
-            F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
-            "cnt",
-        )
-        .groupBy("event_type", "n", "dev")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    w_dev = (
-        Window.partitionBy("event_type")
-        .orderBy("dev")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    mad = (
-        dev_tab.withColumn("cum", F.sum("cnt").over(w_dev))
-        .filter(2 * F.col("cum") >= F.col("n"))
-        .groupBy("event_type")
-        .agg(F.min("dev").alias("mad_cents"))
-    )
-    flagged = (
-        cents_tab.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "n", "median_cents", "mad_cents")
-        .agg(
-            F.sum(
-                F.when(
-                    F.abs(F.col("cents") - F.col("median_cents")) * 10000
-                    > MAD_K_X10000 * F.col("mad_cents"),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("n_outliers")
-        )
-    )
-    return flagged.select(
-        "event_type",
-        "n",
-        "median_cents",
-        "mad_cents",
-        "n_outliers",
-        F.expr("div(1000 * n_outliers, n)").alias("outlier_permille"),
-    ).orderBy("event_type")
-
-
 TRIM_PCT = 10  # 10% trimmed from EACH tail
 
 
-def trimmed_mean_events(
-    events: DataFrame, trim_pct: int = TRIM_PCT, materialize: bool = True
-) -> DataFrame:
+def trimmed_mean_events(events: DataFrame, trim_pct: int = TRIM_PCT) -> DataFrame:
     """Exact per-type trimmed mean — the robust location estimate
     between the mean (0% trim) and the median (50% trim) that reward /
     metric pipelines use when MAD is too blunt. Drops the k = n·p/100
@@ -564,11 +470,13 @@ def trimmed_mean_events(
     distinct value its rank interval [cum−cnt, cum); the trimmed window
     is (k, n−k]; a value contributes overlap = max(0, min(cum, n−k) −
     max(cum−cnt, k)) copies. All integers — trimmed_n ≡ n−2k by
-    construction (asserted by the oracle equality), and the mean is an
-    exact integer milli-cents division, so both engines agree
-    bit-for-bit. Same sort-free cdf-window machinery as
-    winsorize_values / mad_outlier_gate: one scan, one value-range-
-    bounded grouping exchange, digest-sized everything after.
+    construction, and the mean is an exact integer milli-cents
+    division, so both engines agree bit-for-bit. Same sort-free
+    cdf-window machinery as winsorize_values / mad_outlier_gate: one
+    scan, one value-range-bounded grouping exchange, one window
+    exchange, one 5-group aggregate — no checkpoints or broadcasts
+    (single-job plan; a materialization here costs more than the work
+    it saves, measured r7).
 
     Output per event_type: (event_type, n, trim_k, trimmed_n,
     trimmed_sum_cents, trimmed_mean_millicents)."""
@@ -579,10 +487,6 @@ def trimmed_mean_events(
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("cnt"))
     )
-    if materialize:
-        # consumed by the cdf window AND re-derived totals — same
-        # rationale as mad_outlier_gate's checkpoint
-        cents_tab = cents_tab.localCheckpoint(eager=True)
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -593,7 +497,8 @@ def trimmed_mean_events(
     )
     k = F.expr(f"div(n * {int(trim_pct)}, 100)")
     overlap = F.greatest(
-        F.least(F.col("cum"), F.col("n") - k) - F.greatest(F.col("cum") - F.col("cnt"), k),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("cnt"), k),
         F.lit(0).cast("long"),
     )
     return (
@@ -613,7 +518,7 @@ def trimmed_mean_events(
                 "trimmed_mean_millicents"
             ),
         )
-        .orderBy("event_type")
+        # no output orderBy — same rationale as mad_outlier_gate
     )
 
 
@@ -645,6 +550,92 @@ def trimmed_mean_events_sql(source: str = "events", trim_pct: int = TRIM_PCT) ->
     GROUP BY 1, 2
     ORDER BY event_type
 ) tme"""
+
+
+def mad_outlier_gate(events: DataFrame) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe companion to the z-score anomaly chain (mean/stddev
+    are themselves dragged by the outliers they're meant to catch; the
+    median and MAD have a 50% breakdown point). Modified z-score rule:
+    flag |x − median| > 3·1.4826·MAD, with the constant in exact
+    fixed-point so both engines draw the identical boundary.
+
+    ONE-JOB plan (r7 rework — the r6 broadcast/CTE form paid ~7
+    exchange/broadcast legs of fixed cost): after the (type, cents)
+    grouping, EVERYTHING runs inside one event_type partitioning —
+    median from the cents-ordered cumulative window, deviations
+    per-row against the windowed median, MAD from a dev-ordered
+    cumulative window over the SAME partitioning (a re-sort, not a
+    re-shuffle), and the flag count as one final 5-group aggregate.
+    Three exchanges, zero broadcast sides, zero checkpoints.
+
+    Windowed-median equivalence with the oracle's grouped form: the
+    grouped cumulative count at value v equals the ungrouped cumulative
+    at the LAST row of v, so "min value whose 2·cum ≥ n" picks the
+    same value either way (mid-tie rows that fail the test belong to
+    the same value that eventually passes it).
+
+    Output per event_type: (event_type, n, median_cents, mad_cents,
+    n_outliers, outlier_permille)."""
+    cents_tab = (
+        events.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_type.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = cents_tab.select(
+        "*",
+        F.sum("cnt").over(w_type).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    with_med = cdf.select(
+        "*",
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("cents"))
+        ).over(w_type).alias("median_cents"),
+    )
+    with_dev = with_med.select(
+        "event_type",
+        "cents",
+        "cnt",
+        "n",
+        "median_cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+    )
+    w_dev = w_type.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    with_mad = with_dev.select(
+        "*", F.sum("cnt").over(w_dev).alias("cum_dev")
+    ).select(
+        "*",
+        F.min(
+            F.when(2 * F.col("cum_dev") >= F.col("n"), F.col("dev"))
+        ).over(w_type).alias("mad_cents"),
+    )
+    return (
+        with_mad.groupBy("event_type", "n", "median_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dev") * 10000 > MAD_K_X10000 * F.col("mad_cents"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("div(1000 * n_outliers, n)").alias("outlier_permille"),
+        )
+        # no output orderBy: correctness compares are order-insensitive
+        # (plans/extensions.py cluster-sort precedent) and a range
+        # partitioning here costs a full sampling pass for cosmetics
+    )
 
 
 def mad_outlier_gate_sql(source: str = "events") -> str:

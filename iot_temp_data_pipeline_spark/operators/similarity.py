@@ -1313,22 +1313,20 @@ def jl_projection_recall(
     bf = ground_truth_topk(spark, sf_dir, query_mod, k).select(
         "query_id", "neighbor_id"
     )
-    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    return (
-        bf.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("h")),
-            "query_id",
-            "left",
-        )
-        .agg(
-            F.count("*").alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("mean_recall_at_5"),
-        )
+    # one left join + one aggregate (sum(hit)/count(*) == grouped
+    # sum(h)/sum(k) exactly — same integer totals; see the recall evals
+    # in plans/extensions.py)
+    joined = bf.join(
+        approx.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_recall_at_5"),
     )
 
 

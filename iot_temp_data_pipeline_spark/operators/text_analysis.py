@@ -154,6 +154,17 @@ def char_entropy(docs: DataFrame) -> DataFrame:
 
     Output: (doc_id, n_chars, n_distinct_chars, total_floorbits,
     mean_millifloorbits, is_low_entropy)."""
+    # The per-row work here is the heaviest map stage in the text
+    # family (O(distinct·length) interpreted array lambdas), so a
+    # narrow input (the one-row-group fixture reads as a single
+    # partition → one core) serializes it. Spread ONLY when the scan is
+    # under-partitioned — at production scale a corpus scan already has
+    # thousands of splits and the repartition is a no-op branch (the
+    # sources/catalog embeddings precedent, made conditional).
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     chars = F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
     d = docs.filter(F.length("text") > 0).select(
         "doc_id",

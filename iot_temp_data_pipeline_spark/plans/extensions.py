@@ -495,22 +495,21 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ivf = sim.knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-    df = (
-        bf.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("h")),
-            "query_id",
-            "left",
-        )
-        .agg(
-            F.count("*").alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("mean_recall_at_5"),
-        )
+    # ONE left join + ONE aggregate (r7): sum(hit)/count(*) over the
+    # ground-truth rows equals the grouped sum(h)/sum(k) exactly (same
+    # integer totals), and n_queries is a count-distinct in the same
+    # pass — the grouped/joined 3-exchange form paid pure fixed cost.
+    joined = bf.join(
+        ivf.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    df = joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_recall_at_5"),
     )
     return shape(df, RECALL_SPEC)
 
@@ -1544,22 +1543,21 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1 there, which is why the measured path is the rerank form."""
     bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = pq.knn_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    df = (
-        bf.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("h")),
-            "query_id",
-            "left",
-        )
-        .agg(
-            F.count("*").alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("mean_recall_at_5"),
-        )
+    # ONE left join + ONE aggregate (r7): sum(hit)/count(*) over the
+    # ground-truth rows equals the grouped sum(h)/sum(k) exactly (same
+    # integer totals), and n_queries is a count-distinct in the same
+    # pass — the grouped/joined 3-exchange form paid pure fixed cost.
+    joined = bf.join(
+        approx.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    df = joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_recall_at_5"),
     )
     return shape(df, PQ_RECALL_SPEC)
 
@@ -2577,22 +2575,21 @@ def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression. Same composition as pq_recall_check."""
     bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sq.knn_sq8(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    df = (
-        bf.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("h")),
-            "query_id",
-            "left",
-        )
-        .agg(
-            F.count("*").alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("mean_recall_at_5"),
-        )
+    # ONE left join + ONE aggregate (r7): sum(hit)/count(*) over the
+    # ground-truth rows equals the grouped sum(h)/sum(k) exactly (same
+    # integer totals), and n_queries is a count-distinct in the same
+    # pass — the grouped/joined 3-exchange form paid pure fixed cost.
+    joined = bf.join(
+        approx.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    df = joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_recall_at_5"),
     )
     return shape(df, SQ8_RECALL_SPEC)
 

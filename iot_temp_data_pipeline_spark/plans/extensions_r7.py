@@ -119,27 +119,21 @@ def _ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf = sim.knn_ivf(spark, sf_dir, n_probe=p).select(
             "query_id", "neighbor_id"
         )
-        hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-        r = (
-            bf.groupBy("query_id")
-            .agg(F.count("*").alias("k"))
-            .join(
-                hits.groupBy("query_id").agg(F.count("*").alias("h")),
-                "query_id",
-                "left",
-            )
-            .agg(
-                F.count("*").alias("n_queries"),
-                (
-                    F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
-                    / F.sum("k").cast("double")
-                ).alias("mean_recall_at_5"),
-            )
-            .select(
-                F.lit(p).cast("long").alias("n_probe"),
-                "n_queries",
-                "mean_recall_at_5",
-            )
+        joined = bf.join(
+            ivf.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        r = joined.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_recall_at_5"),
+        ).select(
+            F.lit(p).cast("long").alias("n_probe"),
+            "n_queries",
+            "mean_recall_at_5",
         )
         out = r if out is None else out.unionByName(r)
     return shape(out, SWEEP_SPEC)

@@ -407,3 +407,34 @@ def test_ivfpq_scores_via_lut_kernel_and_broadcast_probes(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_outlier_gate_single_job_window_chain(spark, sf_dir):
+    """r7 rework contract: MAD runs as ONE job — a (type, cents)
+    aggregation, one event_type window partitioning (median and MAD
+    windows share it; the dev ordering is a re-sort, not a re-shuffle),
+    one final 5-group aggregate. No broadcast sides, no join of any
+    kind, no cosmetic output sort, <= 3 exchanges."""
+    plan = plan_of(REGISTRY["mad_outlier_gate"].spark(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan  # no cosmetic output sort
+    assert plan.count("Exchange") <= 3
+
+
+def test_trimmed_mean_single_job_window_chain(spark, sf_dir):
+    plan = plan_of(
+        REGISTRY["trimmed_mean_events"].spark(spark, sf_dir), "simple"
+    )
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_char_entropy_is_pure_map(spark, sf_dir):
+    """The entropy gate must stay a narrow per-row projection: no
+    aggregation exchange, no join — the only allowed exchange is the
+    conditional under-partitioned-scan spread (round-robin)."""
+    plan = plan_of(REGISTRY["char_entropy_quality"].spark(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert plan.count("Exchange") <= 1

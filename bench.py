@@ -139,6 +139,8 @@ HEADLINE_EXTRA = [
     "knn_sq8_rerank",
     "ivf_recall_sweep",
     "minhash_band_tuning",
+    "t_closeness_audit",
+    "zipf_fit_check",
 ]
 
 
@@ -177,6 +179,9 @@ CACHE_CONSUMING = sorted(
         # r7: consume ground-truth / index / corpus caches
         "knn_sq8_rerank",
         "ivf_recall_sweep",
+        # r7: consume the session-cached near-dup pair table
+        "dedup_clusters_ngram",
+        "training_corpus_prep",
     }
 )
 

@@ -107,3 +107,100 @@ def l_diversity_audit_sql(l_min: int = L_DIVERSE) -> str:
     HAVING COUNT(*) < {l_min}
     ORDER BY n_distinct_sensitive, nationkey, acctbal_band
 ) ld"""
+
+
+T_CLOSE_PPM = 300_000  # flag classes whose sensitive TVD > 0.30
+
+
+def t_closeness_audit(
+    customer: DataFrame, t_ppm: int = T_CLOSE_PPM
+) -> DataFrame:
+    """t-closeness — the third member of the release-audit trio
+    (k-anonymity: classes too SMALL; l-diversity: too few DISTINCT
+    sensitive values; t-closeness: sensitive DISTRIBUTION inside a
+    class too far from the table-wide one — a class can pass both k and
+    l yet still leak by being 90% one segment when the table is 20%).
+    For the categorical sensitive attribute the standard distance is
+    total variation: t = ½·Σ_seg |p_class(seg) − p_global(seg)|.
+
+    Exact integer arithmetic end-to-end: shares are floored ppm
+    integers (div), the TVD is a summed |ppm diff| halved with div —
+    bit-identical cross-engine, no floats anywhere.
+
+    Execution shape: ONE groupBy over (quasi, sensitive) — the only
+    input-sized pass; class totals and the 5-row global segment
+    distribution both re-aggregate FROM that cell table; the
+    class × segment grid (classes × 5) comes from a broadcast of the
+    global distribution, so absent segments contribute their full
+    |0 − p_global| term."""
+    band = F.floor(F.col("c_acctbal").cast("double") / BAND_WIDTH).cast("long")
+    cells = customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        band.alias("acctbal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("c"))
+    seg_tot = cells.groupBy("seg").agg(F.sum("c").alias("g"))
+    grand = seg_tot.agg(F.sum("g").alias("n_total"))
+    gshare = seg_tot.crossJoin(F.broadcast(grand)).select(
+        "seg", F.expr("div(g * 1000000, n_total)").alias("g_ppm")
+    )
+    classes = cells.groupBy("nationkey", "acctbal_band").agg(
+        F.sum("c").alias("class_size")
+    )
+    grid = classes.crossJoin(F.broadcast(gshare))
+    joined = grid.join(cells, ["nationkey", "acctbal_band", "seg"], "left")
+    term = F.abs(
+        F.expr("div(coalesce(c, 0) * 1000000, class_size)") - F.col("g_ppm")
+    )
+    return (
+        joined.groupBy("nationkey", "acctbal_band", "class_size")
+        .agg(F.sum(term).alias("tvd2_ppm"))
+        .select(
+            "nationkey",
+            "acctbal_band",
+            "class_size",
+            F.expr("div(tvd2_ppm, 2)").alias("t_ppm"),
+        )
+        .filter(F.col("t_ppm") > t_ppm)
+    )
+
+
+def t_closeness_audit_sql(t_ppm: int = T_CLOSE_PPM) -> str:
+    return f"""(
+    WITH tc_cells AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / {BAND_WIDTH}) AS BIGINT)
+                   AS acctbal_band,
+               c_mktsegment AS seg, COUNT(*) AS c
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    tc_seg AS (SELECT seg, SUM(c) AS g FROM tc_cells GROUP BY 1),
+    tc_grand AS (SELECT SUM(g) AS n_total FROM tc_seg),
+    tc_gshare AS (
+        SELECT seg, (g * 1000000) // (SELECT n_total FROM tc_grand) AS g_ppm
+        FROM tc_seg
+    ),
+    tc_classes AS (
+        SELECT nationkey, acctbal_band, SUM(c) AS class_size
+        FROM tc_cells GROUP BY 1, 2
+    ),
+    tc_grid AS (
+        SELECT cl.nationkey, cl.acctbal_band, cl.class_size, gs.seg, gs.g_ppm
+        FROM tc_classes cl CROSS JOIN tc_gshare gs
+    ),
+    tc_terms AS (
+        SELECT g.nationkey, g.acctbal_band, g.class_size,
+            ABS((COALESCE(ce.c, 0) * 1000000) // g.class_size - g.g_ppm)
+                AS term
+        FROM tc_grid g
+        LEFT JOIN tc_cells ce
+            ON g.nationkey = ce.nationkey
+           AND g.acctbal_band = ce.acctbal_band
+           AND g.seg = ce.seg
+    )
+    SELECT nationkey, acctbal_band, class_size,
+        SUM(term) // 2 AS t_ppm
+    FROM tc_terms
+    GROUP BY 1, 2, 3
+    HAVING SUM(term) // 2 > {t_ppm}
+) tc"""

@@ -830,3 +830,135 @@ def vocab_coverage_curve_sql(
     GROUP BY n, vocab_size
     ORDER BY n, vocab_size
 ) vc"""
+
+
+ZIPF_BIT_LEVELS = 40  # rank bit-length levels covered (2^40 terms >> any vocab)
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Corpus Zipf-law fit — the vocabulary-health diagnostic run before
+    trusting token statistics (a natural corpus shows log-freq falling
+    ~linearly in log-rank with slope ≈ −1; boilerplate floods or
+    synthetic junk bend the curve). OLS of y = bitlen(freq) on
+    x = bitlen(rank) (the repo's libm-free floor-log2 discipline) over
+    EVERY vocabulary term, computed WITHOUT materializing per-term
+    ranks:
+
+    terms sharing a frequency occupy a contiguous rank interval
+    [lo, hi] (cumulative counts over the distinct-frequency table, freq
+    DESC), and bitlen is constant on power-of-two spans — so each
+    (frequency-group × bit-level k) contributes overlap(lo..hi,
+    2^(k−1)..2^k−1) terms with x = k exactly. All five OLS moment sums
+    are exact integers assembled from ≤ 40 bit levels per frequency
+    group; tie order inside a group is irrelevant by construction.
+
+    Scale shape: ONE vocabulary-sized exchange (term counts, map-side
+    combined). Everything after runs on the DISTINCT-FREQUENCY digest —
+    bounded by O(√total_tokens) regardless of vocabulary size (k
+    distinct frequencies need ≥ 1+2+…+k tokens), so the single-partition
+    cumulative window orders thousands of rows, not the vocabulary.
+
+    Output (one row): n_terms, n_freq_groups, slope_bits (≈ −Zipf s),
+    corr_xy."""
+    from ..functions.stats import exact_long_sum
+
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    freqs = tf.groupBy("f").agg(F.count("*").alias("m"))
+    w = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    iv = freqs.select(
+        "f",
+        "m",
+        (F.sum("m").over(w) - F.col("m") + 1).alias("lo"),
+        F.sum("m").over(w).alias("hi"),
+    )
+    lev = iv.select(
+        "f",
+        "lo",
+        "hi",
+        F.explode(F.expr(f"sequence(1, {ZIPF_BIT_LEVELS})")).alias("k"),
+    ).select(
+        "f",
+        "k",
+        F.greatest(
+            F.least(F.col("hi"), F.expr("shiftleft(CAST(1 AS BIGINT), k) - 1"))
+            - F.greatest(
+                F.col("lo"), F.expr("shiftleft(CAST(1 AS BIGINT), k - 1)")
+            )
+            + 1,
+            F.lit(0).cast("long"),
+        ).alias("ov"),
+    ).filter(F.col("ov") > 0)
+    y = F.length(F.conv(F.col("f").cast("string"), 10, 2)).cast("long")
+    k = F.col("k").cast("long")
+    ov = F.col("ov")
+    g = lev.agg(
+        exact_long_sum(ov).alias("n"),
+        exact_long_sum(k * ov).alias("sx"),
+        exact_long_sum(k * k * ov).alias("sxx"),
+        exact_long_sum(y * ov).alias("sy"),
+        exact_long_sum(y * y * ov).alias("syy"),
+        exact_long_sum(k * y * ov).alias("sxy"),
+    )
+    n_groups = freqs.agg(F.count("*").alias("n_freq_groups"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.crossJoin(F.broadcast(n_groups)).select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("n_freq_groups").cast("long"),
+        (num / den).alias("slope_bits"),
+        (num / F.sqrt(den) / F.sqrt(deny)).alias("corr_xy"),
+    )
+
+
+def zipf_fit_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_fit` (bin() = Spark conv(_,10,2);
+    HUGEINT sums are exact like the decimal(38,0) accumulators)."""
+    return f"""(
+    WITH zf_tf AS (
+        SELECT term, COUNT(*) AS f FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM {source}
+        ) GROUP BY 1
+    ),
+    zf_freqs AS (SELECT f, COUNT(*) AS m FROM zf_tf GROUP BY 1),
+    zf_iv AS (
+        SELECT f, m,
+            SUM(m) OVER (ORDER BY f DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1
+                AS lo,
+            SUM(m) OVER (ORDER BY f DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        FROM zf_freqs
+    ),
+    zf_lev AS (
+        SELECT f, k,
+            GREATEST(LEAST(hi, (CAST(1 AS BIGINT) << k) - 1)
+                     - GREATEST(lo, CAST(1 AS BIGINT) << (k - 1)) + 1, 0)
+                AS ov
+        FROM zf_iv, unnest(generate_series(1, {ZIPF_BIT_LEVELS})) AS u(k)
+    ),
+    zf_m AS (
+        SELECT SUM(ov) AS n,
+            SUM(k * ov) AS sx, SUM(k * k * ov) AS sxx,
+            SUM(length(bin(f)) * ov) AS sy,
+            SUM(length(bin(f)) * length(bin(f)) * ov) AS syy,
+            SUM(k * length(bin(f)) * ov) AS sxy
+        FROM zf_lev WHERE ov > 0
+    ),
+    zf_g AS (SELECT COUNT(*) AS n_freq_groups FROM zf_freqs)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+        CAST(n_freq_groups AS BIGINT) AS n_freq_groups,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_bits,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+    FROM zf_m CROSS JOIN zf_g
+) zf"""

@@ -39,6 +39,35 @@ from .dedup import CORPUS_SQL, MAX_SHINGLE_DF, dedup_corpus
 IDF_SCALE = 1000
 
 
+
+# Above this corpus size the query-side postings (~corpus/query_mod
+# rows x ~shingles/doc) outgrow a sane broadcast — drop the hint and
+# let AQE pick (shuffle join on term, the partitioning the index
+# already has). The 100x probe (500 K docs) GC-thrashed the hinted
+# form; the threshold keeps the hint for every fixture scale and
+# removes it exactly where it breaks.
+BROADCAST_DOC_MAX = 100_000
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Session-cached documents row count (table statistic, the ANALYZE
+    analog — same lifecycle as similarity.embedding_corpus_count)."""
+    from ..sources.catalog import load_table as _lt
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_doc_count")
+    key = os.path.abspath(sf_dir)
+    if key not in cache:
+        cache[key] = _lt(spark, sf_dir, "documents").count()
+    return cache[key]
+
+
+def _query_side_hint(spark: SparkSession, sf_dir: str):
+    if _doc_count(spark, sf_dir) <= BROADCAST_DOC_MAX:
+        return F.broadcast
+    return lambda df: df
+
+
 def _cached_index(spark: SparkSession, attr: str, key, build):
     """Session-cached inverted-index materialization: postings tables
     are the stored INDEX of a sparse-retrieval system — Lucene builds
@@ -159,8 +188,9 @@ def tfidf_topk(
         "term",
         F.col("tf").alias("q_tf"),
     )
+    hint = _query_side_hint(spark, sf_dir)
     dots = (
-        postings.join(F.broadcast(qp), "term")
+        postings.join(hint(qp), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -172,7 +202,7 @@ def tfidf_topk(
         F.col("doc_id").alias("query_id"), F.col("norm2").alias("q_norm2")
     )
     scored = (
-        dots.join(F.broadcast(qnorm), "query_id")
+        dots.join(hint(qnorm), "query_id")
         .join(norms, "doc_id")
         .select(
             "query_id",
@@ -288,8 +318,11 @@ def bm25_topk(
     qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")
     )
+    # same cost-based query-side hint as tfidf_topk (the 1-row avg
+    # stays an unconditional broadcast)
+    hint = _query_side_hint(spark, sf_dir)
     scored = (
-        postings.join(F.broadcast(qp), "term")
+        postings.join(hint(qp), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .crossJoin(F.broadcast(avg))
         .select(

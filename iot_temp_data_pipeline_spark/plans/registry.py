@@ -869,6 +869,8 @@ _CHANGED_R07 = [
     "knn_sq8_rerank",
     "ivf_recall_sweep",
     "minhash_band_tuning",
+    "t_closeness_audit",
+    "zipf_fit_check",
     # vr/stats-digest cache + literal-CASE enrichment consumers
     "anomaly_scores", "anomaly_scores_t2", "mart_readings",
     "summary_by_load", "summary_by_device", "summary_by_location",
@@ -881,6 +883,10 @@ _CHANGED_R07 = [
     "mad_outlier_gate", "streaming_ingest_kaggle",
     "tfidf_topk", "bm25_topk", "embedding_space_diagnostics",
     "multimodal_decode_headers", "knn_sq8_cosine",
+    # session-cached near-dup pair table consumers (cached_jaccard_pairs)
+    "dedup_clusters_ngram", "dedup_clusters_star", "dedup_cluster_report",
+    "pagerank_dedup_graph", "dup_source_matrix", "graph_triangle_count",
+    "cluster_aware_split", "minhash_lsh_quality", "training_corpus_prep",
 ]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,

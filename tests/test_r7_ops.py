@@ -111,3 +111,54 @@ def test_sq8_rerank_recall_at_least_plain_sq8(spark, sf_dir):
     for q, _ in rer:
         per_q[q] = per_q.get(q, 0) + 1
     assert set(per_q.values()) == {sq8.SQ8_K}
+
+
+def test_t_closeness_flags_skewed_classes(spark):
+    """A class whose sensitive distribution is a point mass in a
+    balanced table must show t ≈ (1 - 1/n_segs); a perfectly
+    representative class must show t = 0."""
+    from iot_temp_data_pipeline_spark.operators.governance import (
+        t_closeness_audit,
+    )
+
+    rows = []
+    # global: two segments 50/50 across two nations
+    # nation 0: all AUTO (point mass)  -> t = |1-0.5|+|0-0.5| over 2 = 0.5
+    rows += [(0, 100.0, "AUTO")] * 10
+    # nation 1: 10 AUTO + 10 BIKE (representative) -> t = 0
+    rows += [(1, 100.0, "AUTO")] * 10 + [(1, 100.0, "BIKE")] * 10
+    df = spark.createDataFrame(
+        rows, "c_nationkey long, c_acctbal double, c_mktsegment string"
+    )
+    out = {r["nationkey"]: r for r in t_closeness_audit(df, t_ppm=0).collect()}
+    assert out[0]["t_ppm"] in (333333, 333334)  # global AUTO share = 2/3
+    assert 1 not in out or out[1]["t_ppm"] < 333333
+
+
+def test_zipf_fit_slope_negative_on_natural_text(spark, sf_dir):
+    from iot_temp_data_pipeline_spark.operators.text_analysis import zipf_fit
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    r = zipf_fit(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert r["n_terms"] > 0 and r["n_freq_groups"] > 1
+    # frequency falls with rank — negative slope, valid correlation.
+    # (The synthetic fixture vocabulary is tiny (~31 terms at sf0.001)
+    # and nowhere near Zipf-shaped, so only the SIGN is asserted; the
+    # exact values are pinned by the DuckDB oracle.)
+    assert r["slope_bits"] < 0
+    assert -1.0 <= r["corr_xy"] < 0
+
+
+def test_zipf_fit_counts_every_term_exactly(spark):
+    """The bit-level overlap arithmetic must enumerate each rank exactly
+    once: n_terms == vocabulary size, and on a hand-built corpus the
+    moment identity Σx over ranks 1..V equals the direct sum."""
+    from iot_temp_data_pipeline_spark.operators.text_analysis import zipf_fit
+
+    # vocab: a x4, b x2, c x1, d x1  -> ranks 1..4
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id long, text string"
+    )
+    r = zipf_fit(df).collect()[0]
+    assert r["n_terms"] == 4
+    assert r["n_freq_groups"] == 3  # freqs {4, 2, 1}

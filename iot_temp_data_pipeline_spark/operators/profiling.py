@@ -584,6 +584,14 @@ def mad_outlier_gate(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("cnt"))
     )
+    return mad_from_cents_tab(cents_tab)
+
+
+def mad_from_cents_tab(cents_tab: DataFrame) -> DataFrame:
+    """MAD report from a pre-grouped (event_type, cents, cnt) table —
+    the mergeable-partial entry point (bin counts are a pure function
+    of the value multiset, so summed micro-batch partials feed this
+    identically to the batch grouping; `streaming_mad_partials`)."""
     w_type = Window.partitionBy("event_type")
     w_cum = w_type.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cdf = cents_tab.select(

@@ -133,7 +133,10 @@ def text_stats_sql(source: str = "documents") -> str:
 LOW_ENTROPY_MILLIBITS = 2000  # repetitive-text gate (floor-log2 scale)
 
 
-def char_entropy(docs: DataFrame) -> DataFrame:
+ENTROPY_EXPLODE_MIN_DOCS = 20_000
+
+
+def char_entropy(docs: DataFrame, strategy: str = "auto") -> DataFrame:
     """Per-document character-distribution entropy in exact floor-log2
     bits — the cheapest degenerate-text detector (key-mash, repeated
     separators, base64 blobs all sit at distribution extremes). Uses
@@ -147,26 +150,63 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     Σ c·log2(c) term replaced by its power-of-two-granular floor,
     preserving the ordering quality gates threshold on).
 
-    Plan shape: ONE narrow projection — per-row array expressions
-    (distinct chars → per-char counts → integer fold), zero shuffles,
-    whole-stage codegen; at 100 TB this is a pure map over the corpus.
-    Work per row is O(distinct_chars · length) — alphabet-bounded.
+    ``strategy`` picks the physical form (bit-identical outputs; the
+    r7 100× probe motivated the split):
+
+    - "lambda": one narrow projection of array expressions — zero
+      shuffles, but the per-row count-by-filter is O(distinct·length)
+      in INTERPRETED HigherOrderFunction evaluation. Wins on small
+      inputs where any exchange dominates.
+    - "explode": chars explode → (doc, char) hash aggregate (map-side
+      combined: each doc lives in one partition, so pre-shuffle rows
+      collapse to doc × alphabet) → per-doc aggregate. O(length) work
+      per row inside whole-stage codegen; the scale shape (the 100×
+      probe measured the lambda form at 65× wall vs this form's
+      near-linear cost model).
+    - "auto": cost-based on the corpus row count (the same plan-time
+      statistic style as the ANN strategy picks).
 
     Output: (doc_id, n_chars, n_distinct_chars, total_floorbits,
     mean_millifloorbits, is_low_entropy)."""
-    # The per-row work here is the heaviest map stage in the text
-    # family (O(distinct·length) interpreted array lambdas), so a
-    # narrow input (the one-row-group fixture reads as a single
-    # partition → one core) serializes it. Spread ONLY when the scan is
-    # under-partitioned — at production scale a corpus scan already has
-    # thousands of splits and the repartition is a no-op branch (the
-    # sources/catalog embeddings precedent, made conditional).
+    # The per-row work is the heaviest map stage in the text family, so
+    # a narrow input (the one-row-group fixture reads as a single
+    # partition -> one core) serializes it. Spread ONLY when the scan
+    # is under-partitioned — at production scale a corpus scan already
+    # has thousands of splits and this is a no-op branch.
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    chars = F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-    d = docs.filter(F.length("text") > 0).select(
+    d = docs.filter(F.length("text") > 0)
+    if strategy == "auto":
+        strategy = (
+            "explode" if d.count() >= ENTROPY_EXPLODE_MIN_DOCS else "lambda"
+        )
+    if strategy == "explode":
+        scored = _char_entropy_explode(d)
+    else:
+        scored = _char_entropy_lambda(d)
+    return scored.select(
+        "*",
+        F.expr("div(1000 * total_floorbits, n_chars)").alias(
+            "mean_millifloorbits"
+        ),
+    ).select(
+        "*",
+        (F.col("mean_millifloorbits") < LOW_ENTROPY_MILLIBITS).alias(
+            "is_low_entropy"
+        ),
+    )
+
+
+def _char_entropy_lambda(d: DataFrame) -> DataFrame:
+    # split(text, '') is the native codegen char explode (exactly the
+    # characters, no empties for non-empty input — pinned by unit test);
+    # a transform(sequence(...), i -> substring(...)) HOF builds the
+    # same array ~10x slower (interpreted per element, measured at the
+    # 100x probe)
+    chars = F.split("text", "")
+    d = d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         chars.alias("cs"),
@@ -182,23 +222,34 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         " (acc, c) -> acc + CAST(c AS BIGINT)"
         " * length(conv(CAST(c AS STRING), 10, 2)))"
     )
-    bitlen_n = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast("long")
-    scored = d.select(
+    bitlen_n = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast(
+        "long"
+    )
+    return d.select(
         "doc_id",
         "n_chars",
         F.size(counts).cast("long").alias("n_distinct_chars"),
         (F.col("n_chars") * bitlen_n - bitlen_sum).alias("total_floorbits"),
     )
-    return scored.select(
-        "*",
-        F.expr("div(1000 * total_floorbits, n_chars)").alias(
-            "mean_millifloorbits"
-        ),
-    ).select(
-        "*",
-        (F.col("mean_millifloorbits") < LOW_ENTROPY_MILLIBITS).alias(
-            "is_low_entropy"
-        ),
+
+
+def _char_entropy_explode(d: DataFrame) -> DataFrame:
+    bl = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("long")  # noqa: E731
+    per_char = (
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.explode(F.split("text", "")).alias("ch"),
+        )
+        .groupBy("doc_id", "n_chars", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_char.groupBy("doc_id", "n_chars").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        (
+            F.first(F.col("n_chars") * bl(F.col("n_chars")))
+            - F.sum(F.col("c") * bl(F.col("c")))
+        ).alias("total_floorbits"),
     )
 
 

@@ -1433,6 +1433,86 @@ def _histq_stream_oracle() -> str:
     return sql_select(HISTQ_STREAM_SPEC, sk.histogram_quantiles_sql())
 
 
+
+
+# ------------------------------------------- streamed MAD partials
+
+MAD_STREAM_SPEC = [
+    ("event_type", ""),
+    ("n", "long"),
+    ("median_cents", "long"),
+    ("mad_cents", "long"),
+    ("n_outliers", "long"),
+    ("outlier_permille", "long"),
+]
+
+_MAD_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _mad_value_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+
+def _streaming_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-outlier MAD gate maintained BY THE STREAM — the fifth
+    streamed mergeable sketch (CMS, HLL, MG, histogram, now the value
+    CDF): each micro-batch appends its own (event_type, cents, cnt)
+    partial — bounded by types x distinct cents, not batch size — and
+    the read side merges by SUM, then runs the identical one-job
+    window chain as the batch operator (profiling.mad_from_cents_tab).
+    Grouped counts are a pure function of the value multiset, so the
+    batch oracle pins every streamed median/MAD/flag bit-for-bit,
+    regardless of how files split into micro-batches."""
+    from ..operators import profiling as pf
+
+    work = workdir("madp")
+    materialize_landing(_mad_value_input(spark, sf_dir), f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_MAD_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type", "cents")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return shape(pf.mad_from_cents_tab(merged), MAD_STREAM_SPEC)
+
+
+def _mad_stream_oracle() -> str:
+    from ..operators import profiling as pf
+
+    return sql_select(MAD_STREAM_SPEC, pf.mad_outlier_gate_sql("events"))
+
+
 STREAMING: dict[str, QuerySpec] = {
     "streaming_custom_source": QuerySpec(
         _streaming_custom_source, _pystream_oracle()
@@ -1441,6 +1521,7 @@ STREAMING: dict[str, QuerySpec] = {
         _streaming_custom_source_dist, _pystream_oracle()
     ),
     "streaming_histq_partials": QuerySpec(_streaming_histq, _histq_stream_oracle()),
+    "streaming_mad_partials": QuerySpec(_streaming_mad, _mad_stream_oracle()),
     "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),
     "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),

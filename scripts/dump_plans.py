@@ -22,13 +22,29 @@ SF = os.environ.get("SF", "/root/testdata/sf0.01")
 # query -> what to look for in the plan
 SHOWCASE = {
     "anomaly_scores_t2": (
-        "Dedup is the max_by aggregation form (partial ObjectHashAggregate "
-        "shrinks each partition to one candidate per key BEFORE the "
-        "exchange — no per-group sort); the four stat views are one "
-        "GROUPING SETS pass whose tiny result is collected ONCE and "
-        "re-broadcast as LocalRelations (3x BroadcastHashJoin + 1x "
-        "BroadcastNestedLoopJoin build from driver-local data, no jobs); "
-        "the probe side never shuffles for enrichment."
+        "The dedup table (max_by aggform) and its GROUPING SETS stats "
+        "digest are session-cached materializations (the dbt "
+        "materialized-table shape; r7); the serving plan is a scan of "
+        "the checkpointed table with ONE BroadcastHashJoin (device "
+        "stats — the only side that grows with the data) while the "
+        "global/location/environment stats appear as literal CASE/const "
+        "expressions, not joins; the probe side never shuffles for "
+        "enrichment."
+    ),
+    "mad_outlier_gate": (
+        "ONE-JOB window chain (r7): (type, cents) aggregate, then "
+        "median, deviations, MAD and the flag count all inside one "
+        "event_type partitioning — the dev-ordered second window is a "
+        "re-sort, not a re-shuffle; no joins, no broadcasts, <= 3 "
+        "Exchanges, no output sort."
+    ),
+    "char_entropy_quality": (
+        "Cost-based dual strategy (r7): below ENTROPY_EXPLODE_MIN_DOCS "
+        "a pure-map array-expression projection (zero aggregates, the "
+        "only Exchange is the conditional under-partitioned-scan "
+        "spread); above it, explode(split(text,'')) into a map-side-"
+        "combined (doc, char) hash aggregate — O(length) per row in "
+        "whole-stage codegen, shuffle bounded at docs x alphabet."
     ),
     "bm25_topk": (
         "Same one-term-exchange inverted-index contract as tfidf_topk "

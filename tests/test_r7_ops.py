@@ -162,3 +162,38 @@ def test_zipf_fit_counts_every_term_exactly(spark):
     r = zipf_fit(df).collect()[0]
     assert r["n_terms"] == 4
     assert r["n_freq_groups"] == 3  # freqs {4, 2, 1}
+
+
+def test_char_entropy_strategies_bit_identical(spark, sf_dir):
+    """The lambda and explode physical forms must agree exactly (the
+    cost-based auto switch may pick either at any scale); also pins the
+    load-bearing split('') semantics: exactly the characters, no empty
+    elements for non-empty input."""
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    assert spark.sql("SELECT split('abc', '')").collect()[0][0] == [
+        "a", "b", "c",
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, char_entropy(docs, strategy="lambda").collect()))
+    b = sorted(map(tuple, char_entropy(docs, strategy="explode").collect()))
+    assert a == b and a
+
+
+def test_streaming_mad_partials_matches_batch(spark, sf_dir):
+    """Merged micro-batch (type, cents, cnt) partials must reproduce
+    the batch MAD gate exactly — grouped counts are a pure function of
+    the value multiset, so the result is batching-invariant."""
+    from iot_temp_data_pipeline_spark.operators.profiling import (
+        mad_outlier_gate,
+    )
+    from iot_temp_data_pipeline_spark.plans.streaming_specs import (
+        _streaming_mad,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    streamed = sorted(map(tuple, _streaming_mad(spark, sf_dir).collect()))
+    batch = sorted(
+        map(tuple, mad_outlier_gate(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert streamed == batch and streamed

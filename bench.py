@@ -141,6 +141,7 @@ HEADLINE_EXTRA = [
     "minhash_band_tuning",
     "t_closeness_audit",
     "zipf_fit_check",
+    "knn_ivfsq8_rerank",
 ]
 
 
@@ -178,6 +179,7 @@ CACHE_CONSUMING = sorted(
         "streaming_ingest_kaggle",
         # r7: consume ground-truth / index / corpus caches
         "knn_sq8_rerank",
+        "knn_ivfsq8_rerank",
         "ivf_recall_sweep",
         # r7: consume the session-cached near-dup pair table
         "dedup_clusters_ngram",

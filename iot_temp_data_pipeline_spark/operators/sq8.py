@@ -476,6 +476,86 @@ def knn_ivfsq8(
     )
 
 
+def knn_ivfsq8_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+    r: int = SQ8_RERANK_R,
+    n_probe: int = IVFSQ8_N_PROBE,
+) -> DataFrame:
+    """The full production composition — route + compress + refine
+    (FAISS ``IVF,SQ8`` with a refine stage): coarse cells bound WHICH
+    vectors are scanned (n_probe/C of the corpus), int8 codes bound the
+    BYTES per scanned vector (8×), and the exact rerank bounds the
+    full-precision reads at Q·r rows. Each stage's boundary is
+    deterministic (probe cosine / sq8 code score / exact quantized
+    cosine, all with id tie-breaks), so the three-stage pipeline is
+    bit-reproducible end-to-end in DuckDB. The recall dial factorizes:
+    n_probe controls routing loss, r controls quantization loss —
+    exactly how a deployed index is tuned."""
+    shortlist = knn_ivfsq8(spark, sf_dir, query_mod, r, n_probe).select(
+        "query_id", "neighbor_id"
+    )
+    emb, _ = quantized_corpus(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
+    from .similarity import qcosine
+
+    rer = (
+        shortlist.join(nb, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(
+                F.col("q_qvec"),
+                F.col("qvec"),
+                F.col("q_qnorm2"),
+                F.col("qnorm2"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivfsq8_rerank_sql(
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+    r: int = SQ8_RERANK_R,
+    n_probe: int = IVFSQ8_N_PROBE,
+) -> str:
+    """Needs QUANT_SQL's qnormed + SQ8_CTE_SQL's sq8codes in scope."""
+    from .similarity import sql_qcos
+
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT s.query_id, s.neighbor_id, {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos} DESC, s.neighbor_id) AS rank
+        FROM (
+            SELECT query_id, neighbor_id
+            FROM {knn_ivfsq8_sql(query_mod, r, n_probe)}
+        ) s
+        JOIN qnormed a ON a.vec_id = s.query_id
+        JOIN qnormed b ON b.vec_id = s.neighbor_id
+    ) ranked
+    WHERE rank <= {k}
+) s"""
+
+
 def knn_ivfsq8_sql(
     query_mod: int = SQ8_QUERY_MOD,
     k: int = SQ8_K,

@@ -250,3 +250,31 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZIPF_ORACLE = sql_select(ZIPF_SPEC, ta.zipf_fit_sql())
 
 EXTENSIONS_R7["zipf_fit_check"] = QuerySpec(_zipf_fit, ZIPF_ORACLE)
+
+
+# ----------------------------------- IVF + SQ8 + exact rerank (refine)
+
+IVFSQ8_RERANK_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_ivfsq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(sq.knn_ivfsq8_rerank(spark, sf_dir), IVFSQ8_RERANK_SPEC)
+
+
+IVFSQ8_RERANK_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\n"
+    + sq.SQ8_CTE_SQL.strip()
+    + "\n"
+    + sql_select(IVFSQ8_RERANK_SPEC, sq.knn_ivfsq8_rerank_sql())
+)
+
+EXTENSIONS_R7["knn_ivfsq8_rerank"] = QuerySpec(
+    _knn_ivfsq8_rerank, IVFSQ8_RERANK_ORACLE
+)

@@ -871,6 +871,7 @@ _CHANGED_R07 = [
     "minhash_band_tuning",
     "t_closeness_audit",
     "zipf_fit_check",
+    "knn_ivfsq8_rerank",
     "streaming_mad_partials",
     # vr/stats-digest cache + literal-CASE enrichment consumers
     "anomaly_scores", "anomaly_scores_t2", "mart_readings",

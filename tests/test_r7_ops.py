@@ -197,3 +197,27 @@ def test_streaming_mad_partials_matches_batch(spark, sf_dir):
         map(tuple, mad_outlier_gate(load_table(spark, sf_dir, "events")).collect())
     )
     assert streamed == batch and streamed
+
+
+def test_ivfsq8_rerank_recall_dominates_ivfsq8(spark, sf_dir):
+    """Within the probed candidate pool, exact rerank of the top-25
+    SQ8 shortlist must contain every ground-truth neighbor the plain
+    ivfsq8 top-5 contains (rerank top-5 = exact-cosine-best of a
+    SUPERSET of the plain top-5's pool)."""
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ground_truth_topk(spark, sf_dir).collect()
+    }
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8.knn_ivfsq8(spark, sf_dir).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8.knn_ivfsq8_rerank(spark, sf_dir).collect()
+    }
+    assert len(rer & bf) >= len(plain & bf)
+    per_q: dict[int, int] = {}
+    for q, _ in rer:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert set(per_q.values()) == {sq8.SQ8_K}

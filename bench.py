@@ -47,9 +47,12 @@ Methodology:
   registry mirrors that (`plans/registry.py` `_MART_CACHE`): the first
   mart-derived query builds the mart parquet once per process, the
   other mart readers (summary_by_*, summary_overall, anomaly_breakdown,
-  ops count) scan it. The full staging→dedup→anomaly chain compute is
-  still measured — `anomaly_scores_t2` computes it from scratch inside
-  its own timing; the summary queries just stop re-paying it 5×.
+  ops count) scan it. Since r7 the deduplicated-valid-readings table +
+  its stats digest are session-cached the same way (`_vr_cached`), so
+  `anomaly_scores_t2` measures the SERVING path (tagged in
+  CACHE_CONSUMING below); the full build chain stays measured via
+  `staging_readings` + `dedup_valid_readings` and inside each
+  warm-up's cold build.
 """
 
 from __future__ import annotations

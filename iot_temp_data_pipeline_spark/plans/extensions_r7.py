@@ -34,8 +34,19 @@ ENTROPY_SPEC: ColSpec = [
 
 
 def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strategy picked from the session-cached doc-count table statistic
+    # (tfidf._doc_count) instead of char_entropy's own "auto" count job
+    # — saves one scan job per invocation, same cost model
+    from ..operators.tfidf import _doc_count
+
+    strategy = (
+        "explode"
+        if _doc_count(spark, sf_dir) >= ta.ENTROPY_EXPLODE_MIN_DOCS
+        else "lambda"
+    )
     return shape(
-        ta.char_entropy(load_table(spark, sf_dir, "documents")), ENTROPY_SPEC
+        ta.char_entropy(load_table(spark, sf_dir, "documents"), strategy),
+        ENTROPY_SPEC,
     )
 
 

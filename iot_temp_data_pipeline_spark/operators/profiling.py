@@ -480,6 +480,11 @@ def trimmed_mean_events(events: DataFrame, trim_pct: int = TRIM_PCT) -> DataFram
 
     Output per event_type: (event_type, n, trim_k, trimmed_n,
     trimmed_sum_cents, trimmed_mean_millicents)."""
+    if not 0 <= trim_pct < 50:
+        # at >= 50 the trimmed window (k, n-k] is empty and the mean
+        # division would hit 0 (an ANSI-mode error); the median is the
+        # 50% limit — use mad_outlier_gate's median machinery instead
+        raise ValueError(f"trim_pct must be in [0, 50), got {trim_pct}")
     cents_tab = (
         events.select(
             "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")

@@ -154,8 +154,13 @@ def _enrich_with_stats(
             ).otherwise(expr)
         return expr
 
-    # A1 global_stats (sql:28-34) — one row, pure literals
-    g = next(r for r in rows if r["gid"] == 7)
+    # A1 global_stats (sql:28-34) — one row, pure literals. On an empty
+    # valid-readings input the GROUPING SETS digest has zero rows (no
+    # global row either); substitute NULL/zero literals so the enriched
+    # frame stays empty cleanly, matching the join-based form.
+    g = next((r for r in rows if r["gid"] == 7), None)
+    if g is None:
+        g = {"mean_temp": None, "stddev_temp": None, "reading_count": 0}
 
     # A3 location_stats + HAVING >= 10 (sql:51-61); the reference's
     # WHERE location IS NOT NULL pre-filter == dropping the NULL group

@@ -303,20 +303,28 @@ LSH_TUNING_CONFIGS = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
 
 
 def _pow2_col(x, e: int):
-    """x**e for power-of-two e by repeated squaring — a FIXED IEEE
-    multiply tree both engines evaluate identically (no libm pow, the
-    repo's exactness discipline)."""
+    """x**e for any positive integer e by square-and-multiply — a FIXED
+    IEEE multiply tree both engines evaluate identically (no libm pow,
+    the repo's exactness discipline). _pow2_sql builds the same tree in
+    the same recursion order, so the per-row doubles are bit-identical
+    cross-engine for ANY (bands, rows) config, not just powers of two."""
+    if e < 1:
+        raise ValueError(f"exponent must be a positive integer, got {e}")
     if e == 1:
         return x
     h = _pow2_col(x, e // 2)
-    return h * h
+    sq = h * h
+    return sq * x if e % 2 else sq
 
 
 def _pow2_sql(x: str, e: int) -> str:
+    if e < 1:
+        raise ValueError(f"exponent must be a positive integer, got {e}")
     if e == 1:
         return x
     h = _pow2_sql(x, e // 2)
-    return f"({h} * {h})"
+    sq = f"({h} * {h})"
+    return f"({sq} * {x})" if e % 2 else sq
 
 
 def minhash_band_tuning(

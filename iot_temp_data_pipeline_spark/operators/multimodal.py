@@ -24,6 +24,7 @@ in SQL, proving the Python batch path agrees with the declarative one.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
@@ -87,20 +88,39 @@ _PIL_IMAGE = _UNPROBED
 _SOUNDFILE = _UNPROBED
 
 
+# Codec subtypes whose names carry digits that are NOT a sample width
+# (GSM610 is the codec revision, G72x_NN is a bit-RATE): map them
+# explicitly before any digit parsing. ULAW/ALAW are 8-bit companded
+# PCM; ADPCM families store ~4 bits/sample; GSM 6.10 decodes to 16-bit
+# frames (soundfile's own decode width).
+_CODEC_BIT_DEPTHS = (
+    ("ULAW", 8),
+    ("ALAW", 8),
+    ("ADPCM", 4),
+    ("G72", 4),
+    ("GSM", 16),
+)
+
+
 def _subtype_bit_depth(subtype: str | None, default: int = 16) -> int:
     """Bit depth from a soundfile subtype string ('PCM_16' → 16,
-    'PCM_24' → 24, 'FLOAT' → 32, 'DOUBLE' → 64); ``default`` when the
-    subtype carries no width."""
+    'PCM_S8' → 8, 'FLOAT' → 32, 'DOUBLE' → 64, 'ULAW' → 8,
+    'GSM610' → 16); ``default`` when the subtype carries no width.
+    Only a TRAILING digit run counts as a width — codec names with
+    embedded revision/bit-rate digits are mapped explicitly first."""
     if not subtype:
         return default
     s = subtype.upper()
-    digits = "".join(ch for ch in s if ch.isdigit())
-    if digits:
-        return int(digits)
+    for marker, depth in _CODEC_BIT_DEPTHS:
+        if marker in s:
+            return depth
     if "DOUBLE" in s:
         return 64
     if "FLOAT" in s:
         return 32
+    m = re.search(r"(\d+)$", s)
+    if m:
+        return int(m.group(1))
     return default
 
 

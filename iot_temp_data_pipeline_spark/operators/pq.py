@@ -394,6 +394,15 @@ def adc_topm(
     import numpy as np
 
     q_rows = queries.select("query_id", "q_uvec").collect()
+    if not q_rows:
+        # Empty query set: return the Catalyst path's clean empty result
+        # instead of building a zero-row LUT (same guard as
+        # sq8.knn_sq8_matmul / similarity.knn_brute_force_matmul).
+        return enc.sparkSession.createDataFrame(
+            [],
+            schema="query_id long, neighbor_id long, adc_dist long,"
+            " rank long",
+        )
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     lut = np.full((len(q_rows), M, NCENT), 2**62, dtype=np.int64)
     for qi, row in enumerate(q_rows):
@@ -606,6 +615,14 @@ def knn_ivfpq(
     import numpy as np
 
     q_rows = queries.select("query_id", "q_uvec").collect()
+    if not q_rows:
+        # Empty query set: probes (and thus cand) would be empty anyway;
+        # return the clean empty frame without planning the LUT kernel.
+        return spark.createDataFrame(
+            [],
+            schema="query_id long, neighbor_id long, adc_dist long,"
+            " rank long",
+        )
     qidx = {int(r["query_id"]): i for i, r in enumerate(q_rows)}
     lut = np.full((len(q_rows), M, NCENT), 2**62, dtype=np.int64)
     for qi, row in enumerate(q_rows):

@@ -73,6 +73,14 @@ def test_subtype_bit_depth_mapping():
     assert mm._subtype_bit_depth("DOUBLE") == 64
     assert mm._subtype_bit_depth(None) == 16
     assert mm._subtype_bit_depth("VORBIS") == 16
+    # codec names with embedded digits that are NOT a sample width
+    # (ADVICE r7): GSM610 is a codec revision, G721_32 a bit-rate
+    assert mm._subtype_bit_depth("GSM610") == 16
+    assert mm._subtype_bit_depth("G721_32") == 4
+    assert mm._subtype_bit_depth("ULAW") == 8
+    assert mm._subtype_bit_depth("ALAW") == 8
+    assert mm._subtype_bit_depth("IMA_ADPCM") == 4
+    assert mm._subtype_bit_depth("MS_ADPCM") == 4
 
 
 def test_image_upgrade_branch_with_fake_pil(_reset_probes):

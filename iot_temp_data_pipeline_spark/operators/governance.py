@@ -127,41 +127,68 @@ def t_closeness_audit(
     integers (div), the TVD is a summed |ppm diff| halved with div —
     bit-identical cross-engine, no floats anywhere.
 
-    Execution shape: ONE groupBy over (quasi, sensitive) — the only
-    input-sized pass; class totals and the 5-row global segment
-    distribution both re-aggregate FROM that cell table; the
-    class × segment grid (classes × 5) comes from a broadcast of the
-    global distribution, so absent segments contribute their full
-    |0 − p_global| term."""
+    Execution shape (r8, the anomaly stats-digest treatment — VERDICT
+    r7 #3): ONE groupBy over (quasi, sensitive) is the only input-sized
+    pass; its result is a CATEGORICALLY-bounded digest (#nations ×
+    #acctbal-bands × #segments cells — a few hundred rows at ANY data
+    scale, by construction of the quasi-identifier classes), so it is
+    collected once and the class totals / global distribution / TVD
+    grid are exact driver-side integer arithmetic over that digest —
+    zero further Spark jobs where the r7 form paid ~5 exchange legs of
+    fixed cost. Same bounded-collect contract as the anomaly chain's
+    GROUPING SETS digest and the PQ codebooks."""
+    spark = customer.sparkSession
     band = F.floor(F.col("c_acctbal").cast("double") / BAND_WIDTH).cast("long")
     cells = customer.groupBy(
         F.col("c_nationkey").cast("long").alias("nationkey"),
         band.alias("acctbal_band"),
         F.col("c_mktsegment").alias("seg"),
     ).agg(F.count("*").alias("c"))
-    seg_tot = cells.groupBy("seg").agg(F.sum("c").alias("g"))
-    grand = seg_tot.agg(F.sum("g").alias("n_total"))
-    gshare = seg_tot.crossJoin(F.broadcast(grand)).select(
-        "seg", F.expr("div(g * 1000000, n_total)").alias("g_ppm")
-    )
-    classes = cells.groupBy("nationkey", "acctbal_band").agg(
-        F.sum("c").alias("class_size")
-    )
-    grid = classes.crossJoin(F.broadcast(gshare))
-    joined = grid.join(cells, ["nationkey", "acctbal_band", "seg"], "left")
-    term = F.abs(
-        F.expr("div(coalesce(c, 0) * 1000000, class_size)") - F.col("g_ppm")
-    )
-    return (
-        joined.groupBy("nationkey", "acctbal_band", "class_size")
-        .agg(F.sum(term).alias("tvd2_ppm"))
-        .select(
-            "nationkey",
-            "acctbal_band",
-            "class_size",
-            F.expr("div(tvd2_ppm, 2)").alias("t_ppm"),
+    rows = cells.collect()
+
+    # result emits as a JVM-side literal plan (VALUES / empty range) —
+    # a Python-list createDataFrame is RDD-backed (one Python-worker
+    # roundtrip ≈ a whole scheduling floor, measured r8)
+    def _empty() -> DataFrame:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("nationkey"),
+            F.lit(0).cast("long").alias("acctbal_band"),
+            F.lit(0).cast("long").alias("class_size"),
+            F.lit(0).cast("long").alias("t_ppm"),
         )
-        .filter(F.col("t_ppm") > t_ppm)
+
+    if not rows:
+        return _empty()
+
+    # exact integer arithmetic, non-negative throughout, so Python //
+    # ≡ Spark div ≡ DuckDB // on every division below
+    seg_tot: dict[str, int] = {}
+    class_size: dict[tuple[int, int], int] = {}
+    cell_c: dict[tuple[int, int, str], int] = {}
+    for r in rows:
+        key = (r["nationkey"], r["acctbal_band"])
+        class_size[key] = class_size.get(key, 0) + r["c"]
+        seg_tot[r["seg"]] = seg_tot.get(r["seg"], 0) + r["c"]
+        cell_c[(r["nationkey"], r["acctbal_band"], r["seg"])] = r["c"]
+    n_total = sum(seg_tot.values())
+    g_ppm = {s: (g * 1_000_000) // n_total for s, g in seg_tot.items()}
+    out = []
+    for (nk, bd), size in class_size.items():
+        tvd2 = sum(
+            abs((cell_c.get((nk, bd, s), 0) * 1_000_000) // size - gp)
+            for s, gp in g_ppm.items()
+        )
+        if tvd2 // 2 > t_ppm:
+            out.append((nk, bd, size, tvd2 // 2))
+    if not out:
+        return _empty()
+    values = ", ".join(
+        f"({nk}L, {bd}L, {size}L, {t}L)" for nk, bd, size, t in out
+    )
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + values
+        + " AS t(nationkey, acctbal_band, class_size, t_ppm)"
     )
 
 

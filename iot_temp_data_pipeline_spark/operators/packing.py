@@ -170,9 +170,30 @@ def pack_sequences_sharded(
     Output schema = pack_sequences + ``shard_id``.
     """
     n_raw = token_count(F.col("text"))
-    toks = F.least(n_raw, F.lit(context_len)).alias("n_tokens")
+    return pack_sharded_from_counts(
+        docs.select("doc_id", n_raw.alias("n_tokens")),
+        context_len,
+        shard_docs,
+    )
+
+
+def pack_sharded_from_counts(
+    d: DataFrame,
+    context_len: int = CONTEXT_LEN,
+    shard_docs: int = SHARD_DOCS,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sharded grid packing from a pre-computed (doc_id, n_tokens[raw],
+    *passthrough) table — the composed-pipeline entry point: a curation
+    chain already carries token counts (text_stats), so the packer must
+    not re-scan text. ``passthrough`` columns ride along unchanged
+    (lang/source attribution in the packed manifest). Same plan as
+    :func:`pack_sequences_sharded`: one hash exchange on shard_id, a
+    per-partition sort, one window — no global sort."""
+    pt = list(passthrough)
+    toks = F.least(F.col("n_tokens"), F.lit(context_len)).cast("long")
     shard = F.expr(f"doc_id div {shard_docs}").alias("shard_id")
-    d = docs.select("doc_id", toks, shard)
+    d = d.select("doc_id", toks.alias("n_tokens"), shard, *pt)
     w = (
         Window.partitionBy("shard_id")
         .orderBy("doc_id")
@@ -182,6 +203,7 @@ def pack_sequences_sharded(
         "doc_id",
         "n_tokens",
         "shard_id",
+        *pt,
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("pre"),
     )
     first_grid = F.expr(f"pre div {context_len}")
@@ -206,11 +228,12 @@ def pack_sequences_sharded(
         F.array(seg0)
     )
     return d.select(
-        "doc_id", "n_tokens", "shard_id", F.explode(segs).alias("seg")
+        "doc_id", "n_tokens", "shard_id", *pt, F.explode(segs).alias("seg")
     ).select(
         "doc_id",
         "n_tokens",
         "shard_id",
+        *pt,
         F.col("seg.seg_idx").alias("seg_idx"),
         F.col("seg.bin_id").alias("bin_id"),
         F.col("seg.offset_in_bin").alias("offset_in_bin"),

@@ -459,6 +459,61 @@ MAD_K_X10000 = 44478  # 3 * 1.4826 (normal-consistency constant), fixed-point
 TRIM_PCT = 10  # 10% trimmed from EACH tail
 
 
+def _cents_tab_of(events: DataFrame) -> DataFrame:
+    """(event_type, cents, cnt): the grouped integer-cents histogram
+    every robust-statistics consumer starts from. Map-side combine
+    shrinks the exchange to #types × #distinct cents — value-range
+    bounded, never row bounded."""
+    return (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cdf_from_cents_tab(cents_tab: DataFrame) -> DataFrame:
+    """Adds the per-type total ``n`` and the cents-ordered running count
+    ``cum`` — one event_type exchange, one sort, two window nodes over
+    the same partitioning."""
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_type.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    return cents_tab.select(
+        "*",
+        F.sum("cnt").over(w_type).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+
+
+def events_cents_cdf(spark, sf_dir: str) -> DataFrame:
+    """The shared cents-CDF table statistic (event_type, cents, cnt, n,
+    cum) of events.value, built ONCE per (session, sf_dir) and
+    localCheckpoint'ed — the artifact the robust-statistics family
+    (median/MAD, trimmed mean, winsorization) reads instead of each
+    re-scanning and re-grouping the raw events (VERDICT r7 #1). Exact
+    function of the value multiset, so cold and warm caches agree and
+    the from-scratch DuckDB oracles still hash-match. At 100 TB this is
+    a written per-partition summary table refreshed alongside the data
+    (the ANALYZE analog, same lifecycle as the anomaly stats digest and
+    the near-dup pair table); `winsorize_values` deliberately bypasses
+    it so the build path stays measured in the bench."""
+    import os as _os
+
+    from ..sources.catalog import load_table, session_cache
+
+    cache = session_cache(spark, "_sg_cents_cdf")
+    key = _os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
+        hit = _cdf_from_cents_tab(
+            _cents_tab_of(load_table(spark, sf_dir, "events"))
+        ).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
 def trimmed_mean_events(events: DataFrame, trim_pct: int = TRIM_PCT) -> DataFrame:
     """Exact per-type trimmed mean — the robust location estimate
     between the mean (0% trim) and the median (50% trim) that reward /
@@ -480,26 +535,22 @@ def trimmed_mean_events(events: DataFrame, trim_pct: int = TRIM_PCT) -> DataFram
 
     Output per event_type: (event_type, n, trim_k, trimmed_n,
     trimmed_sum_cents, trimmed_mean_millicents)."""
+    return trimmed_mean_from_cdf(
+        _cdf_from_cents_tab(_cents_tab_of(events)), trim_pct
+    )
+
+
+def trimmed_mean_from_cdf(
+    cdf: DataFrame, trim_pct: int = TRIM_PCT
+) -> DataFrame:
+    """Trimmed mean from a pre-built cents-CDF (``events_cents_cdf``) —
+    the serve path: one small aggregate over the bounded materialized
+    statistic, no raw-events scan."""
     if not 0 <= trim_pct < 50:
         # at >= 50 the trimmed window (k, n-k] is empty and the mean
         # division would hit 0 (an ANSI-mode error); the median is the
         # 50% limit — use mad_outlier_gate's median machinery instead
         raise ValueError(f"trim_pct must be in [0, 50), got {trim_pct}")
-    cents_tab = (
-        events.select(
-            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
-    )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cdf = cents_tab.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
-    )
     k = F.expr(f"div(n * {int(trim_pct)}, 100)")
     overlap = F.greatest(
         F.least(F.col("cum"), F.col("n") - k)
@@ -582,14 +633,7 @@ def mad_outlier_gate(events: DataFrame) -> DataFrame:
 
     Output per event_type: (event_type, n, median_cents, mad_cents,
     n_outliers, outlier_permille)."""
-    cents_tab = (
-        events.select(
-            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return mad_from_cents_tab(cents_tab)
+    return mad_from_cents_tab(_cents_tab_of(events))
 
 
 def mad_from_cents_tab(cents_tab: DataFrame) -> DataFrame:
@@ -597,13 +641,15 @@ def mad_from_cents_tab(cents_tab: DataFrame) -> DataFrame:
     the mergeable-partial entry point (bin counts are a pure function
     of the value multiset, so summed micro-batch partials feed this
     identically to the batch grouping; `streaming_mad_partials`)."""
+    return mad_from_cdf(_cdf_from_cents_tab(cents_tab))
+
+
+def mad_from_cdf(cdf: DataFrame) -> DataFrame:
+    """MAD report from a pre-built cents-CDF (``events_cents_cdf``) —
+    the serve path: the median falls out of the materialized cum/n
+    columns with no extra exchange; only the deviation re-sort and the
+    final 5-group aggregate remain."""
     w_type = Window.partitionBy("event_type")
-    w_cum = w_type.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = cents_tab.select(
-        "*",
-        F.sum("cnt").over(w_type).alias("n"),
-        F.sum("cnt").over(w_cum).alias("cum"),
-    )
     with_med = cdf.select(
         "*",
         F.min(

@@ -81,6 +81,32 @@ def sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+def knn_sq8_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = SQ8_QUERY_MOD,
+    k: int = SQ8_K,
+) -> DataFrame:
+    """Session-cached :func:`knn_sq8` serve output (Q·k rows, bounded)
+    — the production result table downstream evaluations read instead
+    of re-running the compressed scan (VERDICT r7 #2). Same
+    build-once/serve-many lifecycle and determinism contract as
+    :func:`sq8_index` and ``similarity.ground_truth_topk``: knn_sq8 is
+    a pure function of the corpus, so cold and warm caches agree and
+    the from-scratch DuckDB oracle still hash-matches."""
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_sq8_topk_cache")
+    key = (os.path.abspath(sf_dir), query_mod, k)
+    hit = cache.get(key)
+    if hit is None:
+        hit = knn_sq8(spark, sf_dir, query_mod, k).localCheckpoint(
+            eager=True
+        )
+        cache[key] = hit
+    return hit
+
+
 def _code_dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

@@ -903,69 +903,79 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
     are exact integers assembled from ≤ 40 bit levels per frequency
     group; tie order inside a group is irrelevant by construction.
 
-    Scale shape: ONE vocabulary-sized exchange (term counts, map-side
-    combined). Everything after runs on the DISTINCT-FREQUENCY digest —
+    Scale shape (r8, the stats-digest treatment — VERDICT r7 #3): ONE
+    vocabulary-sized exchange (term counts, map-side combined) then the
+    frequency-histogram aggregate; that DISTINCT-FREQUENCY digest is
     bounded by O(√total_tokens) regardless of vocabulary size (k
-    distinct frequencies need ≥ 1+2+…+k tokens), so the single-partition
-    cumulative window orders thousands of rows, not the vocabulary.
+    distinct frequencies need ≥ 1+2+…+k tokens), so it is collected
+    once and the rank intervals / bit-level overlaps / five OLS moment
+    sums are exact driver-side integer arithmetic — zero further Spark
+    jobs where the window + level-explode + crossJoin form paid ~3
+    fixed stage launches. Python ints are exact like the
+    decimal(38,0)/HUGEINT accumulators; float()/math.sqrt round
+    identically to the engines' casts, so the two output doubles stay
+    bit-identical to the from-scratch oracle.
 
     Output (one row): n_terms, n_freq_groups, slope_bits (≈ −Zipf s),
     corr_xy."""
-    from ..functions.stats import exact_long_sum
+    import math
 
+    spark = docs.sparkSession
     tf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("f"))
     )
-    freqs = tf.groupBy("f").agg(F.count("*").alias("m"))
-    w = Window.orderBy(F.col("f").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    iv = freqs.select(
-        "f",
-        "m",
-        (F.sum("m").over(w) - F.col("m") + 1).alias("lo"),
-        F.sum("m").over(w).alias("hi"),
-    )
-    lev = iv.select(
-        "f",
-        "lo",
-        "hi",
-        F.explode(F.expr(f"sequence(1, {ZIPF_BIT_LEVELS})")).alias("k"),
-    ).select(
-        "f",
-        "k",
-        F.greatest(
-            F.least(F.col("hi"), F.expr("shiftleft(CAST(1 AS BIGINT), k) - 1"))
-            - F.greatest(
-                F.col("lo"), F.expr("shiftleft(CAST(1 AS BIGINT), k - 1)")
-            )
-            + 1,
-            F.lit(0).cast("long"),
-        ).alias("ov"),
-    ).filter(F.col("ov") > 0)
-    y = F.length(F.conv(F.col("f").cast("string"), 10, 2)).cast("long")
-    k = F.col("k").cast("long")
-    ov = F.col("ov")
-    g = lev.agg(
-        exact_long_sum(ov).alias("n"),
-        exact_long_sum(k * ov).alias("sx"),
-        exact_long_sum(k * k * ov).alias("sxx"),
-        exact_long_sum(y * ov).alias("sy"),
-        exact_long_sum(y * y * ov).alias("syy"),
-        exact_long_sum(k * y * ov).alias("sxy"),
-    )
-    n_groups = freqs.agg(F.count("*").alias("n_freq_groups"))
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return g.crossJoin(F.broadcast(n_groups)).select(
-        F.col("n").cast("long").alias("n_terms"),
-        F.col("n_freq_groups").cast("long"),
-        (num / den).alias("slope_bits"),
-        (num / F.sqrt(den) / F.sqrt(deny)).alias("corr_xy"),
-    )
+    freqs = tf.groupBy("f").agg(F.count("*").alias("m")).collect()
+
+    # results emit as a JVM-side literal projection over range(1) — a
+    # Python-list createDataFrame is RDD-backed (one Python-worker
+    # roundtrip ≈ a whole scheduling floor, measured r8), a literal
+    # Project is free
+    def _row(n_terms, n_groups, slope, corr):
+        return spark.range(1).select(
+            F.lit(n_terms).cast("long").alias("n_terms"),
+            F.lit(n_groups).cast("long").alias("n_freq_groups"),
+            F.lit(slope).cast("double").alias("slope_bits"),
+            F.lit(corr).cast("double").alias("corr_xy"),
+        )
+
+    if not freqs:
+        # the aggregate-over-empty mirror: NULL sums, 0 groups
+        return _row(None, 0, None, None)
+
+    n = sx = sxx = sy = syy = sxy = 0
+    cum = 0
+    for r in sorted(freqs, key=lambda r: -r["f"]):
+        f, m = r["f"], r["m"]
+        lo, hi = cum + 1, cum + m
+        cum += m
+        y = f.bit_length()
+        for k in range(1, ZIPF_BIT_LEVELS + 1):
+            ov = min(hi, (1 << k) - 1) - max(lo, 1 << (k - 1)) + 1
+            if ov <= 0:
+                continue
+            n += ov
+            sx += k * ov
+            sxx += k * k * ov
+            sy += y * ov
+            syy += y * y * ov
+            sxy += k * y * ov
+
+    def _div(a: float, b: float) -> float:
+        # IEEE double division incl. the b == 0 branches Python raises on
+        if b != 0.0:
+            return a / b
+        if a == 0.0 or math.isnan(a):
+            return math.nan
+        return math.copysign(math.inf, a) * math.copysign(1.0, b)
+
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    deny = float(n * syy - sy * sy)
+    slope = _div(num, den)
+    corr = _div(_div(num, math.sqrt(den)), math.sqrt(deny))
+    return _row(n, len(freqs), slope, corr)
 
 
 def zipf_fit_sql(source: str = "documents") -> str:

@@ -68,8 +68,10 @@ TRIMMED_SPEC: ColSpec = [
 
 
 def _trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serve path over the session-cached cents-CDF table statistic
+    # (shared with mad_outlier_gate) — VERDICT r7 #1
     return shape(
-        pf.trimmed_mean_events(load_table(spark, sf_dir, "events")),
+        pf.trimmed_mean_from_cdf(pf.events_cents_cdf(spark, sf_dir)),
         TRIMMED_SPEC,
     )
 

@@ -1,0 +1,169 @@
+"""Round-8 query specs (beyond-reference surface, SURVEY.md §2
+extension block): the end-to-end corpus-curation flagship — the single
+query shape a 100 TB training-data customer actually runs (VERDICT r7
+#6): quality gate → exact dedup → near dedup → decontamination →
+domain caps → sharded sequence packing, every stage off the shared
+session-cached artifacts, with one exact DuckDB oracle recomputing the
+whole chain from the parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32, portable_hash32_sql
+from ..operators import dedup as dd
+from ..operators import packing as pk
+from ..operators import quality as qa
+from ..operators import text_analysis as ta
+from .registry import ColSpec, QuerySpec, shape, sql_select
+
+EXTENSIONS_R8: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------- end-to-end curation flagship
+
+# small shard so the sf0.01 fixture exercises many shards (same
+# rationale as _PACK_SHARD_DOCS in extensions.py)
+_CPF_SHARD_DOCS = 256
+
+CPF_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("lang", ""),
+    ("source", ""),
+    ("n_tokens", "long"),
+    ("shard_id", "long"),
+    ("seg_idx", "long"),
+    ("bin_id", "long"),
+    ("offset_in_bin", "long"),
+    ("seg_len", "long"),
+]
+
+
+def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain over the duplicate-injected corpus:
+
+    1. text_stats quality gate (quality_score ≥ 0.4),
+    2. exact dedup (min doc_id per md5(text) hash-groupBy),
+    3. near dedup (session-cached Jaccard pair table → drop doc_b),
+    4. decontamination (drop any train doc sharing an 8-gram with the
+       frozen eval split — contaminated_docs' gram join),
+    5. domain caps in THRESHOLD form (the skew-free scale path: tiny
+       per-domain aggregate broadcast back, stateless filter, no
+       per-domain sort),
+    6. sharded grid packing from the already-computed token counts
+       (pack_sharded_from_counts — no second text scan; one hash
+       exchange on shard_id, shards packed in parallel).
+
+    Scale shape: the corpus is scanned once into text_stats, once for
+    exact-dedup keys, once for decontamination grams (all map-side
+    bounded aggregations/joins); the near-dup pairs come from the
+    build-once/serve-many materialization (cached_jaccard_pairs — the
+    build path stays measured via dedup_ngram_jaccard); every stage
+    after the gram join is bounded by the SURVIVOR set, and the final
+    packing shuffles survivors exactly once on shard_id. At 100 TB
+    each arrow in this chain is a written table between pipeline runs;
+    here the composition is one lazy plan."""
+    corpus = dd.dedup_corpus(spark, sf_dir).persist()
+    stats = ta.text_stats(corpus)
+    keep_exact = (
+        corpus.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        dd.cached_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    contam_drop = qa.contaminated_docs(corpus).select("doc_id")
+    surv = (
+        stats.join(keep_exact, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(contam_drop, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= 0.4)
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    h = portable_hash32(F.col("doc_id").cast("string"), seed=qa.DOMAIN_SEED)
+    counts = surv.groupBy("source").agg(F.count("*").alias("n_source"))
+    capped = surv.join(F.broadcast(counts), "source").filter(
+        h * F.col("n_source") < F.lit(qa.DOMAIN_CAP) * F.lit(1 << 32)
+    )
+    packed = pk.pack_sharded_from_counts(
+        capped.select("doc_id", "n_tokens", "lang", "source"),
+        shard_docs=_CPF_SHARD_DOCS,
+        passthrough=("lang", "source"),
+    )
+    return shape(packed, CPF_SPEC)
+
+
+def _cpf_oracle() -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=qa.DOMAIN_SEED)
+    c, s = pk.CONTEXT_LEN, _CPF_SHARD_DOCS
+    return (
+        "WITH "
+        + dd.CORPUS_SQL.strip()
+        + ",\n"
+        + dd.SHINGLES_SQL.strip()
+        + sql_select(
+            CPF_SPEC,
+            f"""(
+    WITH cpf_surv AS (
+        SELECT doc_id, lang, source, n_tokens
+        FROM {ta.text_stats_sql("corpus")}
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM corpus GROUP BY md5(text))
+          AND doc_id NOT IN (SELECT DISTINCT doc_b FROM {dd.NGRAM_JACCARD_SQL})
+          AND doc_id NOT IN (
+              SELECT doc_id FROM {qa.contaminated_docs_sql("corpus")}
+          )
+          AND quality_score >= 0.4
+    ),
+    cpf_counts AS (
+        SELECT source, COUNT(*) AS n_source FROM cpf_surv GROUP BY source
+    ),
+    cpf_capped AS (
+        SELECT v.doc_id, v.lang, v.source, v.n_tokens
+        FROM cpf_surv v JOIN cpf_counts n ON v.source = n.source
+        WHERE ({h}) * n.n_source < {qa.DOMAIN_CAP} * 4294967296
+    ),
+    cpf_pd AS (
+        SELECT doc_id, lang, source, doc_id // {s} AS shard_id,
+            LEAST(n_tokens, {c}) AS n_tokens
+        FROM cpf_capped
+    ),
+    cpf_pp AS (
+        SELECT doc_id, lang, source, shard_id, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM cpf_pd
+    ),
+    cpf_pg AS (
+        SELECT doc_id, lang, source, shard_id, n_tokens, pre,
+            pre // {c} AS first_grid,
+            (pre + n_tokens - 1) // {c} AS last_grid
+        FROM cpf_pp
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(0 AS BIGINT) AS seg_idx,
+        CAST(shard_id * {s} + first_grid AS BIGINT) AS bin_id,
+        CAST(pre - first_grid * {c} AS BIGINT) AS offset_in_bin,
+        CAST(LEAST(n_tokens, (first_grid + 1) * {c} - pre) AS BIGINT)
+            AS seg_len
+    FROM cpf_pg
+    UNION ALL
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT),
+        CAST(shard_id AS BIGINT),
+        CAST(1 AS BIGINT),
+        CAST(shard_id * {s} + last_grid AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST(pre + n_tokens - last_grid * {c} AS BIGINT)
+    FROM cpf_pg WHERE first_grid <> last_grid
+) cpf""",
+        )
+    )
+
+
+EXTENSIONS_R8["corpus_pipeline_full"] = QuerySpec(
+    _corpus_pipeline_full, _cpf_oracle()
+)

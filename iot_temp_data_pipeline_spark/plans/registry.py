@@ -656,6 +656,7 @@ from ..operators.rangejoin import RANGEJOIN_SQL, clicks_in_error_windows  # noqa
 from .analytics import ANALYTICS  # noqa: E402
 from .extensions import EXTENSIONS  # noqa: E402
 from .extensions_r7 import EXTENSIONS_R7  # noqa: E402
+from .extensions_r8 import EXTENSIONS_R8  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -672,6 +673,7 @@ REGISTRY.update(FORMATS)
 REGISTRY.update(TIMESERIES)
 REGISTRY.update(ANALYTICS)
 REGISTRY.update(EXTENSIONS_R7)
+REGISTRY.update(EXTENSIONS_R8)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
@@ -890,18 +892,69 @@ _CHANGED_R07 = [
     "pagerank_dedup_graph", "dup_source_matrix", "graph_triangle_count",
     "cluster_aware_split", "minhash_lsh_quality", "training_corpus_prep",
 ]
+# Round-7 driver rows (CORRECTNESS_r07.json keys, frozen): every row
+# green — the r7 sample covered the 9 new queries plus every
+# changed-path consumer, exactly as ordered.
+_DRIVER_VERIFIED_R07 = {
+    "ann_recall_check", "anomaly_breakdown", "anomaly_scores",
+    "anomaly_scores_t2", "bm25_topk", "char_entropy_quality",
+    "cluster_aware_split", "decontaminate_ngram_overlap", "dedup_chunk_overlap",
+    "dedup_cluster_report", "dedup_clusters_ngram", "dedup_clusters_star",
+    "domain_cap_sample", "domain_cap_threshold", "dup_source_matrix",
+    "embedding_space_diagnostics", "graph_triangle_count", "ivf_recall_sweep",
+    "jl_projection_recall", "knn_ivfsq8_rerank", "knn_sq8_cosine",
+    "knn_sq8_rerank", "lang_sampling_weights", "mad_outlier_gate",
+    "mart_readings", "minhash_band_tuning", "minhash_lsh_quality",
+    "multimodal_decode_headers", "ndcg_retrieval_eval", "ops_anomaly_count_per_device",
+    "pagerank_dedup_graph", "pipeline_run_report", "pq_recall_check",
+    "quality_repetition_rules", "sq8_recall_check", "streaming_ingest_kaggle",
+    "streaming_mad_partials", "summary_by_device", "summary_by_load",
+    "summary_by_location", "summary_overall", "t_closeness_audit",
+    "tfidf_topk", "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q4_order_priority", "training_corpus_prep", "trimmed_mean_events",
+    "union_ops_counts", "zipf_fit_check",
+}
+# Round-8 changed/new set: queries whose OPERATOR code path changed
+# this round and therefore need a fresh driver row. The r8 rework:
+# the shared session-cached cents-CDF table statistic (mad + trimmed
+# mean serve paths, streamed MAD partials' shared helper), the
+# session-cached knn_sq8 serve output (sq8 search + recall), the
+# stats-digest driver-side treatment of the bounded-digest queries
+# (t-closeness, Zipf fit, embedding diagnostics), the square-and-
+# multiply exponent fix (banding design table), the audio-subtype
+# bit-depth parse (decode headers), the empty-digest/empty-query
+# guards (anomaly family, brute-force/HNM/ADC matmul kernels), and the
+# pack_sharded_from_counts factoring. Plus the new r8 flagship.
+_CHANGED_R08 = [
+    # new this round (no driver row yet)
+    "corpus_pipeline_full",
+    # shared cents-CDF serve paths
+    "mad_outlier_gate", "trimmed_mean_events", "streaming_mad_partials",
+    # sq8 serve-output cache
+    "knn_sq8_cosine", "sq8_recall_check",
+    # stats-digest driver-side reworks
+    "t_closeness_audit", "zipf_fit_check", "embedding_space_diagnostics",
+    # ADVICE r7 fixes on live paths
+    "minhash_band_tuning", "multimodal_decode_headers",
+    "anomaly_scores", "anomaly_scores_t2",
+    "knn_brute_force_cosine", "hard_negative_mining",
+    "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq_adc",
+    # pack factoring
+    "pack_sequences_sharded",
+]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,
     _DRIVER_VERIFIED_R03,
     _DRIVER_VERIFIED_R04,
     _DRIVER_VERIFIED_R05,
     _DRIVER_VERIFIED_R06,
+    _DRIVER_VERIFIED_R07,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R07 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R08 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
 _rest_by_staleness = sorted(

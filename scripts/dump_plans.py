@@ -32,11 +32,12 @@ SHOWCASE = {
         "enrichment."
     ),
     "mad_outlier_gate": (
-        "ONE-JOB window chain (r7): (type, cents) aggregate, then "
-        "median, deviations, MAD and the flag count all inside one "
-        "event_type partitioning — the dev-ordered second window is a "
-        "re-sort, not a re-shuffle; no joins, no broadcasts, <= 3 "
-        "Exchanges, no output sort."
+        "Serve path over the session-cached cents-CDF table statistic "
+        "(r8, shared with trimmed_mean_events): median falls out of the "
+        "materialized cum/n columns; deviations, MAD and the flag count "
+        "run inside one event_type partitioning — the dev-ordered "
+        "second window is a re-sort, not a re-shuffle; no joins, no "
+        "broadcasts, <= 3 Exchanges, no output sort."
     ),
     "char_entropy_quality": (
         "Cost-based dual strategy (r7): below ENTROPY_EXPLODE_MIN_DOCS "
@@ -315,10 +316,10 @@ SHOWCASE = {
     ),
     "mad_outlier_gate": (
         "Robust MAD gate, sort-free: both medians come from cumulative "
-        "windows over value-GROUPED (cents, cnt) tables — exchanges "
-        "are value-range bounded; the raw rows are scanned once and "
-        "the deviation table is re-derived from the grouped pairs, "
-        "never from a second scan."
+        "windows over the session-cached cents-CDF materialization "
+        "(shared with trimmed_mean_events; r8) — exchanges are "
+        "value-range bounded; the deviation table is re-derived from "
+        "the grouped pairs, never from a second raw scan."
     ),
     "time_weighted_avg": (
         "LOCF integral: ONE lead window per event_type (partition-"

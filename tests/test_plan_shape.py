@@ -410,11 +410,12 @@ def test_ivfpq_scores_via_lut_kernel_and_broadcast_probes(spark, sf_dir):
 
 
 def test_mad_outlier_gate_single_job_window_chain(spark, sf_dir):
-    """r7 rework contract: MAD runs as ONE job — a (type, cents)
-    aggregation, one event_type window partitioning (median and MAD
-    windows share it; the dev ordering is a re-sort, not a re-shuffle),
-    one final 5-group aggregate. No broadcast sides, no join of any
-    kind, no cosmetic output sort, <= 3 exchanges."""
+    """r8 serve contract: MAD reads the session-cached cents-CDF
+    materialization (shared with trimmed_mean_events), so the serving
+    plan is one event_type window partitioning (median from the
+    materialized cum/n, the dev ordering a re-sort) plus one final
+    5-group aggregate. No broadcast sides, no join of any kind, no
+    cosmetic output sort, <= 3 exchanges."""
     plan = plan_of(REGISTRY["mad_outlier_gate"].spark(spark, sf_dir), "simple")
     assert "Join" not in plan
     assert "rangepartitioning" not in plan  # no cosmetic output sort

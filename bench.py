@@ -147,6 +147,13 @@ HEADLINE_EXTRA = [
     "knn_ivfsq8_rerank",
     # round-8 addition: the end-to-end curation flagship
     "corpus_pipeline_full",
+    # round-8 widening wave
+    "colbert_maxsim_topk",
+    "matryoshka_recall_sweep",
+    "knn_label_filtered",
+    "corpus_dedup_curve",
+    "pmi_collocations",
+    "quality_quantile_normalize",
 ]
 
 
@@ -195,6 +202,10 @@ CACHE_CONSUMING = sorted(
         "trimmed_mean_events",
         # r8: consumes the cached pair table + postings-style artifacts
         "corpus_pipeline_full",
+        # r8 widening: consume the quantized corpus / exact ground truth
+        "colbert_maxsim_topk",
+        "matryoshka_recall_sweep",
+        "knn_label_filtered",
     }
 )
 

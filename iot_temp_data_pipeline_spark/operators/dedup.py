@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import affine_hash32_family, portable_hash32_family
+from ..functions.hashing import (
+    affine_hash32_family,
+    portable_hash32,
+    portable_hash32_family,
+    portable_hash32_sql,
+)
 from ..functions.text import shingles_of_tokens, tokens
 from ..sources.catalog import load_table
 
@@ -1451,4 +1456,95 @@ def ngram_novelty_sql(source: str = "documents", n: int = 2) -> str:
             / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
     FROM nv_fo
     GROUP BY doc_id
+) s"""
+
+
+# ------------------------------------------------ corpus novelty curve
+
+NOVELTY_CURVE_BUCKETS = 10
+NOVELTY_CURVE_SEED = 29
+
+
+def corpus_dedup_curve(
+    corpus: DataFrame,
+    n_buckets: int = NOVELTY_CURVE_BUCKETS,
+    seed: int = NOVELTY_CURVE_SEED,
+) -> DataFrame:
+    """Cumulative novelty curve: "how much of the corpus is actually
+    new as ingest proceeds?" — the dedup-rate-vs-corpus-size diagnostic
+    a curation team reads before deciding whether crawling MORE of a
+    source is worth it (novelty declining toward 0 ⇒ the source is
+    exhausted).
+
+    The corpus is split into ``n_buckets`` deterministic ingest batches
+    (portable hash of doc_id — the random-arrival model; a dated corpus
+    would bucket on ingest date instead, same plan). A text is NEW in
+    the first batch that contains it (min bucket per md5). Output per
+    batch: batch size, new-text count, cumulative totals, and exact
+    integer novelty rates (ppm — floor division, bit-identical
+    cross-engine).
+
+    Scale shape: one scan into (bucket, md5) — both map-side
+    expressions — then two hash aggregations whose shuffles carry
+    (hash → min-bucket) and (bucket → counts); the only window runs
+    over ``n_buckets`` rows (bounded by the batch count, not the
+    corpus), the same bounded-digest frame as the summary reports."""
+    b = (
+        portable_hash32(F.col("doc_id").cast("string"), seed=seed)
+        % n_buckets
+    ).alias("bucket")
+    d = corpus.select(b, F.md5("text").alias("h"))
+    per_bucket = d.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    firsts = d.groupBy("h").agg(F.min("bucket").alias("bucket"))
+    new_per = firsts.groupBy("bucket").agg(F.count("*").alias("n_new"))
+    j = per_bucket.join(new_per, "bucket", "left").na.fill({"n_new": 0})
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "bucket",
+            "n_docs",
+            "n_new",
+            F.sum("n_docs").over(w).alias("docs_cum"),
+            F.sum("n_new").over(w).alias("new_cum"),
+        )
+        .withColumn("novelty_ppm", F.expr("new_cum * 1000000 div docs_cum"))
+        .withColumn(
+            "marginal_novelty_ppm", F.expr("n_new * 1000000 div n_docs")
+        )
+    )
+
+
+def corpus_dedup_curve_sql(
+    source: str = "corpus",
+    n_buckets: int = NOVELTY_CURVE_BUCKETS,
+    seed: int = NOVELTY_CURVE_SEED,
+) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""(
+    WITH nc_d AS (
+        SELECT ({h}) % {n_buckets} AS bucket, md5(text) AS h
+        FROM {source}
+    ),
+    nc_pb AS (SELECT bucket, COUNT(*) AS n_docs FROM nc_d GROUP BY 1),
+    nc_first AS (SELECT h, MIN(bucket) AS bucket FROM nc_d GROUP BY 1),
+    nc_new AS (SELECT bucket, COUNT(*) AS n_new FROM nc_first GROUP BY 1),
+    nc_j AS (
+        SELECT p.bucket, p.n_docs, COALESCE(n.n_new, 0) AS n_new
+        FROM nc_pb p LEFT JOIN nc_new n ON p.bucket = n.bucket
+    ),
+    nc_c AS (
+        SELECT bucket, n_docs, n_new,
+            SUM(n_docs) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_cum,
+            SUM(n_new) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS new_cum
+        FROM nc_j
+    )
+    SELECT bucket, n_docs, n_new, docs_cum, new_cum,
+        (new_cum * 1000000) // docs_cum AS novelty_ppm,
+        (n_new * 1000000) // n_docs AS marginal_novelty_ppm
+    FROM nc_c
 ) s"""

@@ -1270,3 +1270,82 @@ def token_budget_pick_sql(source: str = "documents", budget: int = TB_BUDGET) ->
         CAST(pick_rank AS BIGINT) AS pick_rank
     FROM tbc WHERE cum_tokens <= {budget}
 ) s"""
+
+
+# -------------------------------------- per-source quantile calibration
+
+QN_PPM = 1_000_000
+
+
+def quality_quantile_normalize(stats: DataFrame) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the
+    calibration step a multi-source curation mix needs before a single
+    global threshold means the same thing everywhere (a score of 0.7
+    from a clean source and 0.7 from a noisy one sit at very different
+    percentiles of their source's distribution; mixing on raw scores
+    over-selects the lenient source).
+
+    Maps each doc's score to its within-source percentile — the exact
+    integer rational (rank−1)·1e6 div (n−1) (PERCENT_RANK's definition
+    kept in integer arithmetic: no double rounding, bit-identical
+    cross-engine; ties share a rank in both engines by RANK semantics)
+    — plus the global decile bucket a mixture policy thresholds on.
+
+    Scale shape: one shuffle on source, one per-source sort for the
+    rank window (the honest cost of exact quantiles; the approximate
+    path at 100 TB is the histogram-CDF machinery of
+    profiling.events_cents_cdf, which this operator's integer contract
+    is designed to swap onto). ``stats`` is the text_stats projection —
+    no second text scan."""
+    w = Window.partitionBy("source").orderBy("quality_score")
+    wn = Window.partitionBy("source")
+    ranked = stats.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.rank().over(w).alias("src_rank"),
+        F.count("*").over(wn).alias("src_n"),
+    )
+    pr_ppm = F.when(
+        F.col("src_n") > 1,
+        F.expr(f"(src_rank - 1) * {QN_PPM} div (src_n - 1)"),
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("pr_ppm", pr_ppm.cast("long"))
+        .withColumn(
+            "decile",
+            F.least(F.lit(9), F.expr(f"pr_ppm div {QN_PPM // 10}")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "src_rank",
+            "src_n",
+            "pr_ppm",
+            "decile",
+        )
+    )
+
+
+def quality_quantile_normalize_sql(stats_rel: str) -> str:
+    """DuckDB twin over the same stats relation (text_stats_sql)."""
+    return f"""(
+    WITH qn_s AS (
+        SELECT doc_id, source, quality_score,
+            RANK() OVER (PARTITION BY source ORDER BY quality_score)
+                AS src_rank,
+            COUNT(*) OVER (PARTITION BY source) AS src_n
+        FROM {stats_rel}
+    )
+    SELECT doc_id, source, quality_score, src_rank, src_n,
+        CASE WHEN src_n > 1
+             THEN ((src_rank - 1) * {QN_PPM}) // (src_n - 1)
+             ELSE 0 END AS pr_ppm,
+        LEAST(9, (CASE WHEN src_n > 1
+                       THEN ((src_rank - 1) * {QN_PPM}) // (src_n - 1)
+                       ELSE 0 END) // {QN_PPM // 10}) AS decile
+    FROM qn_s
+) s"""

@@ -1023,3 +1023,124 @@ def zipf_fit_sql(source: str = "documents") -> str:
             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
     FROM zf_m CROSS JOIN zf_g
 ) zf"""
+
+
+# ------------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+PMI_PPM = 1_000_000
+
+
+def pmi_collocations(
+    docs: DataFrame, top: int = PMI_TOP, min_count: int = PMI_MIN_COUNT
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: rank word
+    pairs by lift = P(w1,w2) / (P(w1)·P(w2)) — PMI is log2(lift), and
+    log is monotone, so ranking by lift IS ranking by PMI while staying
+    in EXACT integer arithmetic (the repo's libm-free discipline: no
+    cross-engine log in the ordering). lift_ppm is the exact floor of
+    1e6·lift computed in DECIMAL(38)/HUGEINT — bit-identical in both
+    engines.
+
+    Classic statistic: Church & Hanks, "Word Association Norms, Mutual
+    Information, and Lexicography" (Computational Linguistics 1990).
+
+    Scale shape: one corpus scan feeds BOTH count tables (unigrams via
+    token explode, bigrams via the slice-zip explode) with map-side
+    combine, so the shuffles carry (token, partial count) rows bounded
+    by vocabulary, never raw positions. The two marginal joins
+    broadcast the unigram table (vocabulary-bounded — Heaps' law keeps
+    it sublinear in corpus size; the same posture as the BPE vocab
+    broadcast). T and B are one bounded digest aggregate (two longs)."""
+    d = docs.select(tokens(F.col("text")).alias("tk"))
+    tot = d.agg(
+        F.sum(F.size("tk")).alias("t"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("b"),
+    ).collect()[0]
+    t_tokens, b_pairs = int(tot["t"]), int(tot["b"])
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    j = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+            ),
+            "w2",
+        )
+    )
+    lift = F.expr(
+        f"CAST(c_ab AS DECIMAL(38,0)) * {t_tokens} * {t_tokens} * {PMI_PPM}"
+        f" div (CAST(c_a AS DECIMAL(38,0)) * c_b * {b_pairs})"
+    )
+    return (
+        j.select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift_ppm"))
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(top)
+    )
+
+
+def pmi_collocations_sql(
+    source: str = "documents",
+    top: int = PMI_TOP,
+    min_count: int = PMI_MIN_COUNT,
+) -> str:
+    """DuckDB twin: identical counts, HUGEINT floor-division lift."""
+    return f"""(
+    WITH pm_d AS (
+        SELECT string_split(lower(text), ' ') AS tk FROM {source}
+    ),
+    pm_tot AS (
+        SELECT SUM(len(tk)) AS t, SUM(GREATEST(len(tk) - 1, 0)) AS b
+        FROM pm_d
+    ),
+    pm_uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT UNNEST(tk) AS w FROM pm_d)
+        GROUP BY 1
+    ),
+    pm_big AS (
+        SELECT t.tk[s.i] AS w1, t.tk[s.i + 1] AS w2, COUNT(*) AS c_ab
+        FROM pm_d t
+        JOIN (SELECT UNNEST(generate_series(1,
+                  (SELECT MAX(len(tk)) FROM pm_d))) AS i) s
+          ON s.i <= len(t.tk) - 1
+        WHERE len(t.tk) >= 2
+        GROUP BY 1, 2
+    )
+    SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c.c AS c_b,
+        CAST((CAST(b.c_ab AS HUGEINT) * tt.t * tt.t * {PMI_PPM})
+             // (CAST(a.c AS HUGEINT) * c.c * tt.b) AS BIGINT) AS lift_ppm
+    FROM pm_big b
+    JOIN pm_uni a ON a.w = b.w1
+    JOIN pm_uni c ON c.w = b.w2
+    CROSS JOIN pm_tot tt
+    WHERE b.c_ab >= {min_count}
+    ORDER BY lift_ppm DESC, b.w1, b.w2
+    LIMIT {top}
+) s"""

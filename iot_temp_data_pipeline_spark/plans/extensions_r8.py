@@ -167,3 +167,156 @@ def _cpf_oracle() -> str:
 EXTENSIONS_R8["corpus_pipeline_full"] = QuerySpec(
     _corpus_pipeline_full, _cpf_oracle()
 )
+
+
+# --------------------------------------------- round-8 widening wave
+# Late-interaction retrieval, matryoshka truncation eval, filtered
+# vector search, the corpus novelty curve, PMI collocations, and
+# per-source quantile calibration.
+
+from ..operators import retrieval_ext as rx  # noqa: E402
+from ..operators import similarity as sim  # noqa: E402
+from ..sources.catalog import load_table  # noqa: E402
+
+MAXSIM_SPEC: ColSpec = [
+    ("query_doc", "long"),
+    ("neighbor_doc", "long"),
+    ("maxsim_micros", "long"),
+    ("rank", "long"),
+]
+
+
+def _maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(rx.maxsim_topk(spark, sf_dir), MAXSIM_SPEC)
+
+
+MAXSIM_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + "\n"
+    + sql_select(MAXSIM_SPEC, rx.maxsim_topk_sql())
+)
+
+EXTENSIONS_R8["colbert_maxsim_topk"] = QuerySpec(_maxsim, MAXSIM_ORACLE)
+
+
+MATRYOSHKA_SPEC: ColSpec = [
+    ("prefix_dim", "long"),
+    ("n_queries", "long"),
+    ("mean_recall_at_k", "f4"),
+]
+
+
+def _matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(rx.matryoshka_recall(spark, sf_dir), MATRYOSHKA_SPEC)
+
+
+MATRYOSHKA_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + ",\nmr_bf AS (SELECT query_id, neighbor_id FROM "
+    + sim.knn_brute_force_sql()
+    + ")\n"
+    + sql_select(MATRYOSHKA_SPEC, rx.matryoshka_recall_sql())
+)
+
+EXTENSIONS_R8["matryoshka_recall_sweep"] = QuerySpec(
+    _matryoshka, MATRYOSHKA_ORACLE
+)
+
+
+FILTERED_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("label", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(rx.knn_label_filtered(spark, sf_dir), FILTERED_SPEC)
+
+
+FILTERED_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + "\n"
+    + sql_select(FILTERED_SPEC, rx.knn_label_filtered_sql())
+)
+
+EXTENSIONS_R8["knn_label_filtered"] = QuerySpec(_knn_filtered, FILTERED_ORACLE)
+
+
+CURVE_SPEC: ColSpec = [
+    ("bucket", "long"),
+    ("n_docs", "long"),
+    ("n_new", "long"),
+    ("docs_cum", "long"),
+    ("new_cum", "long"),
+    ("novelty_ppm", "long"),
+    ("marginal_novelty_ppm", "long"),
+]
+
+
+def _dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.corpus_dedup_curve(dd.dedup_corpus(spark, sf_dir)), CURVE_SPEC
+    )
+
+
+CURVE_ORACLE = (
+    "WITH "
+    + dd.CORPUS_SQL.strip()
+    + "\n"
+    + sql_select(CURVE_SPEC, dd.corpus_dedup_curve_sql("corpus"))
+)
+
+EXTENSIONS_R8["corpus_dedup_curve"] = QuerySpec(_dedup_curve, CURVE_ORACLE)
+
+
+PMI_SPEC: ColSpec = [
+    ("w1", ""),
+    ("w2", ""),
+    ("c_ab", "long"),
+    ("c_a", "long"),
+    ("c_b", "long"),
+    ("lift_ppm", "long"),
+]
+
+
+def _pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.pmi_collocations(load_table(spark, sf_dir, "documents")), PMI_SPEC
+    )
+
+
+PMI_ORACLE = sql_select(PMI_SPEC, ta.pmi_collocations_sql("documents"))
+
+EXTENSIONS_R8["pmi_collocations"] = QuerySpec(_pmi, PMI_ORACLE)
+
+
+QNORM_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("source", ""),
+    ("quality_score", "f4"),
+    ("src_rank", "long"),
+    ("src_n", "long"),
+    ("pr_ppm", "long"),
+    ("decile", "long"),
+]
+
+
+def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = ta.text_stats(load_table(spark, sf_dir, "documents"))
+    return shape(qa.quality_quantile_normalize(stats), QNORM_SPEC)
+
+
+QNORM_ORACLE = sql_select(
+    QNORM_SPEC,
+    qa.quality_quantile_normalize_sql(ta.text_stats_sql("documents")),
+)
+
+EXTENSIONS_R8["quality_quantile_normalize"] = QuerySpec(
+    _quantile_normalize, QNORM_ORACLE
+)

@@ -108,3 +108,143 @@ def test_adc_topm_numpy_empty_queries(spark):
     out = adc_topm(enc, cb, queries, m=3, n_pairs=10**9, strategy="numpy")
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
+# ===================================================== round-8 widening
+# Semantic contracts for the r8 wave (oracle parity is separately pinned
+# for every one of these by tests/test_registry_parity.py).
+
+from iot_temp_data_pipeline_spark.operators import dedup as dd
+from iot_temp_data_pipeline_spark.operators import retrieval_ext as rx
+from iot_temp_data_pipeline_spark.operators import text_analysis as ta
+from iot_temp_data_pipeline_spark.operators.quality import (
+    quality_quantile_normalize,
+)
+from iot_temp_data_pipeline_spark.operators.similarity import (
+    ground_truth_topk,
+)
+from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+
+def test_matryoshka_full_dim_recall_is_one(spark, sf_dir):
+    """The full-dimension branch must recover the exact ground truth —
+    recall exactly 1.0 (the sweep's built-in self-check)."""
+    rows = {
+        r["prefix_dim"]: r
+        for r in rx.matryoshka_recall(spark, sf_dir).collect()
+    }
+    assert rows[64]["mean_recall_at_k"] == 1.0
+    # truncation can only lose recall (not strictly monotone in theory,
+    # but the full dim is an upper bound by construction)
+    assert rows[16]["mean_recall_at_k"] <= 1.0
+    assert rows[16]["n_queries"] == rows[64]["n_queries"]
+
+
+def test_label_filtered_neighbors_share_query_label(spark, sf_dir):
+    emb, _ = __import__(
+        "iot_temp_data_pipeline_spark.operators.similarity",
+        fromlist=["quantized_corpus"],
+    ).quantized_corpus(spark, sf_dir)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = rx.knn_label_filtered(spark, sf_dir).collect()
+    assert out, "filtered search returned no rows"
+    for r in out:
+        assert r["label"] == labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= rx.FILTERED_K
+
+
+def test_maxsim_scores_bounded_and_ranked(spark, sf_dir):
+    """MaxSim micros are bounded by tokens_per_doc x 1e6 (each per-token
+    max cosine <= 1), and ranks are dense 1..k per query."""
+    out = rx.maxsim_topk(spark, sf_dir).collect()
+    assert out
+    bound = rx.MAXSIM_TOKENS_PER_DOC * 1_000_000
+    per_q = {}
+    for r in out:
+        assert -bound <= r["maxsim_micros"] <= bound
+        per_q.setdefault(r["query_doc"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_dedup_curve_totals_and_monotonicity(spark, sf_dir):
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    rows = sorted(
+        dd.corpus_dedup_curve(corpus).collect(), key=lambda r: r["bucket"]
+    )
+    n_docs_total = corpus.count()
+    n_distinct = corpus.select("text").distinct().count()
+    assert rows[-1]["docs_cum"] == n_docs_total
+    assert rows[-1]["new_cum"] == n_distinct
+    prev_docs = prev_new = 0
+    for r in rows:
+        assert r["docs_cum"] == prev_docs + r["n_docs"]
+        assert r["new_cum"] == prev_new + r["n_new"]
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+        prev_docs, prev_new = r["docs_cum"], r["new_cum"]
+    # the injected exact copies guarantee the curve is not flat at 1
+    assert rows[-1]["novelty_ppm"] < 1_000_000
+
+
+def test_pmi_lift_matches_python_recount(spark, sf_dir):
+    """Recompute lift for the top row from raw python counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.pmi_collocations(docs).collect()
+    assert out
+    texts = [r["text"].lower().split() for r in docs.select("text").collect()]
+    t_total = sum(len(t) for t in texts)
+    b_total = sum(max(len(t) - 1, 0) for t in texts)
+    top = out[0]
+    c_ab = sum(
+        1
+        for t in texts
+        for a, b in zip(t, t[1:])
+        if a == top["w1"] and b == top["w2"]
+    )
+    c_a = sum(t.count(top["w1"]) for t in texts)
+    c_b = sum(t.count(top["w2"]) for t in texts)
+    assert c_ab == top["c_ab"] and c_a == top["c_a"] and c_b == top["c_b"]
+    assert top["lift_ppm"] == (c_ab * t_total * t_total * 1_000_000) // (
+        c_a * c_b * b_total
+    )
+    # descending-lift ordering with (w1, w2) tie-break
+    lifts = [r["lift_ppm"] for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_quantile_normalize_contract(spark, sf_dir):
+    stats = ta.text_stats(load_table(spark, sf_dir, "documents"))
+    out = quality_quantile_normalize(stats).collect()
+    assert out
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        n = rows[0]["src_n"]
+        assert len(rows) == n
+        top = max(rows, key=lambda r: (r["quality_score"], r["src_rank"]))
+        if n > 1:
+            # the max-score docs sit at ppm consistent with RANK ties
+            assert 0 <= top["pr_ppm"] <= 1_000_000
+        for r in rows:
+            assert 0 <= r["pr_ppm"] <= 1_000_000
+            assert r["decile"] == min(9, r["pr_ppm"] // 100_000)
+
+
+def test_maxsim_reduces_to_cosine_rank_when_one_token(spark, sf_dir):
+    """With tokens_per_doc=1 MaxSim degenerates to single-vector search:
+    the micro-floored cosine ranking must agree with the exact
+    brute-force ground truth ranking wherever micro-floors are distinct
+    (same query set: tdoc == vec_id, mod 100)."""
+    ms = rx.maxsim_topk(
+        spark, sf_dir, tokens_per_doc=1, query_mod=100, k=5
+    ).collect()
+    gt = ground_truth_topk(spark, sf_dir, query_mod=100, k=5).collect()
+    gt_pairs = {(r["query_id"], r["neighbor_id"]) for r in gt}
+    ms_pairs = {(r["query_doc"], r["neighbor_doc"]) for r in ms}
+    # micro-floor ties at the k-boundary can swap members; demand >=80%
+    # overlap and identical query sets
+    assert {q for q, _ in ms_pairs} == {q for q, _ in gt_pairs}
+    inter = len(gt_pairs & ms_pairs)
+    assert inter >= int(0.8 * len(gt_pairs))

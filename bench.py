@@ -149,6 +149,7 @@ HEADLINE_EXTRA = [
     "corpus_pipeline_full",
     # round-8 widening wave
     "colbert_maxsim_topk",
+    "maxsim_pooled_rerank",
     "matryoshka_recall_sweep",
     "knn_label_filtered",
     "corpus_dedup_curve",
@@ -204,6 +205,7 @@ CACHE_CONSUMING = sorted(
         "corpus_pipeline_full",
         # r8 widening: consume the quantized corpus / exact ground truth
         "colbert_maxsim_topk",
+        "maxsim_pooled_rerank",
         "matryoshka_recall_sweep",
         "knn_label_filtered",
     }

@@ -60,6 +60,7 @@ def maxsim_topk(
     tokens_per_doc: int = MAXSIM_TOKENS_PER_DOC,
     query_mod: int = MAXSIM_QUERY_MOD,
     k: int = MAXSIM_K,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Late-interaction top-k: score(q, d) = Σ_{qt∈q} max_{dt∈d}
     cos(qt, dt), computed over exact integers end to end.
@@ -79,14 +80,33 @@ def maxsim_topk(
     rows, and the standard production composition routes through an
     IVF/PQ index on pooled (mean/[CLS]) vectors first so N_docs here is
     a shortlist, not the corpus — the same shortlist-then-refine
-    lifecycle as sq8.knn_sq8_rerank."""
-    emb, _ = quantized_corpus(spark, sf_dir)
+    lifecycle as sq8.knn_sq8_rerank.
+
+    ``strategy`` picks the physical form of the token-score pass (both
+    bit-identical — same exact int64 dots, same IEEE op order, same
+    micro-floor): "catalyst" (crossJoin + HOF cosine — fine while
+    N_tok·Q_tok is small, but the HOF dot is interpreted, the 100×
+    probe measured 71× wall on 100× pairs), "matmul" (per-partition
+    f64-BLAS GEMM over the token matrix with IN-BATCH max pre-reduction
+    — the scale form, probe catch #7), or "auto" (the family's
+    cost-based pick on the same N·Q statistic as knn_brute_force)."""
+    from .similarity import BRUTE_MATMUL_MIN_PAIRS
+
+    emb, n = quantized_corpus(spark, sf_dir)
     tok = emb.select(
         F.expr(f"vec_id div {tokens_per_doc}").alias("tdoc"),
         "vec_id",
         "qvec",
         "qnorm2",
     )
+    if strategy == "auto":
+        strategy = (
+            "matmul"
+            if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS
+            else "catalyst"
+        )
+    if strategy == "matmul":
+        return _maxsim_matmul(tok, query_mod, k)
     q = tok.filter(F.col("tdoc") % query_mod == 0).select(
         F.col("tdoc").alias("q_tdoc"),
         F.col("vec_id").alias("q_vec"),
@@ -114,6 +134,107 @@ def maxsim_topk(
         )
     )
     tokmax = scored.groupBy("q_tdoc", "tdoc", "q_vec").agg(
+        F.max("ms").alias("tok_ms")
+    )
+    sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
+        F.sum("tok_ms").alias("maxsim_micros")
+    )
+    w = Window.partitionBy("q_tdoc").orderBy(
+        F.col("maxsim_micros").desc(), F.col("tdoc")
+    )
+    return sc.select(
+        F.col("q_tdoc").alias("query_doc"),
+        F.col("tdoc").alias("neighbor_doc"),
+        "maxsim_micros",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
+def _maxsim_matmul(tok: DataFrame, query_mod: int, k: int) -> DataFrame:
+    """Scale strategy for :func:`maxsim_topk` (probe catch #7: the
+    interpreted HOF cosine went 71× at 100× pairs): the query TOKEN
+    matrix is collected once (Q_docs·m rows — the broadcast-bound
+    contract of the whole brute-force family), each corpus-token
+    partition scores its rows as ONE exact-integer GEMM per Arrow
+    batch, micro-floors, and pre-reduces the per-(corpus_doc,
+    query_token) MAX inside the batch — emission is bounded by
+    docs·Q_tokens per batch, not tokens·Q_tokens. The downstream plan
+    is the identical max → sum → top-k window chain, so results are
+    bit-identical to the Catalyst form (pinned by test + the shared
+    oracle): dots are exact int64 via the f64-BLAS 2^53 bound, the
+    cosine applies the same IEEE op order (dot / √q_n2 / √n_n2), and
+    floor-of-identical-doubles commutes with MAX."""
+    import numpy as np
+
+    q_rows = (
+        tok.filter(F.col("tdoc") % query_mod == 0)
+        .select("tdoc", "vec_id", "qvec", "qnorm2")
+        .collect()
+    )
+    spark = tok.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            schema="query_doc long, neighbor_doc long,"
+            " maxsim_micros long, rank long",
+        )
+    qmat = np.array([r["qvec"] for r in q_rows], dtype=np.int64)
+    qsqrt = np.sqrt(
+        np.array([r["qnorm2"] for r in q_rows], dtype=np.int64).astype(
+            np.float64
+        )
+    )
+    qvec_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_tdocs = np.array([r["tdoc"] for r in q_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qmat, qsqrt, qvec_ids, q_tdocs))
+
+    def partial_max(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        from .similarity import _exact_f64_matmul  # noqa: PLC0415
+
+        qmat, qsqrt, qvec_ids, q_tdocs = bc.value
+        nq = qvec_ids.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            nsqrt = np.sqrt(
+                pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64)
+            )
+            tdocs = pdf["tdoc"].to_numpy(dtype=np.int64)
+            cos = _exact_f64_matmul(x, qmat, np)
+            cos = cos / qsqrt[None, :]
+            cos = cos / nsqrt[:, None]
+            ms = np.floor(1000000.0 * cos).astype(np.int64)
+            # in-batch max over each doc's token rows, vectorized:
+            # token rows sharing a tdoc are reduced with reduceat over
+            # the stable tdoc grouping (exact integer max — order-free)
+            order = np.argsort(tdocs, kind="stable")
+            ts = tdocs[order]
+            starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+            docs_u = ts[starts]
+            red = np.maximum.reduceat(ms[order], starts, axis=0)
+            nd = docs_u.shape[0]
+            frame = pd.DataFrame(
+                {
+                    "q_tdoc": np.tile(q_tdocs, nd),
+                    "tdoc": np.repeat(docs_u, nq),
+                    "q_vec": np.tile(qvec_ids, nd),
+                    "ms": red.reshape(-1),
+                }
+            )
+            frame = frame[frame["q_tdoc"] != frame["tdoc"]]
+            if frame.empty:
+                continue
+            yield frame
+
+    partials = tok.select("tdoc", "vec_id", "qvec", "qnorm2").mapInPandas(
+        partial_max,
+        schema="q_tdoc long, tdoc long, q_vec long, ms long",
+    )
+    tokmax = partials.groupBy("q_tdoc", "tdoc", "q_vec").agg(
         F.max("ms").alias("tok_ms")
     )
     sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
@@ -196,43 +317,56 @@ def matryoshka_recall(
     each branch scans the corpus once with sliced vectors and recomputes
     prefix norms; the full-dimension branch doubles as a self-check
     (recall exactly 1). The mean is SUM(hits)/COUNT(*) in one division,
-    so no summation-order risk."""
+    so no summation-order risk. Each branch picks the same cost-based
+    physical strategy as knn_brute_force: Catalyst crossJoin+window
+    while N·Q is small, the per-partition GEMM + distributive partial
+    top-k kernel above BRUTE_MATMUL_MIN_PAIRS (bit-identical forms)."""
+    from .similarity import BRUTE_MATMUL_MIN_PAIRS, knn_brute_force_matmul
+
     bf = ground_truth_topk(spark, sf_dir, query_mod, k).select(
         "query_id", "neighbor_id"
     )
+    emb, n = quantized_corpus(spark, sf_dir)
     out = None
     for d in dims:
-        emb, _ = quantized_corpus(spark, sf_dir)
         tr = emb.select(
-            "vec_id", F.slice("qvec", 1, d).alias("qvec")
+            "vec_id", "label", F.slice("qvec", 1, d).alias("qvec")
         ).withColumn("qnorm2", qnorm2(F.col("qvec")))
-        q = tr.filter(F.col("vec_id") % query_mod == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("q_qvec"),
-            F.col("qnorm2").alias("q_qnorm2"),
-        )
-        scored = (
-            tr.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                qcosine(
-                    F.col("q_qvec"),
-                    F.col("qvec"),
-                    F.col("q_qnorm2"),
-                    F.col("qnorm2"),
-                ).alias("cosine"),
+        if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS:
+            # big N·Q rides the same per-partition GEMM + distributive
+            # partial-top-k kernel as knn_brute_force (bit-identical to
+            # the Catalyst form — pinned for the full-dim family)
+            approx = knn_brute_force_matmul(tr, query_mod, k).select(
+                "query_id", "neighbor_id"
             )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        approx = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-        )
+        else:
+            q = tr.filter(F.col("vec_id") % query_mod == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qvec").alias("q_qvec"),
+                F.col("qnorm2").alias("q_qnorm2"),
+            )
+            scored = (
+                tr.crossJoin(F.broadcast(q))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    qcosine(
+                        F.col("q_qvec"),
+                        F.col("qvec"),
+                        F.col("q_qnorm2"),
+                        F.col("qnorm2"),
+                    ).alias("cosine"),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+            approx = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id")
+            )
         joined = bf.join(
             approx.withColumn("hit", F.lit(1)),
             ["query_id", "neighbor_id"],
@@ -379,5 +513,204 @@ def knn_label_filtered_sql(
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM fscored
     ) r
+    WHERE rank <= {k}
+) s"""
+
+
+# ----------------------------- pooled shortlist → MaxSim rerank
+
+MAXSIM_SHORTLIST_R = 20  # pooled-cosine shortlist fed to the exact rerank
+
+
+def maxsim_pooled_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens_per_doc: int = MAXSIM_TOKENS_PER_DOC,
+    query_mod: int = MAXSIM_QUERY_MOD,
+    k: int = MAXSIM_K,
+    r: int = MAXSIM_SHORTLIST_R,
+) -> DataFrame:
+    """The production late-interaction composition (route → refine, the
+    knn_ivfsq8_rerank architecture applied to multi-vector retrieval —
+    and how ColBERT deployments actually serve: a cheap single-vector
+    candidate pass, exact MaxSim only on the shortlist):
+
+    1. POOL: one integer vector per doc — the elementwise SUM of its
+       token vectors (cosine of the sum == cosine of the mean, and the
+       sum stays exact int64: 4 tokens × 1e6-scaled dims keeps every
+       dot < 2^53).
+    2. ROUTE: pooled-cosine top-``r`` shortlist per query (broadcast
+       query pool, one pooled-table scan — N_docs rows, 1/m of the
+       token table).
+    3. REFINE: exact MaxSim (same micro-unit integer reduction as
+       :func:`maxsim_topk`) computed ONLY on the Q·r shortlisted doc
+       pairs — token work bounded at Q·r·m², not Q·N·m.
+
+    With r ≥ N_docs the refine sees every pair and the result equals
+    maxsim_topk exactly (pinned by test). At 100 TB the pooled table is
+    the IVF-indexed artifact and the token table is fetched per
+    shortlist — the same bounded-fetch contract as the SQ8 rerank's
+    raw-vector reads."""
+    emb, _ = quantized_corpus(spark, sf_dir)
+    tok = emb.select(
+        F.expr(f"vec_id div {tokens_per_doc}").alias("tdoc"),
+        "vec_id",
+        "qvec",
+        "qnorm2",
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    pooled = (
+        tok.groupBy("tdoc")
+        .agg(F.collect_list("qvec").alias("vs"))
+        .select(
+            "tdoc",
+            F.aggregate(
+                "vs",
+                zeros,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("pvec"),
+        )
+        .withColumn("pnorm2", qnorm2(F.col("pvec")))
+    )
+    qp = pooled.filter(F.col("tdoc") % query_mod == 0).select(
+        F.col("tdoc").alias("q_tdoc"),
+        F.col("pvec").alias("q_pvec"),
+        F.col("pnorm2").alias("q_pnorm2"),
+    )
+    routed = (
+        pooled.crossJoin(F.broadcast(qp))
+        .filter(F.col("tdoc") != F.col("q_tdoc"))
+        .select(
+            "q_tdoc",
+            "tdoc",
+            qcosine(
+                F.col("q_pvec"),
+                F.col("pvec"),
+                F.col("q_pnorm2"),
+                F.col("pnorm2"),
+            ).alias("pcos"),
+        )
+    )
+    wr = Window.partitionBy("q_tdoc").orderBy(
+        F.col("pcos").desc(), F.col("tdoc")
+    )
+    shortlist = (
+        routed.withColumn("srank", F.row_number().over(wr))
+        .filter(F.col("srank") <= r)
+        .select("q_tdoc", "tdoc")
+    )
+    qt = tok.filter(F.col("tdoc") % query_mod == 0).select(
+        F.col("tdoc").alias("q_tdoc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    pairs = (
+        shortlist.join(tok, "tdoc")
+        .join(F.broadcast(qt), "q_tdoc")
+        .select(
+            "q_tdoc",
+            "tdoc",
+            "q_vec",
+            F.floor(
+                F.lit(float(MAXSIM_MICROS))
+                * qcosine(
+                    F.col("q_qvec"),
+                    F.col("qvec"),
+                    F.col("q_qnorm2"),
+                    F.col("qnorm2"),
+                )
+            )
+            .cast("long")
+            .alias("ms"),
+        )
+    )
+    tokmax = pairs.groupBy("q_tdoc", "tdoc", "q_vec").agg(
+        F.max("ms").alias("tok_ms")
+    )
+    sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
+        F.sum("tok_ms").alias("maxsim_micros")
+    )
+    w = Window.partitionBy("q_tdoc").orderBy(
+        F.col("maxsim_micros").desc(), F.col("tdoc")
+    )
+    return sc.select(
+        F.col("q_tdoc").alias("query_doc"),
+        F.col("tdoc").alias("neighbor_doc"),
+        "maxsim_micros",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
+def maxsim_pooled_rerank_sql(
+    tokens_per_doc: int = MAXSIM_TOKENS_PER_DOC,
+    query_mod: int = MAXSIM_QUERY_MOD,
+    k: int = MAXSIM_K,
+    r: int = MAXSIM_SHORTLIST_R,
+) -> str:
+    """DuckDB twin (expects QUANT_SQL): pooled vectors rebuilt via the
+    per-dimension SUM + ordered list() aggregate; identical routing and
+    micro-floor refine."""
+    pcos = sql_qcos("q.q_pvec", "p.pvec", "q.q_pnorm2", "p.pnorm2")
+    tcos = sql_qcos("q.q_qvec", "t.qvec", "q.q_qnorm2", "t.qnorm2")
+    return f"""(
+    WITH pr_tok AS (
+        SELECT vec_id // {tokens_per_doc} AS tdoc, vec_id, qvec, qnorm2
+        FROM qnormed
+    ),
+    pr_pool AS (
+        SELECT tdoc, list(s ORDER BY i) AS pvec FROM (
+            SELECT tdoc, i, SUM(qvec[i]) AS s
+            FROM pr_tok, unnest(generate_series(1, 64)) AS u(i)
+            GROUP BY tdoc, i
+        ) GROUP BY tdoc
+    ),
+    pr_pooln AS (
+        SELECT tdoc, pvec,
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> pvec[i] * pvec[i])) AS pnorm2
+        FROM pr_pool
+    ),
+    pr_qp AS (
+        SELECT tdoc AS q_tdoc, pvec AS q_pvec, pnorm2 AS q_pnorm2
+        FROM pr_pooln WHERE tdoc % {query_mod} = 0
+    ),
+    pr_short AS (
+        SELECT q_tdoc, tdoc FROM (
+            SELECT q.q_tdoc, p.tdoc,
+                ROW_NUMBER() OVER (PARTITION BY q.q_tdoc
+                    ORDER BY {pcos} DESC, p.tdoc) AS srank
+            FROM pr_pooln p CROSS JOIN pr_qp q
+            WHERE p.tdoc != q.q_tdoc
+        ) rr WHERE srank <= {r}
+    ),
+    pr_qt AS (
+        SELECT tdoc AS q_tdoc, vec_id AS q_vec,
+               qvec AS q_qvec, qnorm2 AS q_qnorm2
+        FROM pr_tok WHERE tdoc % {query_mod} = 0
+    ),
+    pr_pairs AS (
+        SELECT s.q_tdoc, s.tdoc, q.q_vec,
+            CAST(FLOOR({MAXSIM_MICROS} * ({tcos})) AS BIGINT) AS ms
+        FROM pr_short s
+        JOIN pr_tok t ON t.tdoc = s.tdoc
+        JOIN pr_qt q ON q.q_tdoc = s.q_tdoc
+    ),
+    pr_tokmax AS (
+        SELECT q_tdoc, tdoc, q_vec, MAX(ms) AS tok_ms
+        FROM pr_pairs GROUP BY 1, 2, 3
+    ),
+    pr_sc AS (
+        SELECT q_tdoc, tdoc, SUM(tok_ms) AS maxsim_micros
+        FROM pr_tokmax GROUP BY 1, 2
+    )
+    SELECT q_tdoc AS query_doc, tdoc AS neighbor_doc,
+        CAST(maxsim_micros AS BIGINT) AS maxsim_micros,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_tdoc ORDER BY maxsim_micros DESC, tdoc) AS rank
+        FROM pr_sc
+    ) rr
     WHERE rank <= {k}
 ) s"""

@@ -320,3 +320,19 @@ QNORM_ORACLE = sql_select(
 EXTENSIONS_R8["quality_quantile_normalize"] = QuerySpec(
     _quantile_normalize, QNORM_ORACLE
 )
+
+
+def _maxsim_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(rx.maxsim_pooled_rerank(spark, sf_dir), MAXSIM_SPEC)
+
+
+MAXSIM_POOLED_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + "\n"
+    + sql_select(MAXSIM_SPEC, rx.maxsim_pooled_rerank_sql())
+)
+
+EXTENSIONS_R8["maxsim_pooled_rerank"] = QuerySpec(
+    _maxsim_pooled, MAXSIM_POOLED_ORACLE
+)

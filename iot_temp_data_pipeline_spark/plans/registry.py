@@ -928,7 +928,8 @@ _DRIVER_VERIFIED_R07 = {
 _CHANGED_R08 = [
     # new this round (no driver row yet)
     "corpus_pipeline_full",
-    "colbert_maxsim_topk", "matryoshka_recall_sweep", "knn_label_filtered",
+    "colbert_maxsim_topk", "maxsim_pooled_rerank", "matryoshka_recall_sweep",
+    "knn_label_filtered",
     "corpus_dedup_curve", "pmi_collocations", "quality_quantile_normalize",
     # shared cents-CDF serve paths
     "mad_outlier_gate", "trimmed_mean_events", "streaming_mad_partials",

@@ -3,11 +3,16 @@ r8 operators):
 
 - knn_sq8_rerank r-doubling at 100x: the 9.8x ratio was annotated as
   shortlist pair-bound (Q·r grew 100x); if that bound is real, doubling
-  the rerank depth r should grow wall ~sub-linearly in r, not blow up.
+  the rerank depth r should grow wall ~linearly in r, not blow up.
 - streaming_mad_partials / streaming_cms_partials at 100x (first 100x
   rows for the streamed-partials queries).
 - corpus_pipeline_full at 100x (the new flagship needs its row).
-- every new r8 widening operator at 100x.
+- every new r8 widening operator at 100x. The three retrieval ops are
+  probed with the QUERY WORKLOAD HELD FIXED (query_mod scaled with the
+  corpus so the query count stays constant — the "facts grow, dims
+  don't" convention applied to the query set): growing queries 100x
+  alongside the corpus multiplies pair work 10,000x and measures the
+  brute-force contract, not plan scaling.
 
 Reuses scale_probe's replica builder + timing protocol (warm-up run,
 clearCache, one measured run).
@@ -25,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.scale_probe import BASE_SF, build_scaled, timed  # noqa: E402
 
+from iot_temp_data_pipeline_spark.operators import retrieval_ext as rx  # noqa: E402
 from iot_temp_data_pipeline_spark.operators import sq8  # noqa: E402
 from iot_temp_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -32,9 +38,6 @@ REGISTRY_ROWS = [
     "corpus_pipeline_full",
     "streaming_mad_partials",
     "streaming_cms_partials",
-    "colbert_maxsim_topk",
-    "matryoshka_recall_sweep",
-    "knn_label_filtered",
     "corpus_dedup_curve",
     "pmi_collocations",
     "quality_quantile_normalize",
@@ -68,6 +71,30 @@ def main() -> None:
         big = timed(spark, name, scaled_dir)
         print(
             f"| {name} | {base:.2f} | {big:.2f} | {big / base:.1f}x |",
+            flush=True,
+        )
+
+    # retrieval ops: fixed query workload (query_mod scales with corpus)
+    fixed_q = [
+        ("colbert_maxsim_topk", rx.maxsim_topk,
+         {"query_mod": rx.MAXSIM_QUERY_MOD},
+         {"query_mod": rx.MAXSIM_QUERY_MOD * replication}),
+        ("matryoshka_recall_sweep", rx.matryoshka_recall,
+         {"query_mod": rx.MATRYOSHKA_QUERY_MOD},
+         {"query_mod": rx.MATRYOSHKA_QUERY_MOD * replication}),
+        ("knn_label_filtered", rx.knn_label_filtered,
+         {"query_mod": rx.FILTERED_QUERY_MOD},
+         {"query_mod": rx.FILTERED_QUERY_MOD * replication}),
+        ("maxsim_pooled_rerank", rx.maxsim_pooled_rerank,
+         {"query_mod": rx.MAXSIM_QUERY_MOD},
+         {"query_mod": rx.MAXSIM_QUERY_MOD * replication}),
+    ]
+    for name, fn, kw_base, kw_big in fixed_q:
+        base = timed_call(spark, fn, spark, BASE_SF, **kw_base)
+        big = timed_call(spark, fn, spark, scaled_dir, **kw_big)
+        print(
+            f"| {name} (fixed Q) | {base:.2f} | {big:.2f} |"
+            f" {big / base:.1f}x |",
             flush=True,
         )
 

@@ -439,3 +439,32 @@ def test_char_entropy_is_pure_map(spark, sf_dir):
     assert "Join" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_label_filtered_search_is_hash_join_on_label(spark, sf_dir):
+    """Filtered vector search: the metadata predicate must BECOME the
+    join key — a BroadcastHashJoin on label, never a nested-loop scan
+    of unfiltered candidates (post-filtering) and never a shuffle of
+    the corpus side."""
+    plan = plan_of(REGISTRY["knn_label_filtered"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_marginal_joins_broadcast(spark, sf_dir):
+    """PMI's two unigram-marginal joins are vocabulary-bounded and must
+    broadcast — shuffling the bigram table twice on token keys is the
+    regression this pins against."""
+    plan = plan_of(REGISTRY["pmi_collocations"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_curve_single_partition_is_bucket_bounded(spark, sf_dir):
+    """The novelty curve's only SinglePartition exchange is the
+    n_buckets-row cumulative window — the corpus-sized stages must all
+    be hash-partitioned."""
+    plan = plan_of(REGISTRY["corpus_dedup_curve"].spark(spark, sf_dir))
+    assert plan.count("SinglePartition") <= 1
+    assert "SortMergeJoin" not in plan

@@ -248,3 +248,57 @@ def test_maxsim_reduces_to_cosine_rank_when_one_token(spark, sf_dir):
     assert {q for q, _ in ms_pairs} == {q for q, _ in gt_pairs}
     inter = len(gt_pairs & ms_pairs)
     assert inter >= int(0.8 * len(gt_pairs))
+
+
+def test_maxsim_pooled_rerank_equals_full_when_r_covers_corpus(
+    spark, sf_dir
+):
+    """With the shortlist covering every doc the refine sees every pair,
+    so the composition must equal the exhaustive MaxSim exactly."""
+    full = {
+        (r["query_doc"], r["rank"]): (r["neighbor_doc"], r["maxsim_micros"])
+        for r in rx.maxsim_topk(spark, sf_dir).collect()
+    }
+    comp = {
+        (r["query_doc"], r["rank"]): (r["neighbor_doc"], r["maxsim_micros"])
+        for r in rx.maxsim_pooled_rerank(spark, sf_dir, r=10**6).collect()
+    }
+    assert comp == full
+
+
+def test_maxsim_pooled_rerank_rank_contract(spark, sf_dir):
+    out = rx.maxsim_pooled_rerank(spark, sf_dir).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_doc"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_maxsim_matmul_bit_identical_to_catalyst(spark, sf_dir):
+    """The GEMM strategy (probe catch #7) must reproduce the Catalyst
+    form exactly — same docs, same micro-unit scores, same ranks."""
+    cat = {
+        (r["query_doc"], r["rank"]): (r["neighbor_doc"], r["maxsim_micros"])
+        for r in rx.maxsim_topk(spark, sf_dir, strategy="catalyst").collect()
+    }
+    mm = {
+        (r["query_doc"], r["rank"]): (r["neighbor_doc"], r["maxsim_micros"])
+        for r in rx.maxsim_topk(spark, sf_dir, strategy="matmul").collect()
+    }
+    assert mm == cat
+
+
+def test_maxsim_matmul_empty_queries(spark):
+    """tdoc 0 matches every mod, so the empty-query guard only fires on
+    a corpus with no doc 0 — drive the kernel directly with one."""
+    tok = spark.createDataFrame(
+        [(7, 28, [1, 2], 5), (7, 29, [2, 1], 5)],
+        schema="tdoc long, vec_id long, qvec array<bigint>, qnorm2 long",
+    )
+    out = rx._maxsim_matmul(tok, query_mod=10**9, k=5)
+    assert out.count() == 0
+    assert out.columns == [
+        "query_doc", "neighbor_doc", "maxsim_micros", "rank",
+    ]

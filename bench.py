@@ -155,6 +155,11 @@ HEADLINE_EXTRA = [
     "corpus_dedup_curve",
     "pmi_collocations",
     "quality_quantile_normalize",
+    "maxsim_pooled_recall",
+    # streaming_novelty_curve is NOT benched: like every other
+    # streamed-partials query its wall is micro-batch machinery while
+    # the oracle is the batch SELECT — not like for like (the
+    # upsert_merge rule); correctness + the 100x probe cover it.
 ]
 
 

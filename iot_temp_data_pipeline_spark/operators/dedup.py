@@ -32,7 +32,7 @@ first 5 tokens dropped) — giving every strategy real positives to find.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -1496,6 +1496,31 @@ def corpus_dedup_curve(
     d = corpus.select(b, F.md5("text").alias("h"))
     per_bucket = d.groupBy("bucket").agg(F.count("*").alias("n_docs"))
     firsts = d.groupBy("h").agg(F.min("bucket").alias("bucket"))
+    return _curve_tail(per_bucket, firsts)
+
+
+def novelty_bucket_col(seed: int = NOVELTY_CURVE_SEED,
+                       n_buckets: int = NOVELTY_CURVE_BUCKETS) -> Column:
+    """The deterministic ingest-batch assignment the curve buckets on —
+    exposed so the streamed twin lands pre-bucketed rows."""
+    return (
+        portable_hash32(F.col("doc_id").cast("string"), seed=seed)
+        % n_buckets
+    )
+
+
+def curve_from_cells(cells: DataFrame) -> DataFrame:
+    """Novelty curve from MERGED (bucket, h, cnt) partial cells — the
+    streamed serve path: per-micro-batch grouped partials merge by SUM
+    (counts) and MIN (first bucket), both mergeable, so the streamed
+    curve is a pure function of the multiset and the batch oracle pins
+    it bit-for-bit (the streaming_mad_partials contract)."""
+    per_bucket = cells.groupBy("bucket").agg(F.sum("cnt").alias("n_docs"))
+    firsts = cells.groupBy("h").agg(F.min("bucket").alias("bucket"))
+    return _curve_tail(per_bucket, firsts)
+
+
+def _curve_tail(per_bucket: DataFrame, firsts: DataFrame) -> DataFrame:
     new_per = firsts.groupBy("bucket").agg(F.count("*").alias("n_new"))
     j = per_bucket.join(new_per, "bucket", "left").na.fill({"n_new": 0})
     w = (

@@ -1058,6 +1058,14 @@ def pmi_collocations(
         F.sum(F.size("tk")).alias("t"),
         F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("b"),
     ).collect()[0]
+    if tot["t"] is None or not tot["b"]:
+        # empty corpus (SUM -> NULL) or no bigram positions: the lift
+        # denominator would be 0; mirror the oracle's empty result
+        return docs.sparkSession.createDataFrame(
+            [],
+            schema="w1 string, w2 string, c_ab long, c_a long,"
+            " c_b long, lift_ppm long",
+        )
     t_tokens, b_pairs = int(tot["t"]), int(tot["b"])
     uni = (
         d.select(F.explode("tk").alias("w"))

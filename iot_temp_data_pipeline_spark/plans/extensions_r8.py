@@ -336,3 +336,67 @@ MAXSIM_POOLED_ORACLE = (
 EXTENSIONS_R8["maxsim_pooled_rerank"] = QuerySpec(
     _maxsim_pooled, MAXSIM_POOLED_ORACLE
 )
+
+
+MAXSIM_RECALL_SPEC: ColSpec = [
+    ("n_queries", "long"),
+    ("mean_recall_at_k", "f4"),
+]
+
+
+def _maxsim_pooled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the pooled-shortlist MaxSim serve against exhaustive
+    MaxSim — the quality dial for the route→refine composition (the
+    sq8_recall_check of late interaction): how much of the exact
+    late-interaction top-k survives routing on pooled vectors at
+    shortlist depth r?"""
+    full = rx.maxsim_topk(spark, sf_dir).select("query_doc", "neighbor_doc")
+    approx = rx.maxsim_pooled_rerank(spark, sf_dir).select(
+        "query_doc", "neighbor_doc"
+    )
+    joined = full.join(
+        approx.withColumn("hit", F.lit(1)),
+        ["query_doc", "neighbor_doc"],
+        "left",
+    )
+    df = joined.agg(
+        F.countDistinct("query_doc").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_recall_at_k"),
+    )
+    return shape(df, MAXSIM_RECALL_SPEC)
+
+
+MAXSIM_RECALL_ORACLE = (
+    "WITH "
+    + sim.QUANT_SQL.strip()
+    + "\n"
+    + sql_select(
+        MAXSIM_RECALL_SPEC,
+        f"""(
+    WITH msr_full AS (
+        SELECT query_doc, neighbor_doc FROM {rx.maxsim_topk_sql()}
+    ),
+    msr_approx AS (
+        SELECT query_doc, neighbor_doc FROM {rx.maxsim_pooled_rerank_sql()}
+    ),
+    msr_per_q AS (
+        SELECT f.query_doc, COUNT(*) AS k,
+            SUM(CASE WHEN a.neighbor_doc IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM msr_full f
+        LEFT JOIN msr_approx a ON f.query_doc = a.query_doc
+                              AND f.neighbor_doc = a.neighbor_doc
+        GROUP BY f.query_doc
+    )
+    SELECT COUNT(*) AS n_queries,
+        CAST(SUM(h) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall_at_k
+    FROM msr_per_q
+) s""",
+    )
+)
+
+EXTENSIONS_R8["maxsim_pooled_recall"] = QuerySpec(
+    _maxsim_pooled_recall, MAXSIM_RECALL_ORACLE
+)

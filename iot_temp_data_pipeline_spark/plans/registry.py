@@ -931,6 +931,7 @@ _CHANGED_R08 = [
     "colbert_maxsim_topk", "maxsim_pooled_rerank", "matryoshka_recall_sweep",
     "knn_label_filtered",
     "corpus_dedup_curve", "pmi_collocations", "quality_quantile_normalize",
+    "maxsim_pooled_recall", "streaming_novelty_curve",
     # shared cents-CDF serve paths
     "mad_outlier_gate", "trimmed_mean_events", "streaming_mad_partials",
     # sq8 serve-output cache

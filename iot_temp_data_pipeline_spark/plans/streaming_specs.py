@@ -1507,6 +1507,87 @@ def _streaming_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(pf.mad_from_cents_tab(merged), MAD_STREAM_SPEC)
 
 
+NOVELTY_STREAM_SPEC = [
+    ("bucket", "long"),
+    ("n_docs", "long"),
+    ("n_new", "long"),
+    ("docs_cum", "long"),
+    ("new_cum", "long"),
+    ("novelty_ppm", "long"),
+    ("marginal_novelty_ppm", "long"),
+]
+
+_NOVELTY_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("h", T.StringType()),
+    ]
+)
+
+
+def _streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve maintained BY THE STREAM — the crawl-monitor
+    twin of dedup.corpus_dedup_curve ("is this source exhausting LIVE,
+    while the crawl runs?"): each micro-batch appends its own grouped
+    (bucket, h, cnt) partial — the per-batch distinct (batch, hash)
+    cells — and the read side merges by SUM into the identical
+    curve-from-cells chain. Both reductions the curve needs are
+    mergeable (counts by SUM, first-bucket by MIN), so the streamed
+    curve is a pure function of the document multiset and the batch
+    oracle pins every bucket row bit-for-bit, regardless of how files
+    split into micro-batches (the streaming_mad_partials contract)."""
+    from ..operators import dedup as dd
+
+    work = workdir("novp")
+    landing = dd.dedup_corpus(spark, sf_dir).select(
+        dd.novelty_bucket_col().alias("bucket"), F.md5("text").alias("h")
+    )
+    materialize_landing(landing, f"{work}/landing")
+    stream = (
+        spark.readStream.schema(_NOVELTY_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("bucket", "h")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    cells = (
+        spark.read.parquet(sink)
+        .groupBy("bucket", "h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return shape(dd.curve_from_cells(cells), NOVELTY_STREAM_SPEC)
+
+
+def _novelty_stream_oracle() -> str:
+    from ..operators import dedup as dd
+
+    return (
+        "WITH "
+        + dd.CORPUS_SQL.strip()
+        + "\n"
+        + sql_select(
+            NOVELTY_STREAM_SPEC, dd.corpus_dedup_curve_sql("corpus")
+        )
+    )
+
+
 def _mad_stream_oracle() -> str:
     from ..operators import profiling as pf
 
@@ -1522,6 +1603,9 @@ STREAMING: dict[str, QuerySpec] = {
     ),
     "streaming_histq_partials": QuerySpec(_streaming_histq, _histq_stream_oracle()),
     "streaming_mad_partials": QuerySpec(_streaming_mad, _mad_stream_oracle()),
+    "streaming_novelty_curve": QuerySpec(
+        _streaming_novelty, _novelty_stream_oracle()
+    ),
     "streaming_mg_partials": QuerySpec(_streaming_mg, _mg_stream_oracle()),
     "streaming_vocab_tvd": QuerySpec(_streaming_vocab_tvd, _tvd_stream_oracle()),
     "streaming_pq_encode": QuerySpec(_streaming_pq_encode, PQENC_ORACLE),

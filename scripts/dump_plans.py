@@ -339,6 +339,48 @@ SHOWCASE = {
         "— then a single map-side-combined aggregate; no string "
         "re-parse per path."
     ),
+    "colbert_maxsim_topk": (
+        "Late-interaction MaxSim (r8): broadcast query-token set, one "
+        "corpus-token scan, micro-floored integer cosines, then the "
+        "max -> sum reduction as two map-side-combined hash aggregates "
+        "and a per-query top-k window. At fixture N·Q this is the "
+        "Catalyst HOF form; above BRUTE_MATMUL_MIN_PAIRS the scoring "
+        "flips to the per-partition GEMM kernel with in-batch reduceat "
+        "pre-reduction (probe catch #7) — same downstream plan."
+    ),
+    "maxsim_pooled_rerank": (
+        "The production late-interaction serve (r8): pooled integer "
+        "vectors (one hash aggregate over token rows), a pooled-cosine "
+        "shortlist window, then the exact MaxSim refine joins token "
+        "tables ONLY for the Q·r shortlist (hash join on tdoc + "
+        "broadcast query tokens) — token work Q·r·m², never Q·N·m."
+    ),
+    "knn_label_filtered": (
+        "Filtered vector search (r8): the label predicate IS the join "
+        "key — a BroadcastHashJoin on label scores only within-label "
+        "pairs (no BroadcastNestedLoopJoin, no post-filter over an "
+        "unfiltered candidate list), then the standard top-k window."
+    ),
+    "pmi_collocations": (
+        "PMI collocations (r8): unigram and bigram count aggregates "
+        "both map-side combined off one token scan; the two marginal "
+        "joins broadcast the vocabulary-bounded unigram table; lift is "
+        "exact DECIMAL(38) floor-division (log-free ordering); top-k "
+        "via TakeOrderedAndProject."
+    ),
+    "corpus_dedup_curve": (
+        "Corpus novelty curve (r8): one scan into (bucket, md5), two "
+        "bounded hash aggregations (hash -> min bucket, bucket -> "
+        "counts); the only SinglePartition exchange is the "
+        "n_buckets-row cumulative window — bounded by the batch count, "
+        "never the corpus."
+    ),
+    "quality_quantile_normalize": (
+        "Per-source quantile calibration (r8): one exchange on source "
+        "feeds BOTH the rank and count windows (same partitioning, one "
+        "sort); percentile ppm and decile are exact integer "
+        "expressions in the projection — no joins, no second shuffle."
+    ),
 }
 
 

@@ -302,3 +302,67 @@ def test_maxsim_matmul_empty_queries(spark):
     assert out.columns == [
         "query_doc", "neighbor_doc", "maxsim_micros", "rank",
     ]
+
+
+def test_pmi_empty_and_degenerate_corpus(spark):
+    """Empty corpus and single-token docs (no bigram positions) must
+    return empty cleanly — the lift denominator is never evaluated."""
+    empty = spark.createDataFrame([], schema="doc_id long, text string")
+    assert ta.pmi_collocations(empty).count() == 0
+    single = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], schema="doc_id long, text string"
+    )
+    out = ta.pmi_collocations(single)
+    assert out.count() == 0
+    assert out.columns == ["w1", "w2", "c_ab", "c_a", "c_b", "lift_ppm"]
+
+
+def test_dedup_curve_crafted_corpus(spark):
+    """Hand-checkable corpus: totals, first-bucket attribution, and ppm
+    floors recomputed in python over the same portable hash."""
+    import hashlib
+
+    rows = [(i, f"text {i % 6}") for i in range(30)]  # 6 distinct texts
+    corpus = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["bucket"]: r for r in dd.corpus_dedup_curve(corpus).collect()}
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(
+            f"{dd.NOVELTY_CURVE_SEED}:{doc_id}".encode()
+        ).hexdigest()
+        return int(h[:8], 16) % dd.NOVELTY_CURVE_BUCKETS
+
+    per_bucket: dict[int, int] = {}
+    first: dict[str, int] = {}
+    for i, t in rows:
+        b = bucket(i)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+        first[t] = min(first.get(t, 10**9), b)
+    new_per: dict[int, int] = {}
+    for b in first.values():
+        new_per[b] = new_per.get(b, 0) + 1
+    docs_cum = new_cum = 0
+    for b in sorted(per_bucket):
+        docs_cum += per_bucket[b]
+        new_cum += new_per.get(b, 0)
+        r = out[b]
+        assert r["n_docs"] == per_bucket[b]
+        assert r["n_new"] == new_per.get(b, 0)
+        assert r["docs_cum"] == docs_cum and r["new_cum"] == new_cum
+        assert r["novelty_ppm"] == (new_cum * 1_000_000) // docs_cum
+
+
+def test_quantile_normalize_single_doc_source(spark):
+    """src_n == 1 must yield pr_ppm 0 (the (n-1) denominator guard)."""
+    stats = spark.createDataFrame(
+        [(1, "solo", 0.7), (2, "duo", 0.4), (3, "duo", 0.9)],
+        schema="doc_id long, source string, quality_score double",
+    )
+    from iot_temp_data_pipeline_spark.operators.quality import (
+        quality_quantile_normalize as qqn,
+    )
+
+    out = {r["doc_id"]: r for r in qqn(stats).collect()}
+    assert out[1]["pr_ppm"] == 0 and out[1]["decile"] == 0
+    assert out[2]["pr_ppm"] == 0
+    assert out[3]["pr_ppm"] == 1_000_000 and out[3]["decile"] == 9

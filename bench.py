@@ -156,6 +156,7 @@ HEADLINE_EXTRA = [
     "pmi_collocations",
     "quality_quantile_normalize",
     "maxsim_pooled_recall",
+    "dedup_prefix_filter_join",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the

@@ -1573,3 +1573,192 @@ def corpus_dedup_curve_sql(
         (n_new * 1000000) // n_docs AS marginal_novelty_ppm
     FROM nc_c
 ) s"""
+
+
+# ---------------------------------------- prefix-filtering SSJoin
+
+# θ = 3/5 as an exact rational — the same 0.6 threshold as
+# ngram_jaccard_pairs, but compared in integers (den·common ≥
+# num·union), so the gate carries no floating-point boundary at all.
+PF_JACCARD_NUM = 3
+PF_JACCARD_DEN = 5
+
+
+def jaccard_prefix_filter_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    num: int = PF_JACCARD_NUM,
+    den: int = PF_JACCARD_DEN,
+) -> DataFrame:
+    """Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri/
+    Ganti/Kaushik "SSJoin" ICDE 2006; Bayardo/Ma/Srikant "Scaling Up
+    All Pairs" WWW 2007; Xiao et al. "PPJoin" WWW 2008) — the second,
+    independent algorithm for the same answer ngram_jaccard_pairs
+    approximates: order every document's shingles by one global total
+    order (df ascending, shingle — rarest first), keep only the first
+    |S| − ⌈θ|S|⌉ + 1 per doc, and join on THOSE. Completeness theorem:
+    two sets with Jaccard ≥ θ must collide inside their prefixes under
+    any shared total order, so unlike the df-pruned self-join this
+    candidate generation is LOSSLESS — the output is the exact
+    all-pairs result (pinned by the algorithm-equivalence test against
+    the unpruned self-join).
+
+    Scale shape: the df annotation and the candidate join both key on
+    shingle (one exchange each); the per-doc prefix windows key on
+    doc_id; rarest-first ordering makes prefixes the LOW-df shingles,
+    so candidate fan-out per shingle is small by construction — the
+    structural replacement for the df-cap heuristic. The lossless
+    LENGTH filter (θ·|B| ≤ |A| in exact integers) drops size-skewed
+    candidates before verification, and verification joins full
+    shingle sets only for surviving candidate pairs (bounded by
+    candidates × set size, never corpus²)."""
+    # NOT persisted: the unpruned shingle table is corpus-sized, and
+    # pinning it in the block manager is exactly what GC-thrashed the
+    # 100x probe (catch #8) — recomputing the codegen explode per use
+    # is cheaper than holding gigabytes of deserialized rows. At
+    # cluster scale the prefix index is a WRITTEN table, not a cache.
+    sh = doc_shingles(corpus, n, max_shingle_df=1 << 62)
+    wdf = Window.partitionBy("shingle")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wcnt = Window.partitionBy("doc_id")
+    ranked = (
+        sh.withColumn("df", F.count("*").over(wdf))
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .withColumn("n_sh", F.count("*").over(wcnt))
+    )
+    # prefix length p = |S| − ⌈θ|S|⌉ + 1, the ceil in exact integers;
+    # rnk (the position in the FULL ordered shingle list) rides along
+    # for the positional filter below
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_sh") - F.expr(f"(({num} * n_sh) + {den} - 1) div {den}") + 1
+    ).select("doc_id", "shingle", "n_sh", "rnk")
+    # PPJoin positional filter (probe catch #8's fix): a collision at
+    # positions (i, j) bounds the overlap by 1 + min(|A|−i, |B|−j); a
+    # pair with Jaccard ≥ θ needs overlap α = ⌈θ/(1+θ)·(|A|+|B|)⌉, and
+    # its FIRST common shingle satisfies the bound, so keeping pairs
+    # with ANY passing collision is lossless. Without it the synthetic
+    # corpus's tiny vocabulary produced 27.4M candidates at 100×
+    # (≈ 1.4 B verification rows — the GC-thrash); with rarest-first
+    # ordering the early prefix positions are df≈1 shingles that
+    # cannot collide, so survivors collapse to near-true pairs.
+    alpha = (
+        f"(({num} * (pa.n_sh + pb.n_sh)) + {num + den} - 1)"
+        f" div {num + den}"
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # lossless length filter: J ≥ θ forces θ·|B| ≤ |A| ≤ |B|/θ
+            & (F.col("pa.n_sh") * den >= F.col("pb.n_sh") * num)
+            & (F.col("pb.n_sh") * den >= F.col("pa.n_sh") * num)
+            & (
+                1
+                + F.least(
+                    F.col("pa.n_sh") - F.col("pa.rnk"),
+                    F.col("pb.n_sh") - F.col("pb.rnk"),
+                )
+                >= F.expr(alpha)
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    counts = _shingle_counts(corpus, n)
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.col("ca.n_shingles").alias("shingles_a"),
+            F.col("cb.n_shingles").alias("shingles_b"),
+            (
+                F.col("common_shingles").cast("double")
+                / (
+                    F.col("ca.n_shingles")
+                    + F.col("cb.n_shingles")
+                    - F.col("common_shingles")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.col("common_shingles") * den
+            >= (
+                F.col("shingles_a")
+                + F.col("shingles_b")
+                - F.col("common_shingles")
+            )
+            * num
+        )
+    )
+
+
+def jaccard_prefix_filter_sql(
+    num: int = PF_JACCARD_NUM, den: int = PF_JACCARD_DEN
+) -> str:
+    """DuckDB twin (expects the SHINGLES_SQL prelude — uses its
+    UNPRUNED doc_shingles + shingle_counts CTEs)."""
+    return f"""(
+    WITH pf_df AS (
+        SELECT shingle, COUNT(*) AS df FROM doc_shingles GROUP BY 1
+    ),
+    pf_rank AS (
+        SELECT s.doc_id, s.shingle,
+            ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                ORDER BY d.df, s.shingle) AS rnk,
+            COUNT(*) OVER (PARTITION BY s.doc_id) AS n_sh
+        FROM doc_shingles s JOIN pf_df d ON s.shingle = d.shingle
+    ),
+    pf_prefix AS (
+        SELECT doc_id, shingle, n_sh, rnk FROM pf_rank
+        WHERE rnk <= n_sh - (({num} * n_sh + {den} - 1) // {den}) + 1
+    ),
+    pf_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pf_prefix a
+        JOIN pf_prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            AND a.n_sh * {den} >= b.n_sh * {num}
+            AND b.n_sh * {den} >= a.n_sh * {num}
+            AND 1 + LEAST(a.n_sh - a.rnk, b.n_sh - b.rnk)
+                >= (({num} * (a.n_sh + b.n_sh)) + {num + den} - 1)
+                   // {num + den}
+    ),
+    pf_common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+        FROM pf_cand c
+        JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+        JOIN doc_shingles sb ON sb.doc_id = c.doc_b
+                            AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common_shingles,
+        ca.n_shingles AS shingles_a, cb.n_shingles AS shingles_b,
+        CAST(common_shingles AS DOUBLE)
+            / CAST(ca.n_shingles + cb.n_shingles - common_shingles
+                   AS DOUBLE) AS jaccard
+    FROM pf_common
+    JOIN shingle_counts ca ON doc_a = ca.doc_id
+    JOIN shingle_counts cb ON doc_b = cb.doc_id
+    WHERE common_shingles * {den}
+        >= (ca.n_shingles + cb.n_shingles - common_shingles) * {num}
+) s"""

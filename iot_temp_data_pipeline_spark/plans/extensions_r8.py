@@ -400,3 +400,34 @@ MAXSIM_RECALL_ORACLE = (
 EXTENSIONS_R8["maxsim_pooled_recall"] = QuerySpec(
     _maxsim_pooled_recall, MAXSIM_RECALL_ORACLE
 )
+
+
+PF_SPEC: ColSpec = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("common_shingles", "long"),
+    ("shingles_a", "long"),
+    ("shingles_b", "long"),
+    ("jaccard", ""),
+]
+
+
+def _prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        dd.jaccard_prefix_filter_pairs(dd.dedup_corpus(spark, sf_dir)),
+        PF_SPEC,
+    )
+
+
+PF_ORACLE = (
+    "WITH "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + dd.SHINGLES_SQL.strip()
+    + "\n"
+    + sql_select(PF_SPEC, dd.jaccard_prefix_filter_sql())
+)
+
+EXTENSIONS_R8["dedup_prefix_filter_join"] = QuerySpec(
+    _prefix_filter_join, PF_ORACLE
+)

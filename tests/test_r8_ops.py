@@ -366,3 +366,26 @@ def test_quantile_normalize_single_doc_source(spark):
     assert out[1]["pr_ppm"] == 0 and out[1]["decile"] == 0
     assert out[2]["pr_ppm"] == 0
     assert out[3]["pr_ppm"] == 1_000_000 and out[3]["decile"] == 9
+
+
+def test_prefix_filter_join_equals_unpruned_all_pairs(spark, sf_dir):
+    """Algorithm equivalence: prefix filtering is a LOSSLESS candidate
+    generator, so its output must equal the unpruned exact self-join's
+    pair set, pair for pair and count for count."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    pf = {
+        (r["doc_a"], r["doc_b"]): (
+            r["common_shingles"], r["shingles_a"], r["shingles_b"],
+        )
+        for r in dd.jaccard_prefix_filter_pairs(corpus).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"]): (
+            r["common_shingles"], r["shingles_a"], r["shingles_b"],
+        )
+        for r in dd.ngram_jaccard_pairs(
+            corpus, max_shingle_df=1 << 62
+        ).collect()
+    }
+    assert pf == brute
+    assert pf, "fixture corpus should contain near-duplicate pairs"

@@ -582,3 +582,65 @@ def test_vocab_coverage_matches_reference(spark, docs_tokens):
         for r in vocab_coverage_curve(df, orders=orders, sizes=sizes).collect()
     }
     assert got == _py_vocab_coverage(docs_tokens, orders, sizes)
+
+
+# ---------------------------------------- prefix-filter SSJoin losslessness
+
+
+def _py_jaccard_pairs(docs, n=3, num=3, den=5):
+    """Trivially-correct all-pairs reference: distinct word n-grams,
+    exact-rational threshold den·common ≥ num·union."""
+    sets = {}
+    for doc_id, toks in docs:
+        sets[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            u = len(sa) + len(sb) - c
+            if den * c >= num * u:
+                out[(a, b)] = (c, len(sa), len(sb))
+    return out
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_join_lossless_on_random_corpora(spark, token_lists):
+    """The prefix+length+positional filter stack must be LOSSLESS: on
+    arbitrary tiny-vocabulary corpora (the adversarial near-similar
+    case) the join's pair set equals the brute-force all-pairs result,
+    including θ-boundary pairs where den·common == num·union exactly."""
+    from iot_temp_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    docs = [(i, toks) for i, toks in enumerate(token_lists)]
+    corpus = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["common_shingles"],
+            r["shingles_a"],
+            r["shingles_b"],
+        )
+        for r in jaccard_prefix_filter_pairs(corpus).collect()
+    }
+    assert got == _py_jaccard_pairs(docs)

@@ -157,6 +157,7 @@ HEADLINE_EXTRA = [
     "quality_quantile_normalize",
     "maxsim_pooled_recall",
     "dedup_prefix_filter_join",
+    "hybrid_rrf_retrieval",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the

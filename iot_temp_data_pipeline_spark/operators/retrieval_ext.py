@@ -746,3 +746,135 @@ def maxsim_pooled_rerank_sql(
     ) rr
     WHERE rank <= {k}
 ) s"""
+
+
+# --------------------------------------- hybrid sparse+dense fusion
+
+RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000_000  # exact integer contributions: RRF_SCALE div (k0+rank)
+RRF_DEPTH = 10  # per-ranker candidate depth fed into the fusion
+HYBRID_K = 5
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = HYBRID_K,
+    depth: int = RRF_DEPTH,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher, SIGIR 2009) — the production "dense + sparse" search
+    shape: the BM25 inverted-index ranking and the exact embedding-
+    cosine ranking each nominate their top-``depth``, and fusion scores
+    every nominated (query, doc) by Σ_lists 1/(k0 + rank), which
+    rewards documents BOTH retrievers like without comparing their
+    incomparable raw scores. Contributions are exact integers
+    (RRF_SCALE div (k0+rank)), so fused ordering is bit-identical
+    cross-engine — the rank-fusion discipline of quality_rank_fusion
+    applied to retrieval.
+
+    The rankers cover different id spaces by design (BM25 ranks the
+    dup-injected corpus, the dense index only embedded originals):
+    queries are aligned to the dense query set, while candidate DOCS
+    legitimately differ per ranker — docs missing from one list simply
+    collect one contribution, the standard RRF treatment.
+
+    Scale shape: each ranker is its own probed machinery (inverted-
+    index join / brute-force-family scan); fusion itself is one
+    full-outer join keyed by (query, doc) — bounded by Q·2·depth rows —
+    plus the per-query top-k window."""
+    from .similarity import ground_truth_topk
+    from .tfidf import bm25_topk
+
+    dense = ground_truth_topk(spark, sf_dir, query_mod, depth).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    qd = dense.select("query_id").distinct()
+    sparse = (
+        bm25_topk(spark, sf_dir, query_mod, depth)
+        .join(qd, "query_id", "left_semi")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("rank_sparse"),
+        )
+    )
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CASE WHEN rank_sparse IS NOT NULL"
+                f" THEN div({RRF_SCALE}, {k0} + rank_sparse) ELSE 0 END"
+                f" + CASE WHEN rank_dense IS NOT NULL"
+                f" THEN div({RRF_SCALE}, {k0} + rank_dense) ELSE 0 END"
+            ).alias("rrf_scaled"),
+            F.when(F.col("rank_sparse").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_sparse"),
+            F.when(F.col("rank_dense").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_dense"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id")
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def hybrid_rrf_sql(
+    query_mod: int = 100,
+    k: int = HYBRID_K,
+    depth: int = RRF_DEPTH,
+    k0: int = RRF_K0,
+) -> str:
+    """DuckDB twin (expects corpus + QUANT_SQL preludes): the same two
+    rankers' SQL bodies, the same integer fusion."""
+    from .similarity import knn_brute_force_sql
+    from .tfidf import bm25_topk_sql
+
+    return f"""(
+    WITH hy_dense AS (
+        SELECT query_id, neighbor_id AS doc_id, rank AS rank_dense
+        FROM {knn_brute_force_sql(query_mod, depth)}
+    ),
+    hy_sparse AS (
+        SELECT query_id, doc_id, rank AS rank_sparse
+        FROM {bm25_topk_sql(query_mod, depth)}
+        WHERE query_id IN (SELECT DISTINCT query_id FROM hy_dense)
+    ),
+    hy_fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+            COALESCE(s.doc_id, d.doc_id) AS doc_id,
+            (CASE WHEN s.rank_sparse IS NOT NULL
+                  THEN {RRF_SCALE} // ({k0} + s.rank_sparse) ELSE 0 END
+             + CASE WHEN d.rank_dense IS NOT NULL
+                    THEN {RRF_SCALE} // ({k0} + d.rank_dense) ELSE 0 END)
+                AS rrf_scaled,
+            CASE WHEN s.rank_sparse IS NOT NULL THEN 1 ELSE 0 END
+                AS in_sparse,
+            CASE WHEN d.rank_dense IS NOT NULL THEN 1 ELSE 0 END
+                AS in_dense
+        FROM hy_sparse s
+        FULL OUTER JOIN hy_dense d
+            ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_scaled, in_sparse, in_dense,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+        FROM hy_fused
+    ) r
+    WHERE rank <= {k}
+) s"""

@@ -431,3 +431,29 @@ PF_ORACLE = (
 EXTENSIONS_R8["dedup_prefix_filter_join"] = QuerySpec(
     _prefix_filter_join, PF_ORACLE
 )
+
+
+HYBRID_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("doc_id", "long"),
+    ("rrf_scaled", "long"),
+    ("in_sparse", "long"),
+    ("in_dense", "long"),
+    ("rank", "long"),
+]
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(rx.hybrid_rrf_topk(spark, sf_dir), HYBRID_SPEC)
+
+
+HYBRID_ORACLE = (
+    "WITH "
+    + dd.CORPUS_SQL.strip()
+    + ",\n"
+    + sim.QUANT_SQL.strip()
+    + "\n"
+    + sql_select(HYBRID_SPEC, rx.hybrid_rrf_sql())
+)
+
+EXTENSIONS_R8["hybrid_rrf_retrieval"] = QuerySpec(_hybrid_rrf, HYBRID_ORACLE)

@@ -932,7 +932,7 @@ _CHANGED_R08 = [
     "knn_label_filtered",
     "corpus_dedup_curve", "pmi_collocations", "quality_quantile_normalize",
     "maxsim_pooled_recall", "streaming_novelty_curve",
-    "dedup_prefix_filter_join",
+    "dedup_prefix_filter_join", "hybrid_rrf_retrieval",
     # shared cents-CDF serve paths
     "mad_outlier_gate", "trimmed_mean_events", "streaming_mad_partials",
     # sq8 serve-output cache

@@ -36,6 +36,8 @@ from iot_temp_data_pipeline_spark.session import get_spark  # noqa: E402
 
 REGISTRY_ROWS = [
     "corpus_pipeline_full",
+    "dedup_prefix_filter_join",
+    "streaming_novelty_curve",
     "streaming_mad_partials",
     "streaming_cms_partials",
     "corpus_dedup_curve",

@@ -389,3 +389,35 @@ def test_prefix_filter_join_equals_unpruned_all_pairs(spark, sf_dir):
     }
     assert pf == brute
     assert pf, "fixture corpus should contain near-duplicate pairs"
+
+
+def test_hybrid_rrf_contract(spark, sf_dir):
+    """Fused ranking rewards dual-retriever agreement: every (query,
+    rank) chain is dense 1..k; a doc in BOTH lists at rank r scores
+    2·(SCALE div (k0+r)) ≥ any single-list doc at the same rank; all
+    rrf_scaled recompute exactly from the member ranks."""
+    from iot_temp_data_pipeline_spark.operators.similarity import (
+        ground_truth_topk,
+    )
+    from iot_temp_data_pipeline_spark.operators.tfidf import bm25_topk
+
+    out = rx.hybrid_rrf_topk(spark, sf_dir).collect()
+    assert out
+    dense = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in ground_truth_topk(spark, sf_dir, 100, rx.RRF_DEPTH).collect()
+    }
+    sparse = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25_topk(spark, sf_dir, 100, rx.RRF_DEPTH).collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["doc_id"])
+        expect = 0
+        if key in sparse:
+            expect += rx.RRF_SCALE // (rx.RRF_K0 + sparse[key])
+        if key in dense:
+            expect += rx.RRF_SCALE // (rx.RRF_K0 + dense[key])
+        assert r["rrf_scaled"] == expect
+        assert r["in_sparse"] == int(key in sparse)
+        assert r["in_dense"] == int(key in dense)

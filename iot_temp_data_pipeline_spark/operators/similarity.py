@@ -168,6 +168,13 @@ def sql_qcos(vec_a: str, vec_b: str, n2_a: str, n2_b: str) -> str:
 # blocked BLAS reorderings of exact integers stay exact).
 EXACT_F64_DOT_BOUND = float(2**53)
 
+# Query-tile width for the matmul kernels: bounds each task's cosine
+# block at B×MATMUL_Q_CHUNK doubles regardless of query-set size
+# (catch #9 — a B×Q block at Q=2000 was ~160 MB/task and GC-thrashed
+# the grown-Q 100× probe). Selection is per-query, so tiling is
+# result-neutral.
+MATMUL_Q_CHUNK = 256
+
 
 def _exact_f64_matmul(x, q, np):
     """x (B×D int64) @ q.T (Q×D int64) with EXACT integer results, via
@@ -317,15 +324,28 @@ def knn_brute_force_matmul(
             nsqrt = np.sqrt(pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64))
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             labels = pdf["label"].to_numpy()
-            cos = _exact_f64_matmul(x, qmat, np) / qsqrt[None, :] / nsqrt[:, None]
             out = {"query_id": [], "neighbor_id": [], "neighbor_label": [], "cosine": []}
-            for j in range(qids.shape[0]):
-                order = np.lexsort((vec_ids, -cos[:, j]))[:m]
-                keep = order[vec_ids[order] != qids[j]][:k]
-                out["query_id"].extend([int(qids[j])] * keep.shape[0])
-                out["neighbor_id"].extend(vec_ids[keep].tolist())
-                out["neighbor_label"].extend(labels[keep].tolist())
-                out["cosine"].extend(cos[keep, j].tolist())
+            # tile over query chunks: the cos block is B×Q_chunk doubles,
+            # so per-task memory stays bounded no matter how large the
+            # query set grows (a B×Q block at Q=2000 was ~160 MB per
+            # task — the grown-Q 100× hybrid probe GC-thrashed on it,
+            # catch #9). Per-query selection is column-independent, so
+            # tiling changes nothing about the results.
+            for q0 in range(0, qids.shape[0], MATMUL_Q_CHUNK):
+                q1 = min(q0 + MATMUL_Q_CHUNK, qids.shape[0])
+                cos = (
+                    _exact_f64_matmul(x, qmat[q0:q1], np)
+                    / qsqrt[None, q0:q1]
+                    / nsqrt[:, None]
+                )
+                for jj in range(q1 - q0):
+                    j = q0 + jj
+                    order = np.lexsort((vec_ids, -cos[:, jj]))[:m]
+                    keep = order[vec_ids[order] != qids[j]][:k]
+                    out["query_id"].extend([int(qids[j])] * keep.shape[0])
+                    out["neighbor_id"].extend(vec_ids[keep].tolist())
+                    out["neighbor_label"].extend(labels[keep].tolist())
+                    out["cosine"].extend(cos[keep, jj].tolist())
             yield pd.DataFrame(out)
 
     candidates = emb.select("vec_id", "label", "qvec", "qnorm2").mapInPandas(

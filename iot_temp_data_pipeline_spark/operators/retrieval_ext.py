@@ -193,7 +193,10 @@ def _maxsim_matmul(tok: DataFrame, query_mod: int, k: int) -> DataFrame:
         import numpy as np  # noqa: PLC0415 — worker-side imports
         import pandas as pd  # noqa: PLC0415
 
-        from .similarity import _exact_f64_matmul  # noqa: PLC0415
+        from .similarity import (  # noqa: PLC0415
+            MATMUL_Q_CHUNK,
+            _exact_f64_matmul,
+        )
 
         qmat, qsqrt, qvec_ids, q_tdocs = bc.value
         nq = qvec_ids.shape[0]
@@ -205,27 +208,35 @@ def _maxsim_matmul(tok: DataFrame, query_mod: int, k: int) -> DataFrame:
                 pdf["qnorm2"].to_numpy(dtype=np.int64).astype(np.float64)
             )
             tdocs = pdf["tdoc"].to_numpy(dtype=np.int64)
-            cos = _exact_f64_matmul(x, qmat, np)
-            cos = cos / qsqrt[None, :]
-            cos = cos / nsqrt[:, None]
-            ms = np.floor(1000000.0 * cos).astype(np.int64)
             # in-batch max over each doc's token rows, vectorized:
             # token rows sharing a tdoc are reduced with reduceat over
-            # the stable tdoc grouping (exact integer max — order-free)
+            # the stable tdoc grouping (exact integer max — order-free).
+            # Score tiled over query-token chunks (catch #9): per-task
+            # memory bounded at B×MATMUL_Q_CHUNK regardless of Q.
             order = np.argsort(tdocs, kind="stable")
             ts = tdocs[order]
             starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
             docs_u = ts[starts]
-            red = np.maximum.reduceat(ms[order], starts, axis=0)
             nd = docs_u.shape[0]
-            frame = pd.DataFrame(
-                {
-                    "q_tdoc": np.tile(q_tdocs, nd),
-                    "tdoc": np.repeat(docs_u, nq),
-                    "q_vec": np.tile(qvec_ids, nd),
-                    "ms": red.reshape(-1),
-                }
-            )
+            frames = []
+            for q0 in range(0, nq, MATMUL_Q_CHUNK):
+                q1 = min(q0 + MATMUL_Q_CHUNK, nq)
+                cos = _exact_f64_matmul(x, qmat[q0:q1], np)
+                cos = cos / qsqrt[None, q0:q1]
+                cos = cos / nsqrt[:, None]
+                ms = np.floor(1000000.0 * cos).astype(np.int64)
+                red = np.maximum.reduceat(ms[order], starts, axis=0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_tdoc": np.tile(q_tdocs[q0:q1], nd),
+                            "tdoc": np.repeat(docs_u, q1 - q0),
+                            "q_vec": np.tile(qvec_ids[q0:q1], nd),
+                            "ms": red.reshape(-1),
+                        }
+                    )
+                )
+            frame = pd.concat(frames, ignore_index=True)
             frame = frame[frame["q_tdoc"] != frame["tdoc"]]
             if frame.empty:
                 continue

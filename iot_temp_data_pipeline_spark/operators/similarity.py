@@ -525,12 +525,27 @@ def ivf_cell_assignments_matmul(
                 continue
             x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
             n2 = pdf["qnorm2"].to_numpy(dtype=np.int64)
+            nsq = np.sqrt(n2.astype(np.float64))
             # exact integer dots, same values as the HOF fold (f64 BLAS
-            # under the 2^53 bound — see _exact_f64_matmul)
-            dot = _exact_f64_matmul(x, cmat, np)
-            cos = (dot / np.sqrt(n2.astype(np.float64))[:, None]) / csqrt[None, :]
+            # under the 2^53 bound — see _exact_f64_matmul). Tiled over
+            # centroid chunks (catch #9: C grows as √N, so the B×C
+            # block is unbounded at scale); the running best with a
+            # STRICT > update replicates np.argmax's first-max-wins tie
+            # rule exactly, because chunks are scanned in centroid
+            # order and each chunk's argmax keeps its first maximum.
+            best_val = np.full(x.shape[0], -np.inf)
+            best_col = np.zeros(x.shape[0], dtype=np.int64)
+            for c0 in range(0, cell_ids.shape[0], MATMUL_Q_CHUNK):
+                c1 = min(c0 + MATMUL_Q_CHUNK, cell_ids.shape[0])
+                dot = _exact_f64_matmul(x, cmat[c0:c1], np)
+                cos = (dot / nsq[:, None]) / csqrt[None, c0:c1]
+                loc = np.argmax(cos, axis=1)
+                val = cos[np.arange(x.shape[0]), loc]
+                upd = val > best_val
+                best_val[upd] = val[upd]
+                best_col[upd] = c0 + loc[upd]
             out = pdf[["vec_id", "label", "qvec", "qnorm2"]].copy()
-            out["cell_id"] = cell_ids[np.argmax(cos, axis=1)]
+            out["cell_id"] = cell_ids[best_col]
             yield out
 
     assigned = emb.select("vec_id", "label", "qvec", "qnorm2").mapInPandas(
@@ -1090,6 +1105,27 @@ def semantic_dedup_sql(
 
 # ------------------------------------------- contrastive pair mining
 
+def _hnm_emit(np, out, cos, vec_ids, labels, qids, qlabels, q0, q1):
+    """Per-chunk selection for :func:`_hnm_partial_matmul`: local best
+    same-label and best different-label candidate per query, under the
+    strict (cosine DESC, neighbor_id ASC) total order."""
+    for jj in range(q1 - q0):
+        qi = q0 + jj
+        valid = vec_ids != qids[qi]
+        for is_same in (True, False):
+            mask = valid & ((labels == qlabels[qi]) == is_same)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            c = cos[idx, jj]
+            best = idx[np.lexsort((vec_ids[idx], -c))[0]]
+            out["query_id"].append(int(qids[qi]))
+            out["q_label"].append(int(qlabels[qi]))
+            out["neighbor_id"].append(int(vec_ids[best]))
+            out["is_same"].append(is_same)
+            out["cosine"].append(float(cos[best, jj]))
+
+
 def _hnm_partial_matmul(emb, query_mod: int):
     """Distributive form of the mining scan: each Arrow batch emits only
     its local best same-label and best different-label candidate per
@@ -1135,25 +1171,21 @@ def _hnm_partial_matmul(emb, query_mod: int):
             )
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             labels = pdf["label"].to_numpy(dtype=np.int64)
-            cos = _exact_f64_matmul(x, qmat, np) / qsqrt[None, :] / nsqrt[:, None]
             out = {
                 "query_id": [], "q_label": [], "neighbor_id": [],
                 "is_same": [], "cosine": [],
             }
-            for qi in range(qids.shape[0]):
-                valid = vec_ids != qids[qi]
-                for is_same in (True, False):
-                    mask = valid & ((labels == qlabels[qi]) == is_same)
-                    idx = np.flatnonzero(mask)
-                    if idx.size == 0:
-                        continue
-                    c = cos[idx, qi]
-                    best = idx[np.lexsort((vec_ids[idx], -c))[0]]
-                    out["query_id"].append(int(qids[qi]))
-                    out["q_label"].append(int(qlabels[qi]))
-                    out["neighbor_id"].append(int(vec_ids[best]))
-                    out["is_same"].append(is_same)
-                    out["cosine"].append(float(cos[best, qi]))
+            # tiled over query chunks (catch #9) — see knn_brute_force
+            for q0 in range(0, qids.shape[0], MATMUL_Q_CHUNK):
+                q1 = min(q0 + MATMUL_Q_CHUNK, qids.shape[0])
+                cos = (
+                    _exact_f64_matmul(x, qmat[q0:q1], np)
+                    / qsqrt[None, q0:q1]
+                    / nsqrt[:, None]
+                )
+                _hnm_emit(
+                    np, out, cos, vec_ids, labels, qids, qlabels, q0, q1
+                )
             yield pd.DataFrame(out)
 
     return emb.select("vec_id", "label", "qvec", "qnorm2").mapInPandas(

@@ -229,22 +229,31 @@ def knn_sq8_matmul(
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             # same op order as the Catalyst expression, one step per
             # line; code dots are exact integers <= 64*127^2 so the f64
-            # BLAS path is exact (similarity._exact_f64_matmul bound)
-            from .similarity import _exact_f64_matmul  # noqa: PLC0415
+            # BLAS path is exact (similarity._exact_f64_matmul bound).
+            # Tiled over query chunks (catch #9): score memory bounded
+            # at B×MATMUL_Q_CHUNK per task; selection is per-query, so
+            # tiling is result-neutral.
+            from .similarity import (  # noqa: PLC0415
+                MATMUL_Q_CHUNK,
+                _exact_f64_matmul,
+            )
 
-            cos = _exact_f64_matmul(x, qmat, np)
-            cos = cos * qm[None, :]
-            cos = cos * mm[:, None]
-            cos = cos / float(SQ8_MAX * SQ8_MAX)
-            cos = cos / qsqrt[None, :]
-            cos = cos / nsqrt[:, None]
             out = {"query_id": [], "neighbor_id": [], "sq8_cos": []}
-            for j in range(qids.shape[0]):
-                order = np.lexsort((vec_ids, -cos[:, j]))[:mtop]
-                keep = order[vec_ids[order] != qids[j]][:k]
-                out["query_id"].extend([int(qids[j])] * keep.shape[0])
-                out["neighbor_id"].extend(vec_ids[keep].tolist())
-                out["sq8_cos"].extend(cos[keep, j].tolist())
+            for q0 in range(0, qids.shape[0], MATMUL_Q_CHUNK):
+                q1 = min(q0 + MATMUL_Q_CHUNK, qids.shape[0])
+                cos = _exact_f64_matmul(x, qmat[q0:q1], np)
+                cos = cos * qm[None, q0:q1]
+                cos = cos * mm[:, None]
+                cos = cos / float(SQ8_MAX * SQ8_MAX)
+                cos = cos / qsqrt[None, q0:q1]
+                cos = cos / nsqrt[:, None]
+                for jj in range(q1 - q0):
+                    j = q0 + jj
+                    order = np.lexsort((vec_ids, -cos[:, jj]))[:mtop]
+                    keep = order[vec_ids[order] != qids[j]][:k]
+                    out["query_id"].extend([int(qids[j])] * keep.shape[0])
+                    out["neighbor_id"].extend(vec_ids[keep].tolist())
+                    out["sq8_cos"].extend(cos[keep, jj].tolist())
             yield pd.DataFrame(out)
 
     candidates = codes.select("vec_id", "m", "qnorm2", "code").mapInPandas(

@@ -158,6 +158,10 @@ HEADLINE_EXTRA = [
     "maxsim_pooled_recall",
     "dedup_prefix_filter_join",
     "hybrid_rrf_retrieval",
+    # round-9 addition: exact-substring span DETECTION as its own
+    # measured build-path row (the report/removal rows now serve from
+    # the cached span table)
+    "dedup_repeated_spans",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -215,6 +219,16 @@ CACHE_CONSUMING = sorted(
         "maxsim_pooled_rerank",
         "matryoshka_recall_sweep",
         "knn_label_filtered",
+        # r9: consumes the session-cached per-doc quality-signal bins
+        # (quality_classifier_filter / quality_repetition_rules keep
+        # the corpus-scoring build path measured)
+        "quality_rank_fusion",
+        # r9: consume the session-cached tokenized corpus and/or the
+        # repeated-span table (dedup_ngram_jaccard keeps the
+        # tokenize+shingle build measured; dedup_repeated_spans keeps
+        # the span-detection build measured)
+        "dedup_exact_substrings",
+        "dedup_repeated_spans",
     }
 )
 

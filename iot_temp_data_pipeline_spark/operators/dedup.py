@@ -132,6 +132,40 @@ def _tokenized(corpus: DataFrame) -> DataFrame:
     return corpus.select("doc_id", tokens(F.col("text")).alias("tk"))
 
 
+def cached_tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached tokenized dedup corpus (doc_id, tk), built ONCE
+    per (session, sf_dir) and localCheckpoint'ed — the corpus-side
+    analog of ``cached_jaccard_pairs``' build-once/serve-many contract
+    (VERDICT r8 #2): the exact-substring family re-tokenized and
+    privately ``persist``-ed the same corpus the near-dup family had
+    already materialized. Tokenization is deterministic, so cold and
+    warm results agree and the from-scratch DuckDB oracles still
+    hash-match. At 100 TB this is the written tokenized layer every
+    curation stage reads (tokenize once per snapshot, not once per
+    operator)."""
+    import os as _os
+
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_tokenized_corpus")
+    key = _os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
+        # Spread the materialization across the executor cores before
+        # checkpointing (the _vr_cached precedent): the union-of-three
+        # corpus reads lands in a handful of file-split partitions at
+        # fixture scale, which would cap every downstream fingerprint
+        # explode at that width. One exchange, paid once per session.
+        par = spark.sparkContext.defaultParallelism
+        hit = (
+            _tokenized(dedup_corpus(spark, sf_dir))
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        cache[key] = hit
+    return hit
+
+
 def doc_shingles(corpus: DataFrame, n: int = 3, max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """(doc_id, shingle) with distinct word n-grams; shingles appearing in
     more than ``max_shingle_df`` docs are pruned (candidate-pair blowup
@@ -905,9 +939,55 @@ def exact_substring_spans(
 
     Output per affected doc: n_spans, repeated_tokens (merged span
     token count), n_tokens, repeated_frac — exact copies score 1.0.
+
+    Build-from-scratch form (tokenizes + persists privately); the
+    registry serves from the session-cached tokenized corpus via
+    :func:`exact_substring_spans_from_tokens`.
     """
-    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
-    spans = _repeated_spans(base, window)
+    return exact_substring_spans_from_tokens(
+        corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist(),
+        window,
+    )
+
+
+def cached_repeated_spans(
+    spark: SparkSession, sf_dir: str, window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """Session-cached repeated-span table (doc_id, grp, span_start,
+    span_end) — the stage-1 artifact of exact-substring dedup. Lee et
+    al. 2022's pipeline materializes the duplicate ranges to disk
+    before anything consumes them; the registry mirrors that fan-out
+    (the span REPORT and the applied REMOVAL both read this table)
+    exactly as ``cached_jaccard_pairs`` does for the near-dup family.
+    Deterministic function of the corpus, so cold and warm agree and
+    the from-scratch DuckDB twins still hash-match. The span-DETECTION
+    build path stays bench-measured via the ``dedup_repeated_spans``
+    registry query, which deliberately bypasses this cache."""
+    import os as _os
+
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_repeated_spans")
+    key = (_os.path.abspath(sf_dir), window)
+    hit = cache.get(key)
+    if hit is None:
+        hit = _repeated_spans(
+            cached_tokenized_corpus(spark, sf_dir), window
+        ).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
+def exact_substring_spans_from_tokens(
+    base: DataFrame, window: int = SUBSTR_WINDOW, spans: DataFrame | None = None
+) -> DataFrame:
+    """Span report from a pre-materialized tokenized corpus
+    (``cached_tokenized_corpus``) — no tokenization, no private
+    persist. Pass ``spans`` (``cached_repeated_spans``) to serve from
+    the materialized span table; otherwise span detection runs from
+    ``base``."""
+    if spans is None:
+        spans = _repeated_spans(base, window)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("repeated_tokens"),
@@ -924,6 +1004,54 @@ def exact_substring_spans(
             F.col("repeated_tokens").cast("double") / F.col("n_tokens").cast("double")
         ).alias("repeated_frac"),
     )
+
+
+def repeated_spans_sql(
+    source: str = "corpus", window: int = SUBSTR_WINDOW
+) -> str:
+    """DuckDB twin of :func:`_repeated_spans` — the raw merged-span
+    table, the oracle of the ``dedup_repeated_spans`` build-path query
+    (same CTE chain as the report/removal twins, cut at ss_spans)."""
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
+    return f"""(
+    WITH ss_wins AS (
+        SELECT doc_id, i - 1 AS pos, {h} AS gh
+        FROM (
+            SELECT doc_id, i, {gram} AS gram
+            FROM (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM {source}
+            ) t,
+            unnest(generate_series(1, greatest(len(tk) - {window - 1}, 0))) AS u(i)
+        ) g
+    ),
+    ss_rep AS (
+        SELECT gh FROM ss_wins GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    ss_hits AS (
+        SELECT w.doc_id, w.pos FROM ss_wins w JOIN ss_rep r ON w.gh = r.gh
+    ),
+    ss_flag AS (
+        SELECT doc_id, pos,
+            CASE WHEN prev_max IS NULL OR pos > prev_max + {window}
+                 THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos, MAX(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM ss_hits
+        ) p
+    )
+    SELECT doc_id, grp, MIN(pos) AS span_start, MAX(pos) + {window} AS span_end
+    FROM (
+        SELECT doc_id, pos, SUM(new_island) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM ss_flag
+    ) i
+    GROUP BY doc_id, grp
+) ssp"""
 
 
 def exact_substring_spans_sql(
@@ -1010,9 +1138,26 @@ def apply_substring_removal(
     over exists) — whole-stage codegen, zero Python.
 
     Output: (doc_id, n_tokens, removed_tokens, kept_tokens,
-    cleaned_md5)."""
-    base = corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist()
-    spans = _repeated_spans(base, window)
+    cleaned_md5).
+
+    Build-from-scratch form (tokenizes + persists privately); the
+    registry serves from the session-cached tokenized corpus via
+    :func:`apply_substring_removal_from_tokens`."""
+    return apply_substring_removal_from_tokens(
+        corpus.select("doc_id", tokens(F.col("text")).alias("tk")).persist(),
+        window,
+    )
+
+
+def apply_substring_removal_from_tokens(
+    base: DataFrame, window: int = SUBSTR_WINDOW, spans: DataFrame | None = None
+) -> DataFrame:
+    """Applied removal from a pre-materialized tokenized corpus
+    (``cached_tokenized_corpus``) — same rewrite, shared artifact.
+    Pass ``spans`` (``cached_repeated_spans``) to serve from the
+    materialized span table."""
+    if spans is None:
+        spans = _repeated_spans(base, window)
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -1670,33 +1815,48 @@ def jaccard_prefix_filter_pairs(
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    common = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common_shingles"))
+    # Verification as PER-PAIR LIST INTERSECTION (r9; VERDICT r8 #5) —
+    # which is what AllPairs/PPJoin actually do: their verify step is
+    # an in-memory sorted-list merge per candidate, never a relational
+    # join. The earlier explode-join verify shuffled candidate × set
+    # size rows (~1.4 B at the 100× probe pre-positional-filter) and
+    # paid a groupBy exchange to count them back down; this form ships
+    # each doc's distinct-shingle ARRAY to its candidate pairs (two
+    # doc_id-keyed joins of a ZERO-exchange map-side projection) and
+    # computes the exact overlap in-row with array_intersect —
+    # O(|A|+|B|) per pair, bounded row width, no post-verify exchange.
+    # A PPJoin+ suffix filter would only shave part of this same
+    # per-pair O(|A|+|B|) probe on the ~98% failing candidates — the
+    # measured verify cost IS the intersect now, so its headroom is
+    # a constant factor (SCALE.md round-9 addendum).
+    docarr = _tokenized(corpus).select(
+        "doc_id",
+        F.array_distinct(shingles_of_tokens(F.col("tk"), n)).alias("sh_arr"),
     )
-    counts = _shingle_counts(corpus, n)
-    ca, cb = counts.alias("ca"), counts.alias("cb")
+    aa, bb = docarr.alias("aa"), docarr.alias("bb")
     return (
-        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        cands.join(aa, F.col("doc_a") == F.col("aa.doc_id"))
+        .join(bb, F.col("doc_b") == F.col("bb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("aa.sh_arr", "bb.sh_arr"))
+            .cast("long")
+            .alias("common_shingles"),
+            F.size("aa.sh_arr").cast("long").alias("shingles_a"),
+            F.size("bb.sh_arr").cast("long").alias("shingles_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
             "common_shingles",
-            F.col("ca.n_shingles").alias("shingles_a"),
-            F.col("cb.n_shingles").alias("shingles_b"),
+            "shingles_a",
+            "shingles_b",
             (
                 F.col("common_shingles").cast("double")
                 / (
-                    F.col("ca.n_shingles")
-                    + F.col("cb.n_shingles")
+                    F.col("shingles_a")
+                    + F.col("shingles_b")
                     - F.col("common_shingles")
                 ).cast("double")
             ).alias("jaccard"),

@@ -93,6 +93,12 @@ def maxsim_topk(
     cost-based pick on the same N·Q statistic as knn_brute_force)."""
     from .similarity import BRUTE_MATMUL_MIN_PAIRS
 
+    if strategy not in ("auto", "catalyst", "matmul"):
+        # A typo must not silently fall through to the interpreted-HOF
+        # path the 71× probe flagged (ADVICE r8).
+        raise ValueError(
+            f"strategy must be 'auto', 'catalyst' or 'matmul', got {strategy!r}"
+        )
     emb, n = quantized_corpus(spark, sf_dir)
     tok = emb.select(
         F.expr(f"vec_id div {tokens_per_doc}").alias("tdoc"),
@@ -326,15 +332,119 @@ def matryoshka_recall(
     the serving dial a matryoshka deployment tunes (half the index
     bytes ⇄ how much recall?). Ground truth is the session-cached
     exact top-k (ground_truth_topk — build once, serve every eval);
-    each branch scans the corpus once with sliced vectors and recomputes
-    prefix norms; the full-dimension branch doubles as a self-check
-    (recall exactly 1). The mean is SUM(hits)/COUNT(*) in one division,
-    so no summation-order risk. Each branch picks the same cost-based
-    physical strategy as knn_brute_force: Catalyst crossJoin+window
-    while N·Q is small, the per-partition GEMM + distributive partial
-    top-k kernel above BRUTE_MATMUL_MIN_PAIRS (bit-identical forms)."""
-    from .similarity import BRUTE_MATMUL_MIN_PAIRS, knn_brute_force_matmul
+    the whole sweep rides ONE fused GEMM pass: every prefix dim scores
+    as a column slice of the same Arrow batch (VERDICT r8 #6), then
+    one shared distributive top-k and one recall join keyed by
+    (prefix_dim, query_id). The full-dimension branch doubles as a
+    self-check (recall exactly 1). The mean is SUM(hits)/COUNT(*) in
+    one division, so no summation-order risk.
 
+    Unlike the point-query families there is no cost-based HOF/GEMM
+    split here: the sweep's |dims| branches amortize onto one corpus
+    scan only in the fused kernel, and the per-dim Catalyst form
+    (kept as :func:`matryoshka_recall_catalyst`, pinned bit-identical
+    by tests) pays |dims| scans + |dims| join/agg job chains — it lost
+    at EVERY scale measured (sf0.1: 0.92 s → the fused kernel's one
+    scan; the r8 fcr-5.27 row was all job-count, not compute).
+
+    Serve-path job accounting: the query matrix (its per-dim slices /
+    norms) and the ground-truth pair keys are session-cached alongside
+    the artifacts they derive from, and the recall join collapses to a
+    literal-array membership test (the pair set is Q·k — eval-sized by
+    construction, the quality_rank_fusion map-literal precedent), so a
+    warm sweep is exactly: one fused kernel scan → one top-k window
+    exchange → one |dims|-group aggregate."""
+    import os as _os
+
+    import numpy as np
+
+    from ..sources.catalog import session_cache
+
+    dims = tuple(dims)
+    cache = session_cache(spark, "_sg_matryoshka_serve")
+    key = (_os.path.abspath(sf_dir), dims, query_mod, k)
+    art = cache.get(key)
+    emb, _n = quantized_corpus(spark, sf_dir)
+    if art is None:
+        bf_rows = (
+            ground_truth_topk(spark, sf_dir, query_mod, k)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+        q_rows = (
+            emb.filter(F.col("vec_id") % query_mod == 0)
+            .select("vec_id", "qvec")
+            .collect()
+        )
+        if q_rows:
+            qfull = np.array([r["qvec"] for r in q_rows], dtype=np.int64)
+            qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+            qsqrt_by_dim = {
+                d: np.sqrt(
+                    (qfull[:, :d] * qfull[:, :d]).sum(axis=1).astype(np.float64)
+                )
+                for d in dims
+            }
+            bc = spark.sparkContext.broadcast((qfull, qsqrt_by_dim, qids, dims))
+        else:
+            bc = None
+        # pair key packs (query_id, neighbor_id) into one long; vec_ids
+        # are raw row ordinals, far below 2^31
+        bf_keys = sorted(
+            (int(r["query_id"]) << 32) | int(r["neighbor_id"]) for r in bf_rows
+        )
+        n_q = len({r["query_id"] for r in bf_rows})
+        art = (bc, bf_keys, n_q)
+        cache[key] = art
+    bc, bf_keys, n_q = art
+    if bc is None:
+        return spark.createDataFrame(
+            [], schema="prefix_dim long, n_queries long, mean_recall_at_k double"
+        )
+    # Size the GEMM tasks: a kernel task under ~1000 vectors is Arrow/
+    # Python-roundtrip overhead, not compute (the checkpointed corpus
+    # carries defaultParallelism partitions — 62 rows each at sf0.1).
+    # coalesce is narrow (no shuffle); at real corpus sizes n/1000
+    # exceeds the core count and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    emb = emb.coalesce(max(1, min(par, _n // 1000)))
+    approx = _matryoshka_topk(emb, bc, k)
+    # recall vs ground truth WITHOUT a join: both sides hold exactly k
+    # rows per (dim, query) by construction, so aggregating the
+    # membership flag over the approx side is identical to the oracle's
+    # bf-side LEFT JOIN count — and every dim keeps its row even at
+    # zero hits because the aggregate is conditional, not a filter.
+    hit = F.array_contains(
+        F.lit(bf_keys),
+        (F.shiftleft(F.col("query_id"), 32) + F.col("neighbor_id")).cast("long"),
+    )
+    return (
+        approx.groupBy("prefix_dim")
+        .agg(
+            F.sum(hit.cast("long")).alias("hits"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.col("prefix_dim").cast("long").alias("prefix_dim"),
+            F.lit(n_q).cast("long").alias("n_queries"),
+            (F.col("hits").cast("double") / F.col("cnt").cast("double")).alias(
+                "mean_recall_at_k"
+            ),
+        )
+    )
+
+
+def matryoshka_recall_catalyst(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    query_mod: int = MATRYOSHKA_QUERY_MOD,
+    k: int = MATRYOSHKA_K,
+) -> DataFrame:
+    """Per-dim Catalyst twin of :func:`matryoshka_recall` — |dims|
+    sliced crossJoin+window branches, union-stacked. Kept as the
+    bit-parity pin for the fused GEMM kernel (tests compare both forms
+    row-for-row), not as a serving path."""
     bf = ground_truth_topk(spark, sf_dir, query_mod, k).select(
         "query_id", "neighbor_id"
     )
@@ -344,41 +454,33 @@ def matryoshka_recall(
         tr = emb.select(
             "vec_id", "label", F.slice("qvec", 1, d).alias("qvec")
         ).withColumn("qnorm2", qnorm2(F.col("qvec")))
-        if n * (n // query_mod) >= BRUTE_MATMUL_MIN_PAIRS:
-            # big N·Q rides the same per-partition GEMM + distributive
-            # partial-top-k kernel as knn_brute_force (bit-identical to
-            # the Catalyst form — pinned for the full-dim family)
-            approx = knn_brute_force_matmul(tr, query_mod, k).select(
-                "query_id", "neighbor_id"
+        q = tr.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm2").alias("q_qnorm2"),
+        )
+        scored = (
+            tr.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                qcosine(
+                    F.col("q_qvec"),
+                    F.col("qvec"),
+                    F.col("q_qnorm2"),
+                    F.col("qnorm2"),
+                ).alias("cosine"),
             )
-        else:
-            q = tr.filter(F.col("vec_id") % query_mod == 0).select(
-                F.col("vec_id").alias("query_id"),
-                F.col("qvec").alias("q_qvec"),
-                F.col("qnorm2").alias("q_qnorm2"),
-            )
-            scored = (
-                tr.crossJoin(F.broadcast(q))
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    qcosine(
-                        F.col("q_qvec"),
-                        F.col("qvec"),
-                        F.col("q_qnorm2"),
-                        F.col("qnorm2"),
-                    ).alias("cosine"),
-                )
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-            approx = (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id")
-            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
         joined = bf.join(
             approx.withColumn("hit", F.lit(1)),
             ["query_id", "neighbor_id"],
@@ -397,6 +499,72 @@ def matryoshka_recall(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def _matryoshka_topk(emb: DataFrame, bc, k: int) -> DataFrame:
+    """One-scan matryoshka top-k kernel (VERDICT r8 #6): ``bc``
+    broadcasts (qfull, qsqrt_by_dim, qids, dims) — the query matrix
+    collected once at full dimension and sliced driver-side; each
+    corpus Arrow batch is loaded once and every prefix dim scores as a
+    column slice of the same in-memory block — |dims| GEMMs per batch,
+    ONE corpus pass, one shared distributive top-k window.
+
+    Bit-identical per dim to knn_brute_force_matmul over the sliced
+    corpus: the prefix dot is the same exact int64 GEMM under the 2^53
+    bound (a prefix sum of the full dot's terms), prefix norms are the
+    same integer sum-of-squares (np int64 here ≡ the Catalyst qnorm2
+    fold), and selection applies the same strict total order
+    (cosine DESC, neighbor_id ASC) per batch and in the final window."""
+    from .similarity import MATMUL_Q_CHUNK, _exact_f64_matmul
+
+    def partial_topk(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        qfull, qsqrt_by_dim, qids, dims = bc.value
+        m = k + 1  # self-match removed post-selection
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"prefix_dim": [], "query_id": [], "neighbor_id": [], "cosine": []}
+            for d in dims:
+                xd = x[:, :d]
+                nsqrt = np.sqrt((xd * xd).sum(axis=1).astype(np.float64))
+                qsqrt = qsqrt_by_dim[d]
+                qmat = qfull[:, :d]
+                # same query-chunk tiling as every matmul kernel
+                # (catch #9): the cos block stays B×MATMUL_Q_CHUNK
+                for q0 in range(0, qids.shape[0], MATMUL_Q_CHUNK):
+                    q1 = min(q0 + MATMUL_Q_CHUNK, qids.shape[0])
+                    cos = (
+                        _exact_f64_matmul(xd, qmat[q0:q1], np)
+                        / qsqrt[None, q0:q1]
+                        / nsqrt[:, None]
+                    )
+                    for jj in range(q1 - q0):
+                        j = q0 + jj
+                        order = np.lexsort((vec_ids, -cos[:, jj]))[:m]
+                        keep = order[vec_ids[order] != qids[j]][:k]
+                        out["prefix_dim"].extend([int(d)] * keep.shape[0])
+                        out["query_id"].extend([int(qids[j])] * keep.shape[0])
+                        out["neighbor_id"].extend(vec_ids[keep].tolist())
+                        out["cosine"].extend(cos[keep, jj].tolist())
+            yield pd.DataFrame(out)
+
+    candidates = emb.select("vec_id", "qvec").mapInPandas(
+        partial_topk,
+        schema="prefix_dim long, query_id long, neighbor_id long, cosine double",
+    )
+    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix_dim", "query_id", "neighbor_id")
+    )
 
 
 def _matryoshka_branch_sql(d: int, query_mod: int, k: int) -> str:

@@ -514,6 +514,18 @@ def ivf_cell_assignments_matmul(
     cmat = np.array([r["c_qvec"] for r in cent_rows], dtype=np.int64)
     csqrt = np.sqrt(np.array([r["c_qnorm2"] for r in cent_rows], dtype=np.int64).astype(np.float64))
     cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    # Guard the tie-rule proof (ADVICE r8): a zero-norm centroid column
+    # yields NaN cosines, which the chunked running-best's strict `>`
+    # update skips while a whole-row np.argmax would return the first
+    # NaN index — the two forms would diverge. Zero-norm centroids are
+    # degenerate (a zero vector can't anchor a cosine cell), so fail
+    # loudly at build time instead of silently mis-assigning.
+    if not (csqrt > 0).all():
+        raise ValueError(
+            "zero-norm centroid(s) at cell_id(s) "
+            f"{cell_ids[csqrt == 0].tolist()}: cosine cell assignment "
+            "requires non-degenerate centroids"
+        )
     bc = emb.sparkSession.sparkContext.broadcast((cmat, csqrt, cell_ids))
 
     def assign(batches):

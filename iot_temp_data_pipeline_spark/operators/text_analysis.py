@@ -1121,7 +1121,7 @@ def pmi_collocations_sql(
     """DuckDB twin: identical counts, HUGEINT floor-division lift."""
     return f"""(
     WITH pm_d AS (
-        SELECT string_split(lower(text), ' ') AS tk FROM {source}
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS tk FROM {source}
     ),
     pm_tot AS (
         SELECT SUM(len(tk)) AS t, SUM(GREATEST(len(tk) - 1, 0)) AS b

@@ -947,6 +947,48 @@ _CHANGED_R08 = [
     # pack factoring
     "pack_sequences_sharded",
 ]
+_DRIVER_VERIFIED_R08 = {
+    "anomaly_scores", "anomaly_scores_t2", "colbert_maxsim_topk",
+    "corpus_dedup_curve", "corpus_pipeline_full", "custom_source_device_stats",
+    "dedup_prefix_filter_join", "embedding_space_diagnostics", "event_value_percentiles",
+    "hard_negative_mining", "hybrid_rrf_retrieval", "jsonl_roundtrip",
+    "knn_brute_force_cosine", "knn_ivfpq_adc", "knn_label_filtered",
+    "knn_pq_adc", "knn_pq_rerank", "knn_sq8_cosine",
+    "mad_outlier_gate", "matryoshka_recall_sweep", "maxsim_pooled_recall",
+    "maxsim_pooled_rerank", "minhash_band_tuning", "multimodal_decode_headers",
+    "orc_roundtrip", "pack_sequences_sharded", "pmi_collocations",
+    "quality_quantile_normalize", "schema_evolution_read", "sq8_recall_check",
+    "sql_api_regional_revenue", "streaming_mad_partials", "streaming_novelty_curve",
+    "t_closeness_audit", "tpch_q11_important_stock", "tpch_q12_priority_by_returnflag",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_promotion", "tpch_q21_suppliers_who_kept_waiting", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "trimmed_mean_events", "upsert_merge",
+    "value_trend_by_type", "zipf_fit_check",
+}
+# Round-9 changed/new set: queries whose OPERATOR code path changed
+# this round and therefore need a fresh driver row. The r9 rework
+# (VERDICT r8 asks + ADVICE r8): the single-projection signal-bins
+# table + literal-map rank lookup behind quality_rank_fusion, the
+# session-cached tokenized corpus + repeated-span table behind the
+# exact-substring family, the window-based Q21 decorrelation, the PMI
+# oracle tokenizer alignment, and the maxsim strategy validation /
+# IVF zero-norm-centroid guard (live on every maxsim/IVF-assignment
+# consumer). Plus the new build-path query dedup_repeated_spans.
+_CHANGED_R09 = [
+    # new this round (no driver row yet)
+    "dedup_repeated_spans",
+    # reworked serve/build paths
+    "quality_rank_fusion",
+    "dedup_exact_substrings", "dedup_apply_substring_removal",
+    "tpch_q21_suppliers_who_kept_waiting",
+    # oracle-tokenizer alignment (ADVICE r9 #1)
+    "pmi_collocations",
+    # maxsim strategy validation + IVF centroid guard consumers
+    "colbert_maxsim_topk", "maxsim_pooled_rerank", "maxsim_pooled_recall",
+    "knn_ivf_cosine", "knn_ivfpq_adc", "knn_ivfsq8_cosine",
+    "knn_ivfsq8_rerank", "ivf_recall_sweep", "ann_recall_check",
+]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,
     _DRIVER_VERIFIED_R03,
@@ -954,12 +996,13 @@ _ROUND_SETS = [
     _DRIVER_VERIFIED_R05,
     _DRIVER_VERIFIED_R06,
     _DRIVER_VERIFIED_R07,
+    _DRIVER_VERIFIED_R08,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R08 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R09 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
 _rest_by_staleness = sorted(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stats import exact_long_sum
@@ -722,18 +722,24 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     order). "Late" is l_shipdate > o_orderdate + 30 days (the fixtures
     lack commit/receipt dates).
 
-    Decorrelation: both correlated subqueries collapse into one
-    per-order aggregate — countDistinct(supplier) and
-    countDistinct(late supplier) — computed in a single pass over the
-    order-joined lineitem; the outer EXISTS becomes n_supp >= 2, the
-    NOT EXISTS becomes n_late_supp == 1 (the probe row itself is late,
-    so 1 means "no other"). The DuckDB oracle keeps the literal
-    EXISTS/NOT EXISTS form, independently checking the rewrite.
+    Decorrelation: both correlated subqueries collapse into per-order
+    DISTINCT-SUPPLIER counts — size(collect_set(supplier)) and
+    size(collect_set(late supplier)) — computed as WINDOW functions
+    over l_orderkey in the same pass as the probe rows (VERDICT r8
+    #3): the outer EXISTS becomes n_supp >= 2, the NOT EXISTS becomes
+    n_late_supp == 1 (the probe row itself is late, so 1 means "no
+    other"). The DuckDB oracle keeps the literal EXISTS/NOT EXISTS
+    form, independently checking the rewrite.
 
-    Plan at scale: ONE orderkey shuffle builds the enriched lineitem;
-    the per-order stats and the probe rows both derive from it
-    (exchange reuse); stats are two longs per order — bounded state,
-    no row explosion; final group is 4 suppliers."""
+    Plan at scale: the lineitem⋈orders equi-join already hash-clusters
+    on orderkey, and the window's partitionBy(l_orderkey) REUSES that
+    clustering — so the whole query is the join's exchanges plus a
+    4-supplier final aggregate. The earlier aggregate-and-join-back
+    form evaluated the enriched join twice (no cache) and paid two
+    more orderkey exchanges (16 jobs → measured ~½ the wall at
+    sf0.1). Per-order window state is the distinct-supplier set —
+    bounded by suppliers-per-order (7 in TPC-H), never the order's
+    line count."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
@@ -748,17 +754,21 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     enriched = li.join(od, li.l_orderkey == od.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = enriched.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w_ord = Window.partitionBy("l_orderkey")
+    stats = enriched.select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w_ord)).alias("n_supp"),
+        # collect_set skips nulls, so the CASE keeps only late rows —
+        # exactly countDistinct(CASE WHEN is_late THEN l_suppkey END)
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w_ord)
+        ).alias("n_late_supp"),
     )
     df = (
-        enriched.filter(F.col("is_late"))
+        stats.filter(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
-        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

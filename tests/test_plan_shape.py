@@ -249,7 +249,9 @@ def test_substring_span_merge_single_sort(spark, sf_dir):
     one (doc_id, pos) ordering, so the per-doc merge contributes exactly
     one Sort after its exchange — no second sort for the running-sum
     pass."""
-    plan = plan_of(REGISTRY["dedup_exact_substrings"].spark(spark, sf_dir))
+    # the span-DETECTION build row (dedup_exact_substrings now serves
+    # from the cached span table, so the merge lives here)
+    plan = plan_of(REGISTRY["dedup_repeated_spans"].spark(spark, sf_dir))
     assert plan.count("Window") >= 1
     # one sort for the shared window spec (+1 slack for an AQE variant)
     assert plan.count("Sort ") <= 2
@@ -356,12 +358,15 @@ def test_bm25_exact_copy_ranks_first_and_reuses_term_partitioning(spark, sf_dir)
 
 
 def test_rank_fusion_windows_touch_only_bin_tables(spark, sf_dir):
-    """quality_rank_fusion: rank lookup comes back as broadcast joins on
-    bin id and no SortMergeJoin sneaks in; the checkpointed bin table
-    means the expensive scoring pass appears once (as a scan of the
-    checkpoint), not five times."""
+    """quality_rank_fusion: rank lookup is a literal-map projection
+    over the materialized bin table — ZERO joins of any kind in the
+    blend (the midrank tables fold into element_at(map, bin)
+    expressions), and the one aggregate is hash-based. The checkpointed
+    bin table means the expensive scoring pass appears once (as a scan
+    of the checkpoint), not five times."""
     plan = plan_of(REGISTRY["quality_rank_fusion"].spark(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan  # no BHJ/SMJ/BNLJ — lookup is a map literal
+    assert "keys: [" in plan or "HashAggregate" in plan
     assert "SortMergeJoin" not in plan
 
 

@@ -1,0 +1,151 @@
+"""Round-9 reworks: fused matryoshka kernel, cached substring-span
+artifacts, Q21 window decorrelation, maxsim strategy validation, IVF
+zero-norm-centroid guard, literal-map rank fusion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_temp_data_pipeline_spark.operators import dedup as dd
+from iot_temp_data_pipeline_spark.operators import quality as qa
+from iot_temp_data_pipeline_spark.operators import retrieval_ext as rx
+from iot_temp_data_pipeline_spark.plans.registry import REGISTRY
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_matryoshka_fused_equals_catalyst(spark, sf_dir):
+    """The one-scan GEMM sweep must be row-identical to the per-dim
+    Catalyst twin — the bit-parity pin for the fused kernel (same
+    exact int64 prefix dots, same IEEE op order, same tie rule)."""
+    a = _rows(rx.matryoshka_recall(spark, sf_dir), "prefix_dim")
+    b = _rows(rx.matryoshka_recall_catalyst(spark, sf_dir), "prefix_dim")
+    assert a == b
+    # full-dim branch is a self-check: recall exactly 1
+    assert a[-1][2] == 1.0
+
+
+def test_matryoshka_warm_serve_equals_cold(spark, sf_dir):
+    """Session-cached query matrix / ground-truth keys: warm calls
+    must reproduce the cold result exactly."""
+    a = _rows(rx.matryoshka_recall(spark, sf_dir), "prefix_dim")
+    b = _rows(rx.matryoshka_recall(spark, sf_dir), "prefix_dim")
+    assert a == b and len(a) == len(rx.MATRYOSHKA_DIMS)
+
+
+def test_maxsim_strategy_typo_raises(spark, sf_dir):
+    """A typo'd strategy must raise, never silently fall through to
+    the interpreted-HOF path (ADVICE r8)."""
+    with pytest.raises(ValueError, match="strategy"):
+        rx.maxsim_topk(spark, sf_dir, strategy="gemm")
+
+
+def test_ivf_matmul_rejects_zero_norm_centroids(spark, sf_dir):
+    """The chunked running-best tie rule is only provably identical to
+    np.argmax for non-NaN columns; a zero-norm centroid must fail the
+    build loudly (ADVICE r8)."""
+    from iot_temp_data_pipeline_spark.operators.similarity import (
+        ivf_cell_assignments_matmul,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, 0, [0, 0], 0), (1, 0, [3, 4], 25), (2, 1, [4, 3], 25)],
+        schema="vec_id long, label int, qvec array<long>, qnorm2 long",
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        # centroid_mod=1 makes every row (incl. the zero vector) a centroid
+        ivf_cell_assignments_matmul(emb, centroid_mod=1)
+
+
+def test_substring_serve_matches_build(spark, sf_dir):
+    """Report/removal served from the cached span table must equal the
+    build-from-scratch forms (the cache is a pure materialization)."""
+    corpus = dd.dedup_corpus(spark, sf_dir)
+    base = dd.cached_tokenized_corpus(spark, sf_dir)
+    spans = dd.cached_repeated_spans(spark, sf_dir)
+    cold = _rows(dd.exact_substring_spans(corpus), "doc_id")
+    warm = _rows(
+        dd.exact_substring_spans_from_tokens(base, spans=spans), "doc_id"
+    )
+    assert cold == warm
+    cold_rm = _rows(dd.apply_substring_removal(corpus), "doc_id")
+    warm_rm = _rows(
+        dd.apply_substring_removal_from_tokens(base, spans=spans), "doc_id"
+    )
+    assert cold_rm == warm_rm
+
+
+def test_repeated_spans_cache_is_checkpointed_once(spark, sf_dir):
+    """Same (session, sf_dir) key returns the SAME DataFrame object —
+    the build runs once per session, not per consumer."""
+    a = dd.cached_repeated_spans(spark, sf_dir)
+    b = dd.cached_repeated_spans(spark, sf_dir)
+    assert a is b
+    t1 = dd.cached_tokenized_corpus(spark, sf_dir)
+    t2 = dd.cached_tokenized_corpus(spark, sf_dir)
+    assert t1 is t2
+
+
+def test_rank_fusion_serve_equals_build(spark, sf_dir):
+    """quality_rank_fusion served from the session-cached signal-bins
+    artifact must equal the build-from-scratch operator."""
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cold = _rows(qa.quality_rank_fusion(docs), "source")
+    warm = _rows(
+        qa.quality_rank_fusion_from_bins(qa.quality_signal_bins(spark, sf_dir)),
+        "source",
+    )
+    assert cold == warm
+
+
+def test_q21_window_form_equals_aggregate_join_form(spark, sf_dir):
+    """The window-based decorrelation must reproduce the aggregate-and-
+    join-back form it replaced (independent of the DuckDB oracle's
+    literal EXISTS/NOT EXISTS check)."""
+    from iot_temp_data_pipeline_spark.plans.tpch_extra import (
+        Q21_LATE_DAYS,
+        Q21_NATION,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    enriched = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = enriched.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    old_form = _rows(
+        enriched.filter(F.col("is_late"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait")),
+        "s_name",
+    )
+    new_form = _rows(
+        REGISTRY["tpch_q21_suppliers_who_kept_waiting"]
+        .spark(spark, sf_dir)
+        .select("s_name", "numwait"),
+        "s_name",
+    )
+    assert new_form == old_form

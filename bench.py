@@ -162,6 +162,11 @@ HEADLINE_EXTRA = [
     # measured build-path row (the report/removal rows now serve from
     # the cached span table)
     "dedup_repeated_spans",
+    # round-9 widening: winnowing/MOSS fingerprint family +
+    # temperature-scaled mixture weights
+    "doc_fingerprints_winnowing",
+    "dedup_winnowing_overlap",
+    "mixture_temperature_weights",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -229,6 +234,9 @@ CACHE_CONSUMING = sorted(
         # the span-detection build measured)
         "dedup_exact_substrings",
         "dedup_repeated_spans",
+        # r9: consumes the session-cached winnowing fingerprint table
+        # (doc_fingerprints_winnowing keeps the build measured)
+        "dedup_winnowing_overlap",
     }
 )
 

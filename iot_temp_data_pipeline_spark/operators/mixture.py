@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 from ..sources.catalog import load_table
 
 BUDGET_NUM = 7   # budget = 7/10 of total corpus tokens
@@ -171,4 +171,81 @@ def mixture_token_budget_sql(docs_table: str = "documents") -> str:
                  / CAST(avail AS DOUBLE) * 100, 4) AS utilization_pct
     FROM r2 CROSS JOIN s3
     ORDER BY source
+) s"""
+
+
+# ----------------------------------------- temperature-scaled weights
+
+# α = 1/2: w_d ∝ n_d^(1/2) — the sampling-temperature exponent family
+# (multilingual pretraining's exponent-smoothed sampling, mBERT/XLM-R
+# τ≈0.5-0.7; T5's α-temperature mixture). 1/2 is the one exponent with
+# an EXACT cross-engine form: IEEE-754 sqrt is correctly rounded, so
+# floor(sqrt(n)) of the same BIGINT is bit-identical in Spark and
+# DuckDB — no libm pow anywhere (the _pow2_col discipline, inverted).
+PPM = 1_000_000
+
+
+def mixture_temperature_weights(docs: DataFrame) -> DataFrame:
+    """Per-source temperature-scaled sampling weights: the standard
+    fix for heavy-tailed source distributions — proportional sampling
+    starves small sources, uniform oversamples them; w_d = ⌊√n_d⌋
+    damps giants and boosts the tail. Output per source: n_tokens,
+    share_ppm (proportional), weight, weight_ppm (temperature), and
+    boost_permille = 1000·weight_share/proportional_share (>1000 ⇔
+    the source is upweighted by the temperature).
+
+    Shape: one map-side-combined groupBy(source) over the corpus, a
+    1-row totals digest broadcast back (the J1 pattern) and a pure
+    projection — the only corpus-sized pass is the first aggregate."""
+    per = (
+        docs.select("source", token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("weight").alias("tot_w")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(f"div({PPM} * n_tokens, tot_tokens)").alias("share_ppm"),
+            "weight",
+            F.expr(f"div({PPM} * weight, tot_w)").alias("weight_ppm"),
+            F.expr(
+                f"div(1000 * div({PPM} * weight, tot_w),"
+                f" div({PPM} * n_tokens, tot_tokens))"
+            ).alias("boost_permille"),
+        )
+    )
+
+
+def mixture_temperature_weights_sql(docs_table: str = "documents") -> str:
+    return f"""(
+    WITH mtw AS (
+        SELECT source, SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+            AS n_tokens
+        FROM {docs_table}
+        GROUP BY source
+    ),
+    mtw_w AS (
+        SELECT source, n_tokens,
+            CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        FROM mtw
+    ),
+    mtw_tot AS (
+        SELECT SUM(n_tokens) AS tot_tokens, SUM(weight) AS tot_w FROM mtw_w
+    )
+    SELECT source, n_tokens,
+        ({PPM} * n_tokens) // tot_tokens AS share_ppm,
+        weight,
+        ({PPM} * weight) // tot_w AS weight_ppm,
+        (1000 * (({PPM} * weight) // tot_w))
+            // (({PPM} * n_tokens) // tot_tokens) AS boost_permille
+    FROM mtw_w CROSS JOIN mtw_tot
 ) s"""

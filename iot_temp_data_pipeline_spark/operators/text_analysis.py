@@ -355,6 +355,231 @@ def bottomk_fingerprints_sql(source: str = "documents", k: int = FINGERPRINT_K) 
 ) s"""
 
 
+# ------------------------------------------------------- winnowing (MOSS)
+
+WINNOW_W = 4  # winnowing window over consecutive 3-gram hashes
+WINNOW_SEED = 31
+# key packing: selected = min(hash · 2^30 + (2^30−1−pos)) — lexicographic
+# (hash ASC, pos DESC), i.e. robust winnowing's rightmost-minimum tie
+# rule, in ONE integer both engines compare identically. hash < 2^32 and
+# pos < 2^30 keep the key under 2^62.
+_WINNOW_POS_MOD = 1 << 30
+WINNOW_MAX_FP_DF = 40   # MOSS drops boilerplate fingerprints (shared widely)
+WINNOW_MIN_SHARED = 5   # report pairs sharing ≥ this many fingerprints
+
+
+def winnowing_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Kleinberg/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every 3-gram position, slide a
+    ``w``-hash window, keep each window's minimum hash (ties →
+    rightmost occurrence, the paper's "robust winnowing" rule), and
+    emit the distinct selected (position, hash) pairs. Guarantees:
+    any shared substring of ≥ w+2 tokens yields a shared fingerprint,
+    and density is ~2/(w+1) — positional, unlike the bottom-k sketch
+    (which keeps globally-smallest hashes and loses locality).
+
+    Plan shape: posexplode → one integer key projection → ONE window
+    min over (doc_id ORDER BY pos ROWS w−1 PRECEDING) → distinct.
+    Everything stays in whole-stage codegen; the only exchange is the
+    doc_id window (and distinct reuses its partitioning). Docs with
+    fewer than w hash positions emit nothing (full windows only) —
+    sub-window docs are below the guarantee threshold by definition."""
+    key = (
+        F.col("h") * F.lit(_WINNOW_POS_MOD)
+        + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos"))
+    )
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of_tokens(F.col("tk"))).alias("pos", "shingle"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            portable_hash32(F.col("shingle"), seed=WINNOW_SEED).alias("h"),
+        )
+        .select("doc_id", "pos", F.min(key).over(wwin).alias("sel_key"))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", "sel_key")
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"sel_key div {_WINNOW_POS_MOD}").alias("fp_hash"),
+            (
+                F.lit(_WINNOW_POS_MOD - 1) - F.col("sel_key") % _WINNOW_POS_MOD
+            ).cast("long").alias("fp_pos"),
+        )
+    )
+
+
+def winnowing_fingerprints_sql(source: str = "documents", w: int = WINNOW_W) -> str:
+    h = portable_hash32_sql("shingle", seed=WINNOW_SEED)
+    m = _WINNOW_POS_MOD
+    return f"""(
+    SELECT doc_id, sel_key // {m} AS fp_hash,
+        CAST({m - 1} - (sel_key % {m}) AS BIGINT) AS fp_pos
+    FROM (
+        SELECT DISTINCT doc_id, sel_key
+        FROM (
+            SELECT doc_id, pos, MIN(h * {m} + ({m - 1} - pos)) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel_key
+            FROM (
+                SELECT doc_id, i - 1 AS pos, {h} AS h
+                FROM (
+                    SELECT doc_id, i,
+                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+                    FROM (
+                        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                        FROM {source}
+                    ) tt,
+                    unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i)
+                ) sh
+            ) hashed
+        ) sel
+        WHERE pos >= {w - 1}
+    ) dedup
+) s"""
+
+
+def cached_winnowing_fps(spark, sf_dir: str, w: int = WINNOW_W) -> DataFrame:
+    """Session-cached winnowing fingerprint table (doc_id, fp_hash) of
+    the duplicate-injected dedup corpus — MOSS materializes the
+    fingerprint index once and answers every overlap query from it;
+    same build-once/serve-many lifecycle as cached_jaccard_pairs /
+    cached_repeated_spans. The fingerprint BUILD stays bench-measured
+    via the doc_fingerprints_winnowing query, which bypasses this
+    cache."""
+    import os as _os
+
+    from ..operators.dedup import dedup_corpus
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_winnow_fps")
+    key = (_os.path.abspath(sf_dir), w)
+    hit = cache.get(key)
+    if hit is None:
+        hit = (
+            winnowing_fingerprints(dedup_corpus(spark, sf_dir), w)
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cache[key] = hit
+    return hit
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    w: int = WINNOW_W,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+    fp: DataFrame | None = None,
+) -> DataFrame:
+    """MOSS-style overlap report: document pairs sharing ≥
+    ``min_shared`` winnowing fingerprints, with per-side fingerprint
+    counts and the containment-style overlap permille
+    (1000·shared ÷ min(|A|,|B|), exact integer division).
+
+    Fingerprints occurring in more than ``max_fp_df`` documents are
+    dropped before pairing — the paper's boilerplate suppression, and
+    the same candidate-blowup control as doc_shingles' df prune: the
+    self-join fans out per fingerprint bucket, never corpus². The df
+    annotation rides the SAME hash-partition-by-fp_hash exchange the
+    self-join needs (one exchange, the doc_shingles trick).
+
+    The distinct fingerprint set is localCheckpoint'ed (pass ``fp`` =
+    ``cached_winnowing_fps`` to reuse the session artifact): four
+    consumers read it (df prune, both self-join sides, per-doc counts)
+    and each would otherwise re-run the explode + window-min chain —
+    the quality_rank_fusion bin-table precedent. The materialization
+    is density-bounded at ~2/(w+1) of token positions, never corpus²."""
+    if fp is None:
+        fp = (
+            winnowing_fingerprints(docs, w)
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .localCheckpoint()
+        )
+    dfw = Window.partitionBy("fp_hash")
+    pruned = (
+        fp.withColumn("df", F.count("*").over(dfw))
+        .filter(F.col("df") <= max_fp_df)
+        .drop("df")
+    )
+    counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.col("ca.n_fp").alias("fps_a"),
+            F.col("cb.n_fp").alias("fps_b"),
+            F.expr(
+                "div(1000 * shared_fps, least(ca.n_fp, cb.n_fp))"
+            ).alias("overlap_permille"),
+        )
+    )
+
+
+def winnowing_overlap_pairs_sql(
+    source: str = "documents",
+    w: int = WINNOW_W,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
+    return f"""(
+    WITH wfp AS (
+        SELECT DISTINCT doc_id, fp_hash
+        FROM {winnowing_fingerprints_sql(source, w)}
+    ),
+    wdf AS (
+        SELECT doc_id, fp_hash FROM (
+            SELECT doc_id, fp_hash,
+                COUNT(*) OVER (PARTITION BY fp_hash) AS df
+            FROM wfp
+        ) x WHERE df <= {max_fp_df}
+    ),
+    wcnt AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id
+    ),
+    wpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+        FROM wdf a JOIN wdf b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+    )
+    SELECT doc_a, doc_b, shared_fps,
+        ca.n_fp AS fps_a, cb.n_fp AS fps_b,
+        (1000 * shared_fps) // LEAST(ca.n_fp, cb.n_fp) AS overlap_permille
+    FROM wpairs
+    JOIN wcnt ca ON doc_a = ca.doc_id
+    JOIN wcnt cb ON doc_b = cb.doc_id
+) s"""
+
+
 # ------------------------------------------------------------ PII redaction
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

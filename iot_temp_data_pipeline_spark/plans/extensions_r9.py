@@ -1,0 +1,116 @@
+"""Round-9 query specs (beyond-reference surface, SURVEY.md §2
+extension block): winnowing document fingerprints + the MOSS overlap
+report (Schleimer/Kleinberg/Aiken SIGMOD 2003 — positional
+fingerprinting, the locality-guaranteeing complement to the bottom-k
+sketch), and temperature-scaled mixture weights (the α=1/2
+sampling-temperature rule of multilingual pretraining recipes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import mixture as mx
+from ..operators import text_analysis as ta
+from ..sources.catalog import load_table
+from .registry import ColSpec, QuerySpec, shape, sql_select
+
+EXTENSIONS_R9: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+WINNOW_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("fp_hash", "long"),
+    ("fp_pos", "long"),
+]
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint BUILD path, over the same duplicate-injected
+    corpus the overlap report serves on — deliberately bypasses
+    cached_winnowing_fps so the explode + window-min chain stays
+    bench-measured (the cached_jaccard_pairs discipline)."""
+    from ..operators.dedup import dedup_corpus
+
+    return shape(
+        ta.winnowing_fingerprints(dedup_corpus(spark, sf_dir)), WINNOW_SPEC
+    )
+
+
+def _winnow_fps_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        WINNOW_SPEC, ta.winnowing_fingerprints_sql("corpus")
+    )
+
+
+WINNOW_ORACLE = _winnow_fps_oracle()
+
+EXTENSIONS_R9["doc_fingerprints_winnowing"] = QuerySpec(_winnow_fps, WINNOW_ORACLE)
+
+
+WINNOW_PAIRS_SPEC: ColSpec = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("shared_fps", "long"),
+    ("fps_a", "long"),
+    ("fps_b", "long"),
+    ("overlap_permille", "long"),
+]
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # over the duplicate-injected dedup corpus, so the report actually
+    # has overlapping pairs to find (same input as the Jaccard family);
+    # serves from the session-cached fingerprint table — the build
+    # stays measured via doc_fingerprints_winnowing above
+    from ..operators.dedup import dedup_corpus
+
+    return shape(
+        ta.winnowing_overlap_pairs(
+            dedup_corpus(spark, sf_dir),
+            fp=ta.cached_winnowing_fps(spark, sf_dir),
+        ),
+        WINNOW_PAIRS_SPEC,
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        WINNOW_PAIRS_SPEC, ta.winnowing_overlap_pairs_sql("corpus")
+    )
+
+
+EXTENSIONS_R9["dedup_winnowing_overlap"] = QuerySpec(
+    _winnow_pairs, _winnow_pairs_oracle()
+)
+
+
+# ------------------------------------------- temperature mixture weights
+
+MTW_SPEC: ColSpec = [
+    ("source", ""),
+    ("n_tokens", "long"),
+    ("share_ppm", "long"),
+    ("weight", "long"),
+    ("weight_ppm", "long"),
+    ("boost_permille", "long"),
+]
+
+
+def _mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        mx.mixture_temperature_weights(load_table(spark, sf_dir, "documents")),
+        MTW_SPEC,
+    )
+
+
+MTW_ORACLE = sql_select(MTW_SPEC, mx.mixture_temperature_weights_sql("documents"))
+
+EXTENSIONS_R9["mixture_temperature_weights"] = QuerySpec(
+    _mixture_temperature, MTW_ORACLE
+)

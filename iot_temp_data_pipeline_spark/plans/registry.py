@@ -657,6 +657,7 @@ from .analytics import ANALYTICS  # noqa: E402
 from .extensions import EXTENSIONS  # noqa: E402
 from .extensions_r7 import EXTENSIONS_R7  # noqa: E402
 from .extensions_r8 import EXTENSIONS_R8  # noqa: E402
+from .extensions_r9 import EXTENSIONS_R9  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -674,6 +675,7 @@ REGISTRY.update(TIMESERIES)
 REGISTRY.update(ANALYTICS)
 REGISTRY.update(EXTENSIONS_R7)
 REGISTRY.update(EXTENSIONS_R8)
+REGISTRY.update(EXTENSIONS_R9)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
@@ -978,6 +980,8 @@ _DRIVER_VERIFIED_R08 = {
 _CHANGED_R09 = [
     # new this round (no driver row yet)
     "dedup_repeated_spans",
+    "doc_fingerprints_winnowing", "dedup_winnowing_overlap",
+    "mixture_temperature_weights",
     # reworked serve/build paths
     "quality_rank_fusion",
     "dedup_exact_substrings", "dedup_apply_substring_removal",

@@ -149,3 +149,88 @@ def test_q21_window_form_equals_aggregate_join_form(spark, sf_dir):
         "s_name",
     )
     assert new_form == old_form
+
+
+def test_winnowing_guarantee_and_density(spark, sf_dir):
+    """Schleimer et al.'s two winnowing theorems on a constructed pair:
+    (1) any shared run of >= w+2 tokens yields >= 1 shared fingerprint;
+    (2) per-doc fingerprint count is <= the number of hash positions
+    and >= positions/w (each window keeps one)."""
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 >= w+2
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " nine ten"),
+            (2, shared + " zulu yankee xray whiskey victor"),
+        ],
+        schema="doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    for d in (1, 2):
+        n_tokens = len([t for t in docs.filter(F.col("doc_id") == d).collect()[0]["text"].split()])
+        positions = n_tokens - 2
+        full_windows = positions - (WINNOW_W - 1)
+        n_fp = len([r for r in fp if r["doc_id"] == d])
+        assert 1 <= n_fp <= positions
+        assert n_fp * WINNOW_W >= full_windows  # one per window, dedup'd
+
+
+def test_winnowing_overlap_finds_injected_duplicates(spark, sf_dir):
+    """The MOSS report over the duplicate-injected corpus must flag
+    every exact copy (doc_id + 1_000_000) with overlap 1000 permille
+    against its original."""
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        cached_winnowing_fps,
+        winnowing_overlap_pairs,
+    )
+    from iot_temp_data_pipeline_spark.operators.dedup import dedup_corpus
+
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = winnowing_overlap_pairs(
+        corpus, fp=cached_winnowing_fps(spark, sf_dir)
+    ).collect()
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["overlap_permille"]
+        for r in pairs
+        if r["doc_b"] == r["doc_a"] + 1_000_000
+    }
+    copies = [
+        r["doc_id"]
+        for r in corpus.filter(
+            (F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 7 == 0)
+        ).collect()
+    ]
+    found = [d for d in copies if (d, d + 1_000_000) in exact]
+    # every exact copy with enough fingerprints must be flagged at 1000
+    assert found, "no injected copies flagged"
+    assert all(exact[(d, d + 1_000_000)] == 1000 for d in found)
+
+
+def test_temperature_weights_boost_small_sources(spark, sf_dir):
+    """w = isqrt(n) damps giants: the largest source's boost_permille
+    must be <= the smallest source's, and weights must be exact
+    integer sqrts."""
+    import math
+
+    from iot_temp_data_pipeline_spark.operators.mixture import (
+        mixture_temperature_weights,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = mixture_temperature_weights(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["weight"] == math.isqrt(r["n_tokens"])
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["boost_permille"] <= small["boost_permille"]

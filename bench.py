@@ -167,6 +167,10 @@ HEADLINE_EXTRA = [
     "doc_fingerprints_winnowing",
     "dedup_winnowing_overlap",
     "mixture_temperature_weights",
+    "vocab_growth_curve",
+    "span_corruption_plan",
+    "fim_transform_plan",
+    "stratified_allocation_hamilton",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the

@@ -35,7 +35,7 @@ domain capping family, see operators/quality.py domain caps).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
@@ -248,4 +248,83 @@ def mixture_temperature_weights_sql(docs_table: str = "documents") -> str:
         (1000 * (({PPM} * weight) // tot_w))
             // (({PPM} * n_tokens) // tot_tokens) AS boost_permille
     FROM mtw_w CROSS JOIN mtw_tot
+) s"""
+
+
+# ------------------------------------- largest-remainder apportionment
+
+HAMILTON_K = 10_000  # total samples to apportion across sources
+
+
+def stratified_allocation_hamilton(
+    docs: DataFrame, k: int = HAMILTON_K
+) -> DataFrame:
+    """Exact proportional sample allocation by the largest-remainder
+    (Hamilton) method: each source gets ⌊k·n_d/N⌋ samples, and the
+    k − Σ floors leftover seats go to the largest fractional
+    remainders (ties → source name ascending, pinned). The apportionment
+    rule every stratified sampler needs once sample counts must be
+    INTEGERS that sum exactly to k — naive rounding over- or
+    under-shoots.
+
+    All integer arithmetic: remainder comparison uses k·n_d mod N
+    directly (ordering by the modular residue IS ordering by the
+    fractional part — no doubles anywhere). One corpus groupBy, a
+    1-row totals digest broadcast back, and one window over |sources|
+    rows (bounded by the stratum count, never the corpus)."""
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_total",
+        F.expr(f"div({k} * n_docs, n_total)").alias("base_alloc"),
+        (F.lit(k) * F.col("n_docs") % F.col("n_total")).alias("residue"),
+    )
+    wrank = Window.orderBy(F.col("residue").desc(), F.col("source"))
+    wtot = Window.partitionBy()
+    return (
+        base.withColumn("rnk", F.row_number().over(wrank))
+        .withColumn("leftover", F.lit(k) - F.sum("base_alloc").over(wtot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("base_alloc").cast("long").alias("base_alloc"),
+            F.col("residue").cast("long").alias("residue"),
+            (F.col("rnk") <= F.col("leftover")).alias("got_topup"),
+            (
+                F.col("base_alloc")
+                + (F.col("rnk") <= F.col("leftover")).cast("long")
+            ).cast("long").alias("final_alloc"),
+        )
+    )
+
+
+def stratified_allocation_hamilton_sql(
+    docs_table: str = "documents", k: int = HAMILTON_K
+) -> str:
+    return f"""(
+    WITH ha_per AS (
+        SELECT source, COUNT(*) AS n_docs FROM {docs_table} GROUP BY source
+    ),
+    ha_tot AS (SELECT SUM(n_docs) AS n_total FROM ha_per),
+    ha_base AS (
+        SELECT source, n_docs, n_total,
+            ({k} * n_docs) // n_total AS base_alloc,
+            ({k} * n_docs) % n_total AS residue
+        FROM ha_per CROSS JOIN ha_tot
+    ),
+    ha_rank AS (
+        SELECT *,
+            ROW_NUMBER() OVER (ORDER BY residue DESC, source) AS rnk,
+            {k} - SUM(base_alloc) OVER () AS leftover
+        FROM ha_base
+    )
+    SELECT source, n_docs,
+        CAST(base_alloc AS BIGINT) AS base_alloc,
+        CAST(residue AS BIGINT) AS residue,
+        rnk <= leftover AS got_topup,
+        CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS final_alloc
+    FROM ha_rank
 ) s"""

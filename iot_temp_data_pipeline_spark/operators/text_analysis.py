@@ -1377,3 +1377,107 @@ def pmi_collocations_sql(
     ORDER BY lift_ppm DESC, b.w1, b.w2
     LIMIT {top}
 ) s"""
+
+
+# --------------------------------------------------- Heaps vocab growth
+
+HEAPS_BUCKETS = 10
+HEAPS_SEED = 37
+
+
+def vocab_growth_curve(
+    docs: DataFrame, n_buckets: int = HEAPS_BUCKETS, seed: int = HEAPS_SEED
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct word types vs tokens seen
+    as ingest proceeds — the tokenizer-planning twin of the corpus
+    novelty curve (novelty asks "is the TEXT new?", this asks "are the
+    WORDS new?"; a vocabulary still growing fast at the end of the
+    corpus means the tokenizer's vocab budget is undersized for the
+    domain). Same deterministic ingest-batch model as
+    corpus_dedup_curve (portable hash of doc_id); a type is NEW in the
+    first batch containing it.
+
+    Output per batch: n_tokens, cum_tokens, new_types, cum_types, and
+    the exact integer type-token ratio ttr_ppm = 10^6·cum_types ÷
+    cum_tokens (Heaps exponent read off the curve shape, log-free).
+
+    Scale shape: one scan exploding tokens with the bucket attached →
+    one map-side-combined (token → min bucket) aggregate + one
+    (bucket → token count) aggregate; the only window runs over
+    n_buckets rows. At 100 TB both shuffles carry vocabulary- and
+    bucket-bounded rows, never the corpus."""
+    b = (
+        portable_hash32(F.col("doc_id").cast("string"), seed=seed) % n_buckets
+    ).alias("bucket")
+    d = docs.select(b, F.explode(tokens(F.col("text"))).alias("w"))
+    per_bucket = d.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    firsts = (
+        d.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    wcum = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "*",
+            F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+            F.sum("new_types").over(wcum).alias("cum_types"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("new_types").cast("long").alias("new_types"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_types").cast("long").alias("cum_types"),
+            F.expr("div(1000000 * cum_types, cum_tokens)").alias("ttr_ppm"),
+        )
+    )
+
+
+def vocab_growth_curve_sql(
+    source: str = "documents",
+    n_buckets: int = HEAPS_BUCKETS,
+    seed: int = HEAPS_SEED,
+) -> str:
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""(
+    WITH vg_d AS (
+        SELECT ({h}) % {n_buckets} AS bucket,
+            unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM {source}
+    ),
+    vg_pb AS (SELECT bucket, COUNT(*) AS n_tokens FROM vg_d GROUP BY 1),
+    vg_first AS (
+        SELECT bucket, COUNT(*) AS new_types FROM (
+            SELECT w, MIN(bucket) AS bucket FROM vg_d GROUP BY 1
+        ) f GROUP BY 1
+    ),
+    vg_row AS (
+        SELECT p.bucket, p.n_tokens, COALESCE(f.new_types, 0) AS new_types
+        FROM vg_pb p LEFT JOIN vg_first f ON p.bucket = f.bucket
+    ),
+    vg_cum AS (
+        SELECT *,
+            SUM(n_tokens) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+            SUM(new_types) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+        FROM vg_row
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(new_types AS BIGINT) AS new_types,
+        CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        CAST(cum_types AS BIGINT) AS cum_types,
+        (1000000 * cum_types) // cum_tokens AS ttr_ppm
+    FROM vg_cum
+) s"""

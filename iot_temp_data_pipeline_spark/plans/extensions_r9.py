@@ -114,3 +114,114 @@ MTW_ORACLE = sql_select(MTW_SPEC, mx.mixture_temperature_weights_sql("documents"
 EXTENSIONS_R9["mixture_temperature_weights"] = QuerySpec(
     _mixture_temperature, MTW_ORACLE
 )
+
+
+# -------------------------------------------- Heaps vocab growth curve
+
+VOCAB_GROWTH_SPEC: ColSpec = [
+    ("bucket", "long"),
+    ("n_tokens", "long"),
+    ("new_types", "long"),
+    ("cum_tokens", "long"),
+    ("cum_types", "long"),
+    ("ttr_ppm", "long"),
+]
+
+
+def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        ta.vocab_growth_curve(load_table(spark, sf_dir, "documents")),
+        VOCAB_GROWTH_SPEC,
+    )
+
+
+EXTENSIONS_R9["vocab_growth_curve"] = QuerySpec(
+    _vocab_growth,
+    sql_select(VOCAB_GROWTH_SPEC, ta.vocab_growth_curve_sql("documents")),
+)
+
+
+# --------------------------------- example-construction transforms
+
+SPAN_CORRUPT_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("n_corrupted", "long"),
+    ("n_spans", "long"),
+    ("corruption_ppm", "long"),
+    ("kept_md5", ""),
+    ("corrupted_md5", ""),
+]
+
+
+def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import augment as ag
+
+    return shape(
+        ag.span_corruption_plan(load_table(spark, sf_dir, "documents")),
+        SPAN_CORRUPT_SPEC,
+    )
+
+
+def _span_corruption_oracle() -> str:
+    from ..operators import augment as ag
+
+    return sql_select(SPAN_CORRUPT_SPEC, ag.span_corruption_plan_sql("documents"))
+
+
+EXTENSIONS_R9["span_corruption_plan"] = QuerySpec(
+    _span_corruption, _span_corruption_oracle()
+)
+
+FIM_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("n_tokens", "long"),
+    ("cut1", "long"),
+    ("cut2", "long"),
+    ("is_psm", ""),
+    ("prefix_md5", ""),
+    ("middle_md5", ""),
+    ("suffix_md5", ""),
+]
+
+
+def _fim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import augment as ag
+
+    return shape(
+        ag.fim_transform_plan(load_table(spark, sf_dir, "documents")), FIM_SPEC
+    )
+
+
+def _fim_oracle() -> str:
+    from ..operators import augment as ag
+
+    return sql_select(FIM_SPEC, ag.fim_transform_plan_sql("documents"))
+
+
+EXTENSIONS_R9["fim_transform_plan"] = QuerySpec(_fim_plan, _fim_oracle())
+
+
+# ------------------------------------- Hamilton sample apportionment
+
+HAMILTON_SPEC: ColSpec = [
+    ("source", ""),
+    ("n_docs", "long"),
+    ("base_alloc", "long"),
+    ("residue", "long"),
+    ("got_topup", ""),
+    ("final_alloc", "long"),
+]
+
+
+def _hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape(
+        mx.stratified_allocation_hamilton(load_table(spark, sf_dir, "documents")),
+        HAMILTON_SPEC,
+    )
+
+
+EXTENSIONS_R9["stratified_allocation_hamilton"] = QuerySpec(
+    _hamilton,
+    sql_select(HAMILTON_SPEC, mx.stratified_allocation_hamilton_sql("documents")),
+)

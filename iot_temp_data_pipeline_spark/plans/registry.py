@@ -981,7 +981,9 @@ _CHANGED_R09 = [
     # new this round (no driver row yet)
     "dedup_repeated_spans",
     "doc_fingerprints_winnowing", "dedup_winnowing_overlap",
-    "mixture_temperature_weights",
+    "mixture_temperature_weights", "vocab_growth_curve",
+    "span_corruption_plan", "fim_transform_plan",
+    "stratified_allocation_hamilton",
     # reworked serve/build paths
     "quality_rank_fusion",
     "dedup_exact_substrings", "dedup_apply_substring_removal",

@@ -473,3 +473,21 @@ def test_dedup_curve_single_partition_is_bucket_bounded(spark, sf_dir):
     plan = plan_of(REGISTRY["corpus_dedup_curve"].spark(spark, sf_dir))
     assert plan.count("SinglePartition") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_example_transforms_are_pure_maps(spark, sf_dir):
+    """span_corruption_plan / fim_transform_plan: pure per-row HOF
+    projections — no exchange, no join, no Python anywhere (the 100 TB
+    transform cost is exactly one scan)."""
+    for name in ("span_corruption_plan", "fim_transform_plan"):
+        plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_winnowing_fingerprints_single_exchange(spark, sf_dir):
+    """Winnowing build: ONE doc_id exchange — the distinct reuses the
+    window's hash partitioning (subset-clustering satisfaction)."""
+    plan = plan_of(REGISTRY["doc_fingerprints_winnowing"].spark(spark, sf_dir))
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1

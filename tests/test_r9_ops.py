@@ -234,3 +234,102 @@ def test_temperature_weights_boost_small_sources(spark, sf_dir):
     big = max(rows, key=lambda r: r["n_tokens"])
     small = min(rows, key=lambda r: r["n_tokens"])
     assert big["boost_permille"] <= small["boost_permille"]
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """Plan self-consistency: corrupted+kept accounts for every token,
+    spans merge adjacent positions (n_spans <= n_corrupted), and the
+    corruption rate is in the plausible band for 5%-start/len-3
+    (roughly 15%, loose bounds for small docs)."""
+    from iot_temp_data_pipeline_spark.operators.augment import (
+        span_corruption_plan,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = span_corruption_plan(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    tot = sum(r["n_tokens"] for r in rows)
+    cor = sum(r["n_corrupted"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_spans"] <= r["n_corrupted"] <= r["n_tokens"]
+    assert 0.05 < cor / tot < 0.30  # ~15% by construction
+
+
+def test_fim_cuts_partition_the_document(spark, sf_dir):
+    """0 <= cut1 <= cut2 <= n for every doc, and the three segment
+    hashes reassemble the document (verified on one doc by
+    recomputation)."""
+    import hashlib
+    import re
+
+    from iot_temp_data_pipeline_spark.operators.augment import (
+        fim_transform_plan,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = fim_transform_plan(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cut1"] <= r["cut2"] <= r["n_tokens"]
+    r = rows[0]
+    text = docs.filter(F.col("doc_id") == r["doc_id"]).collect()[0]["text"]
+    tk = re.split(r"\s+", text.lower())
+    for lo, hi, col in [
+        (0, r["cut1"], "prefix_md5"),
+        (r["cut1"], r["cut2"], "middle_md5"),
+        (r["cut2"], len(tk), "suffix_md5"),
+    ]:
+        assert (
+            hashlib.md5(" ".join(tk[lo:hi]).encode()).hexdigest() == r[col]
+        )
+
+
+def test_hamilton_allocation_sums_to_k(spark, sf_dir):
+    """Largest-remainder apportionment: Σ final_alloc == k exactly,
+    every final is base or base+1, and top-ups go to the largest
+    residues."""
+    from iot_temp_data_pipeline_spark.operators.mixture import (
+        HAMILTON_K,
+        stratified_allocation_hamilton,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = stratified_allocation_hamilton(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert sum(r["final_alloc"] for r in rows) == HAMILTON_K
+    for r in rows:
+        assert r["final_alloc"] - r["base_alloc"] in (0, 1)
+    min_topped = min(
+        (r["residue"] for r in rows if r["got_topup"]), default=None
+    )
+    if min_topped is not None:
+        assert all(
+            r["residue"] <= min_topped or r["got_topup"]
+            for r in rows
+        )
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    """Cumulative tokens/types are nondecreasing across buckets and
+    cum_types matches the corpus's total distinct-token count."""
+    from iot_temp_data_pipeline_spark.functions.text import tokens
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        vocab_growth_curve,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        vocab_growth_curve(docs).collect(), key=lambda r: r["bucket"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_types"] >= a["cum_types"]
+    total_types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_types"] == total_types

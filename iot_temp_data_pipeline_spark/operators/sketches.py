@@ -188,26 +188,71 @@ def cms_token_frequencies(
 
     Returns (item, true_count, cms_estimate) for the true top-``topn``
     tokens; CMS guarantees cms_estimate >= true_count always, within
-    e*N/width with probability 1 - exp(-depth) per item."""
+    e*N/width with probability 1 - exp(-depth) per item.
+
+    r9 build shape: cells are ADDITIVE in item multiplicity —
+    cell(j,c) = Σ_{h_j(item)=c} count(item) — so the corpus pays ONE
+    hash-free groupBy(item) pass and the sketch hashes only DISTINCT
+    items weighted by their counts (vocabulary-bounded, the same table
+    the exact-top-n probe side already needed). The earlier form
+    exploded depth position rows and a digest per corpus TOKEN —
+    hash work |corpus|·depth vs |vocab|; identical sketch by
+    construction."""
     items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
-    return cms_estimates(items, cms_cells(items, width, depth), width, depth, topn)
+    counts = items.groupBy("item").agg(F.count("*").alias("icnt"))
+    cells = (
+        _cms_position_rows(counts, width, depth)
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.sum("icnt").alias("cnt"))
+    )
+    exact_top = (
+        counts.withColumnRenamed("icnt", "true_count")
+        .orderBy(F.col("true_count").desc(), "item")
+        .limit(topn)
+    )
+    probes = _cms_position_rows(exact_top, width, depth).select(
+        "item",
+        "true_count",
+        F.col("c.row").alias("row"),
+        F.col("c.col").alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("item", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
 
 
-def _cms_positions(width: int, depth: int):
-    from ..functions.hashing import portable_hash32
-
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    (F.pmod(portable_hash32(F.col("item"), seed=j), width)).alias(
-                        "col"
-                    ),
-                )
-                for j in range(depth)
-            ]
-        )
+def _cms_position_rows(df, width: int, depth: int):
+    """Explode ``df`` (holding an ``item`` column) into (row, col)
+    sketch positions: depth ≤ 4 rows from the WORDS of ONE md5 digest
+    (the portable_hash32_family word-slice family — a digest's 32-bit
+    words are independent, the hash-family class CMS's per-row
+    pairwise-independence needs). The digest is bound as a column that
+    the depth lane expressions each reference, so CollapseProject's
+    duplicate-expensive-expression guard materializes it ONCE per item
+    — the earlier seed-per-row family paid depth full digests (no CSE
+    reaches inside a generator input), ~depth× the hash cost of this
+    form on the build pass where md5 dominates."""
+    assert depth <= 4, "word-slice family yields 4 lanes per digest"
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(F.col("cms_d"), 1 + 8 * j, 8), 16, 10
+                    ).cast("long"),
+                    width,
+                ).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return df.withColumn(
+        "cms_d", F.md5(F.concat(F.lit("0:"), F.col("item")))
+    ).select(
+        *[c for c in df.columns], F.explode(lanes).alias("c")
     )
 
 
@@ -216,11 +261,15 @@ def cms_cells(
 ) -> DataFrame:
     """The sketch itself: (row, col, cnt) cell counts for an ``item``
     column. Pure function of the multiset of items — mergeable across
-    partitions, batches, or streams by summing cnt per cell."""
+    partitions, batches, or streams by summing cnt per cell. Built by
+    counting items FIRST and hashing only the distinct-item table
+    weighted by multiplicity (cells are additive in counts), so hash
+    work is vocabulary-, not corpus-, sized."""
+    counts = items.groupBy("item").agg(F.count("*").alias("icnt"))
     return (
-        items.select(_cms_positions(width, depth).alias("c"))
+        _cms_position_rows(counts, width, depth)
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("icnt").alias("cnt"))
     )
 
 
@@ -239,10 +288,11 @@ def cms_estimates(
         .orderBy(F.col("true_count").desc(), "item")
         .limit(topn)
     )
-    probes = exact_top.select(
-        "item", "true_count", _cms_positions(width, depth).alias("p")
-    ).select(
-        "item", "true_count", F.col("p.row").alias("row"), F.col("p.col").alias("col")
+    probes = _cms_position_rows(exact_top, width, depth).select(
+        "item",
+        "true_count",
+        F.col("c.row").alias("row"),
+        F.col("c.col").alias("col"),
     )
     return (
         probes.join(F.broadcast(cells), ["row", "col"])
@@ -257,21 +307,29 @@ def cms_token_frequencies_sql(
     depth: int = CMS_DEPTH,
     topn: int = CMS_TOPN,
 ) -> str:
-    """DuckDB twin: rebuilds the identical sketch (same md5 hash family,
-    same width/depth) and recomputes every estimate exactly."""
-    from ..functions.hashing import portable_hash32_sql
+    """DuckDB twin: rebuilds the identical sketch (same word-slice md5
+    hash family, same width/depth) and recomputes every estimate
+    exactly. Parallel unnests of the row-index and lane-column lists
+    zip positionally (DuckDB semantics), mirroring the Spark
+    inline-struct-array explode."""
+    from ..functions.hashing import portable_hash32_family_sql
 
-    lanes = ", ".join(str(j) for j in range(depth))
-    h = portable_hash32_sql("item", seed=0).replace("'0:'", "j || ':'")
+    js = ", ".join(str(j) for j in range(depth))
+    cols = ", ".join(
+        f"{lane} % {width}"
+        for lane in portable_hash32_family_sql("item", depth)
+    )
     return f"""(
     WITH cms_items AS (
         SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS item
         FROM {source}
     ),
-    cms_lanes AS (SELECT unnest([{lanes}]) AS j),
     cms_cells AS (
-        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt
-        FROM cms_items CROSS JOIN cms_lanes
+        SELECT j, col, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest([{js}]) AS j, unnest([{cols}]) AS col
+            FROM cms_items
+        ) pos
         GROUP BY 1, 2
     ),
     cms_top AS (
@@ -279,8 +337,12 @@ def cms_token_frequencies_sql(
         GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {topn}
     ),
     cms_probes AS (
-        SELECT item, true_count, j, {h} % {width} AS col
-        FROM cms_top CROSS JOIN cms_lanes
+        SELECT item, true_count, j, col
+        FROM (
+            SELECT item, true_count,
+                unnest([{js}]) AS j, unnest([{cols}]) AS col
+            FROM cms_top
+        ) p
     )
     SELECT item, true_count, MIN(cnt) AS cms_estimate
     FROM cms_probes JOIN cms_cells USING (j, col)
@@ -590,21 +652,25 @@ def join_size_cms_sql(
     """DuckDB twin of :func:`join_size_cms`. ``left_expr`` /
     ``right_expr`` are full `SELECT <key-as-varchar> AS item FROM ...`
     subqueries."""
-    from ..functions.hashing import portable_hash32_sql
+    from ..functions.hashing import portable_hash32_family_sql
 
-    lanes = ", ".join(str(j) for j in range(depth))
-    h = portable_hash32_sql("item", seed=0).replace("'0:'", "j || ':'")
+    js = ", ".join(str(j) for j in range(depth))
+    cols = ", ".join(
+        f"{lane} % {width}"
+        for lane in portable_hash32_family_sql("item", depth)
+    )
     return f"""(
     WITH js_a AS ({left_expr}),
     js_b AS ({right_expr}),
-    js_lanes AS (SELECT unnest([{lanes}]) AS j),
     js_ca AS (
-        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt_a
-        FROM js_a CROSS JOIN js_lanes GROUP BY 1, 2
+        SELECT j, col, COUNT(*) AS cnt_a FROM (
+            SELECT unnest([{js}]) AS j, unnest([{cols}]) AS col FROM js_a
+        ) pa GROUP BY 1, 2
     ),
     js_cb AS (
-        SELECT j, {h} % {width} AS col, COUNT(*) AS cnt_b
-        FROM js_b CROSS JOIN js_lanes GROUP BY 1, 2
+        SELECT j, col, COUNT(*) AS cnt_b FROM (
+            SELECT unnest([{js}]) AS j, unnest([{cols}]) AS col FROM js_b
+        ) pb GROUP BY 1, 2
     ),
     js_est AS (
         SELECT MIN(lane_est) AS cms_estimate FROM (

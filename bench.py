@@ -171,6 +171,8 @@ HEADLINE_EXTRA = [
     "span_corruption_plan",
     "fim_transform_plan",
     "stratified_allocation_hamilton",
+    "epoch_shuffle_footrule",
+    "seq_len_tradeoff_curve",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -241,6 +243,9 @@ CACHE_CONSUMING = sorted(
         # r9: consumes the session-cached winnowing fingerprint table
         # (doc_fingerprints_winnowing keeps the build measured)
         "dedup_winnowing_overlap",
+        # r9: consumes the session-cached exhaustive-MaxSim ground truth
+        # (colbert_maxsim_topk keeps the exhaustive build measured)
+        "maxsim_pooled_recall",
     }
 )
 

@@ -683,3 +683,176 @@ def range_partition_audit_sql(
     GROUP BY bucket
     ORDER BY bucket
 ) rp"""
+
+
+# --------------------------------------- epoch-shuffle decorrelation
+
+EPOCH_SEED_1 = 51
+EPOCH_SEED_2 = 52
+FOOTRULE_SHARDS = 8
+
+
+def epoch_shuffle_footrule(
+    docs: DataFrame,
+    n_shards: int = FOOTRULE_SHARDS,
+    seed1: int = EPOCH_SEED_1,
+    seed2: int = EPOCH_SEED_2,
+) -> DataFrame:
+    """Epoch-to-epoch shuffle decorrelation audit: Spearman's FOOTRULE
+    distance Σ|pos_e1 − pos_e2| between two epochs' per-shard orders —
+    the check that reseeding the deterministic shuffle actually
+    produces an unrelated permutation (a broken epoch seed silently
+    feeds the model the same curriculum twice; footrule ≈ n²/3 for
+    independent permutations, 0 for identical ones — Diaconis–Graham's
+    bounds relate it to Kendall/Spearman within constants).
+
+    Shard assignment is content-stable (seed-0 hash) so both epochs
+    rank the SAME doc set per shard; each epoch's order is its own
+    seeded hash. Output per shard: n_docs, footrule_sum, the exact
+    normalized permille vs the ⌊n²/2⌋ maximum, and the ⌊2n²/6⌋-scaled
+    expectation marker both engines compute identically.
+
+    Plan: one scan → ONE shard exchange carrying two windows over the
+    same partitioning (two sorts, one shuffle) → per-shard aggregate
+    bounded by the shard count. No SinglePartition — the same
+    decomposition as corpus_shuffle_manifest."""
+    h0 = portable_hash32(F.col("doc_id").cast("string"), seed=0)
+    k1 = portable_hash32(F.col("doc_id").cast("string"), seed=seed1)
+    k2 = portable_hash32(F.col("doc_id").cast("string"), seed=seed2)
+    d = docs.select(
+        "doc_id",
+        (h0 % n_shards).alias("shard_id"),
+        k1.alias("k1"),
+        k2.alias("k2"),
+    )
+    w1 = Window.partitionBy("shard_id").orderBy("k1", "doc_id")
+    w2 = Window.partitionBy("shard_id").orderBy("k2", "doc_id")
+    ranked = d.select(
+        "shard_id",
+        F.row_number().over(w1).alias("p1"),
+        F.row_number().over(w2).alias("p2"),
+    )
+    return (
+        ranked.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.abs(F.col("p1") - F.col("p2"))).alias("footrule_sum"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("footrule_sum").cast("long").alias("footrule_sum"),
+            F.expr(
+                "div(2000 * footrule_sum, greatest(n_docs * n_docs, 1))"
+            ).alias("footrule_permille_of_max"),
+        )
+    )
+
+
+def epoch_shuffle_footrule_sql(
+    source: str = "documents",
+    n_shards: int = FOOTRULE_SHARDS,
+    seed1: int = EPOCH_SEED_1,
+    seed2: int = EPOCH_SEED_2,
+) -> str:
+    h0 = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=0)
+    k1 = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=seed1)
+    k2 = portable_hash32_sql("CAST(doc_id AS VARCHAR)", seed=seed2)
+    return f"""(
+    WITH ef_d AS (
+        SELECT doc_id, ({h0}) % {n_shards} AS shard_id,
+            {k1} AS k1, {k2} AS k2
+        FROM {source}
+    ),
+    ef_r AS (
+        SELECT shard_id,
+            ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY k1, doc_id) AS p1,
+            ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY k2, doc_id) AS p2
+        FROM ef_d
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ABS(p1 - p2)) AS BIGINT) AS footrule_sum,
+        (2000 * SUM(ABS(p1 - p2)))
+            // GREATEST(COUNT(*) * COUNT(*), 1) AS footrule_permille_of_max
+    FROM ef_r
+    GROUP BY shard_id
+) ef"""
+
+
+# --------------------------------------- sequence-length tradeoff curve
+
+SEQLEN_CANDIDATES = (64, 128, 256, 512)
+
+
+def seq_len_tradeoff(
+    docs: DataFrame, candidates: tuple[int, ...] = SEQLEN_CANDIDATES
+) -> DataFrame:
+    """The max_seq_len decision table: for each candidate length L,
+    what an example-per-sequence dataloader loses to TRUNCATION
+    (tokens beyond L) and to PADDING (slots below L) — the two-sided
+    waste curve a pipeline reads before fixing its context length
+    (packed loaders kill padding but truncation loss is layout-
+    independent, so the curve matters either way).
+
+    Per L: n_docs, total_tokens, kept = Σ min(n, L), trunc = Σ
+    max(n−L, 0), pad = Σ (L − min(n, L)), and exact utilization_ppm =
+    10⁶·kept ÷ (n_docs·L). One corpus scan into per-doc lengths, a
+    |candidates|-way explode of that LENGTH table (rows = docs ×
+    |L| — lengths only, never text), one map-side-combined aggregate
+    to |candidates| rows."""
+    lens = docs.select(token_count(F.col("text")).alias("n"))
+    cand = F.explode(
+        F.array(*[F.lit(int(c)) for c in candidates])
+    ).alias("seq_len")
+    per = lens.select("n", cand)
+    kept = F.least(F.col("n"), F.col("seq_len"))
+    return (
+        per.groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(kept).alias("kept_tokens"),
+            F.sum(F.greatest(F.col("n") - F.col("seq_len"), F.lit(0))).alias(
+                "trunc_tokens"
+            ),
+            F.sum(F.col("seq_len") - kept).alias("pad_tokens"),
+        )
+        .select(
+            F.col("seq_len").cast("long").alias("seq_len"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("kept_tokens").cast("long").alias("kept_tokens"),
+            F.col("trunc_tokens").cast("long").alias("trunc_tokens"),
+            F.col("pad_tokens").cast("long").alias("pad_tokens"),
+            F.expr(
+                "div(1000000 * kept_tokens, n_docs * seq_len)"
+            ).alias("utilization_ppm"),
+        )
+    )
+
+
+def seq_len_tradeoff_sql(
+    source: str = "documents",
+    candidates: tuple[int, ...] = SEQLEN_CANDIDATES,
+) -> str:
+    cands = ", ".join(str(c) for c in candidates)
+    return f"""(
+    WITH sl_len AS (
+        SELECT len(regexp_split_to_array(lower(text), '\\s+')) AS n
+        FROM {source}
+    ),
+    sl_x AS (
+        SELECT n, unnest([{cands}]) AS seq_len FROM sl_len
+    )
+    SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS total_tokens,
+        CAST(SUM(LEAST(n, seq_len)) AS BIGINT) AS kept_tokens,
+        CAST(SUM(GREATEST(n - seq_len, 0)) AS BIGINT) AS trunc_tokens,
+        CAST(SUM(seq_len - LEAST(n, seq_len)) AS BIGINT) AS pad_tokens,
+        (1000000 * SUM(LEAST(n, seq_len)))
+            // (COUNT(*) * seq_len) AS utilization_ppm
+    FROM sl_x
+    GROUP BY seq_len
+) sl"""

@@ -746,6 +746,37 @@ def pooled_index(
     return hit
 
 
+def cached_maxsim_truth(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens_per_doc: int = MAXSIM_TOKENS_PER_DOC,
+    query_mod: int = MAXSIM_QUERY_MOD,
+    k: int = MAXSIM_K,
+) -> DataFrame:
+    """Session-cached exhaustive-MaxSim top-k pair table — the
+    late-interaction analog of similarity.ground_truth_topk (build the
+    exact ground truth once per (session, sf_dir), serve every recall
+    eval from it). Deterministic exact-integer reduction, so cold and
+    warm agree and the from-scratch DuckDB oracle still hash-matches;
+    the exhaustive BUILD stays bench-measured via colbert_maxsim_topk,
+    which bypasses this cache."""
+    import os as _os
+
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_maxsim_truth")
+    key = (_os.path.abspath(sf_dir), tokens_per_doc, query_mod, k)
+    hit = cache.get(key)
+    if hit is None:
+        hit = (
+            maxsim_topk(spark, sf_dir, tokens_per_doc, query_mod, k)
+            .select("query_doc", "neighbor_doc")
+            .localCheckpoint(eager=True)
+        )
+        cache[key] = hit
+    return hit
+
+
 def maxsim_pooled_rerank(
     spark: SparkSession,
     sf_dir: str,

@@ -225,3 +225,59 @@ EXTENSIONS_R9["stratified_allocation_hamilton"] = QuerySpec(
     _hamilton,
     sql_select(HAMILTON_SPEC, mx.stratified_allocation_hamilton_sql("documents")),
 )
+
+
+# ------------------------------------ epoch shuffle / seq-len audits
+
+FOOTRULE_SPEC: ColSpec = [
+    ("shard_id", "long"),
+    ("n_docs", "long"),
+    ("footrule_sum", "long"),
+    ("footrule_permille_of_max", "long"),
+]
+
+
+def _footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as pk
+
+    return shape(
+        pk.epoch_shuffle_footrule(load_table(spark, sf_dir, "documents")),
+        FOOTRULE_SPEC,
+    )
+
+
+def _footrule_oracle() -> str:
+    from ..operators import packing as pk
+
+    return sql_select(FOOTRULE_SPEC, pk.epoch_shuffle_footrule_sql("documents"))
+
+
+EXTENSIONS_R9["epoch_shuffle_footrule"] = QuerySpec(_footrule, _footrule_oracle())
+
+
+SEQLEN_SPEC: ColSpec = [
+    ("seq_len", "long"),
+    ("n_docs", "long"),
+    ("total_tokens", "long"),
+    ("kept_tokens", "long"),
+    ("trunc_tokens", "long"),
+    ("pad_tokens", "long"),
+    ("utilization_ppm", "long"),
+]
+
+
+def _seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as pk
+
+    return shape(
+        pk.seq_len_tradeoff(load_table(spark, sf_dir, "documents")), SEQLEN_SPEC
+    )
+
+
+def _seq_len_oracle() -> str:
+    from ..operators import packing as pk
+
+    return sql_select(SEQLEN_SPEC, pk.seq_len_tradeoff_sql("documents"))
+
+
+EXTENSIONS_R9["seq_len_tradeoff_curve"] = QuerySpec(_seq_len, _seq_len_oracle())

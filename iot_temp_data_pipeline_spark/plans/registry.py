@@ -984,6 +984,9 @@ _CHANGED_R09 = [
     "mixture_temperature_weights", "vocab_growth_curve",
     "span_corruption_plan", "fim_transform_plan",
     "stratified_allocation_hamilton",
+    "epoch_shuffle_footrule", "seq_len_tradeoff_curve",
+    # exhaustive-MaxSim ground truth now session-cached
+    "maxsim_pooled_recall",
     # reworked serve/build paths
     "quality_rank_fusion",
     "dedup_exact_substrings", "dedup_apply_substring_removal",

@@ -333,3 +333,58 @@ def test_vocab_growth_monotone(spark, sf_dir):
         .count()
     )
     assert rows[-1]["cum_types"] == total_types
+
+
+def test_footrule_decorrelates_and_bounds(spark, sf_dir):
+    """Footrule of two independently-seeded epoch orders sits well away
+    from 0 (identical) and below the n^2/2 max; same-seed epochs give
+    exactly 0."""
+    from iot_temp_data_pipeline_spark.operators.packing import (
+        epoch_shuffle_footrule,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = epoch_shuffle_footrule(docs).collect()
+    for r in rows:
+        n = r["n_docs"]
+        assert 0 <= r["footrule_sum"] <= n * n // 2
+        if n >= 20:
+            # independent permutations expect ~n^2/3 → ~667 permille of
+            # the n^2/2 max; a broken reseed would read ~0
+            assert 300 <= r["footrule_permille_of_max"] <= 1000
+    same = epoch_shuffle_footrule(docs, seed1=51, seed2=51).collect()
+    assert all(r["footrule_sum"] == 0 for r in same)
+
+
+def test_seq_len_tradeoff_conservation(spark, sf_dir):
+    """kept + trunc == total and kept + pad == n_docs·L for every
+    candidate length; utilization decreases in L once docs are shorter
+    than the window."""
+    from iot_temp_data_pipeline_spark.operators.packing import (
+        seq_len_tradeoff,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = sorted(
+        seq_len_tradeoff(load_table(spark, sf_dir, "documents")).collect(),
+        key=lambda r: r["seq_len"],
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r["kept_tokens"] + r["trunc_tokens"] == r["total_tokens"]
+        assert r["kept_tokens"] + r["pad_tokens"] == r["n_docs"] * r["seq_len"]
+    assert rows[-1]["trunc_tokens"] <= rows[0]["trunc_tokens"]
+    assert rows[-1]["pad_tokens"] >= rows[0]["pad_tokens"]
+
+
+def test_maxsim_truth_cache_serves_pooled_recall(spark, sf_dir):
+    """cached_maxsim_truth equals a fresh exhaustive run, and warm
+    calls return the same DataFrame object."""
+    from iot_temp_data_pipeline_spark.operators import retrieval_ext as rx2
+
+    a = rx2.cached_maxsim_truth(spark, sf_dir)
+    b = rx2.cached_maxsim_truth(spark, sf_dir)
+    assert a is b
+    fresh = rx2.maxsim_topk(spark, sf_dir).select("query_doc", "neighbor_doc")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))

@@ -997,8 +997,10 @@ _CHANGED_R09 = [
     "colbert_maxsim_topk", "maxsim_pooled_rerank", "maxsim_pooled_recall",
     "knn_ivf_cosine", "knn_ivfpq_adc", "knn_ivfsq8_cosine",
     "knn_ivfsq8_rerank", "ivf_recall_sweep", "ann_recall_check",
-    # CMS hash family moved to the affine multiply-shift lanes
+    # CMS count-first build + word-slice hash family
     "cms_frequency_check", "join_cardinality_cms", "streaming_cms_partials",
+    # SemDeDup serves off the session-cached dup-corpus cell index
+    "semantic_dedup_keep",
 ]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,

@@ -991,16 +991,23 @@ _CHANGED_R09 = [
     "quality_rank_fusion",
     "dedup_exact_substrings", "dedup_apply_substring_removal",
     "tpch_q21_suppliers_who_kept_waiting",
-    # oracle-tokenizer alignment (ADVICE r9 #1)
+    # oracle-tokenizer alignment (ADVICE r8 #1)
     "pmi_collocations",
-    # maxsim strategy validation + IVF centroid guard consumers
-    "colbert_maxsim_topk", "maxsim_pooled_rerank", "maxsim_pooled_recall",
-    "knn_ivf_cosine", "knn_ivfpq_adc", "knn_ivfsq8_cosine",
-    "knn_ivfsq8_rerank", "ivf_recall_sweep", "ann_recall_check",
-    # CMS count-first build + word-slice hash family
+    # exhaustive-MaxSim ground truth now session-cached
+    "maxsim_pooled_recall",
+    # CMS count-first build + word-slice hash family (sketch VALUES
+    # changed — fresh driver rows required)
     "cms_frequency_check", "join_cardinality_cms", "streaming_cms_partials",
     # SemDeDup serves off the session-cached dup-corpus cell index
     "semantic_dedup_keep",
+    # NOT fronted: the maxsim strategy-validation and IVF
+    # zero-norm-centroid guards (ADVICE r8 #2/#3) touch only error
+    # paths — outputs are bit-identical (pytest-pinned), so their nine
+    # consumer queries stay in the freshness rotation instead of
+    # crowding out genuinely stale rows. With 236 queries and a
+    # ~50-row driver sample, the freshness cycle is
+    # ⌈236 / (50 − new − changed)⌉ rounds; keeping changed ≤ ~10 holds
+    # it near five.
 ]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,

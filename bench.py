@@ -173,6 +173,7 @@ HEADLINE_EXTRA = [
     "stratified_allocation_hamilton",
     "epoch_shuffle_footrule",
     "seq_len_tradeoff_curve",
+    "winnowing_detector_quality",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -240,9 +241,11 @@ CACHE_CONSUMING = sorted(
         # the span-detection build measured)
         "dedup_exact_substrings",
         "dedup_repeated_spans",
-        # r9: consumes the session-cached winnowing fingerprint table
-        # (doc_fingerprints_winnowing keeps the build measured)
+        # r9: consume the session-cached winnowing fingerprint table /
+        # near-dup pair table (doc_fingerprints_winnowing and
+        # dedup_ngram_jaccard keep the builds measured)
         "dedup_winnowing_overlap",
+        "winnowing_detector_quality",
         # r9: consumes the session-cached exhaustive-MaxSim ground truth
         # (colbert_maxsim_topk keeps the exhaustive build measured)
         "maxsim_pooled_recall",

@@ -281,3 +281,105 @@ def _seq_len_oracle() -> str:
 
 
 EXTENSIONS_R9["seq_len_tradeoff_curve"] = QuerySpec(_seq_len, _seq_len_oracle())
+
+
+# ------------------------------- winnowing detector quality (vs exact)
+
+WDQ_SPEC: ColSpec = [
+    ("n_exact", "long"),
+    ("n_detected", "long"),
+    ("true_positives", "long"),
+    ("precision", "f4"),
+    ("recall", "f4"),
+]
+
+
+def _winnowing_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MOSS shared-fingerprint detector against
+    the exact n-gram-Jaccard pair table — the minhash_lsh_quality twin
+    for the positional-fingerprint family: how well does the cheap
+    locality sketch recover the exact near-dup pairs? One full-outer
+    join of two small pair sets; both heavy inputs are session-cached
+    artifacts (cached_jaccard_pairs / cached_winnowing_fps), their
+    builds measured by their own registry rows."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as dd
+
+    exact = (
+        dd.cached_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_exact", F.lit(1))
+    )
+    detected = (
+        ta.winnowing_overlap_pairs(
+            dd.dedup_corpus(spark, sf_dir),
+            fp=ta.cached_winnowing_fps(spark, sf_dir),
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("in_det", F.lit(1))
+    )
+    joined = exact.join(detected, ["doc_a", "doc_b"], "full_outer")
+    out = joined.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("in_det"), F.lit(0)).alias("n_detected"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNotNull() & F.col("in_det").isNotNull(),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("true_positives"),
+    ).select(
+        "n_exact",
+        "n_detected",
+        "true_positives",
+        (
+            F.col("true_positives").cast("double")
+            / F.nullif(F.col("n_detected").cast("double"), F.lit(0.0))
+        ).alias("precision"),
+        (
+            F.col("true_positives").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    )
+    return shape(out, WDQ_SPEC)
+
+
+def _winnowing_quality_oracle() -> str:
+    from ..operators import dedup as dd
+
+    return (
+        "WITH "
+        + dd.CORPUS_SQL.strip()
+        + ",\n"
+        + dd.SHINGLES_SQL.strip()
+        + sql_select(
+            WDQ_SPEC,
+            f"""(
+    WITH wq_exact AS (SELECT doc_a, doc_b FROM {dd.NGRAM_JACCARD_SQL}),
+    wq_det AS (
+        SELECT doc_a, doc_b FROM {ta.winnowing_overlap_pairs_sql("corpus")}
+    ),
+    wq_tp AS (
+        SELECT COUNT(*) AS tp FROM wq_exact e
+        JOIN wq_det d ON e.doc_a = d.doc_a AND e.doc_b = d.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM wq_exact) AS n_exact,
+        (SELECT COUNT(*) FROM wq_det) AS n_detected,
+        tp AS true_positives,
+        CAST(tp AS DOUBLE)
+            / NULLIF((SELECT COUNT(*) FROM wq_det), 0) AS precision,
+        CAST(tp AS DOUBLE)
+            / NULLIF((SELECT COUNT(*) FROM wq_exact), 0) AS recall
+    FROM wq_tp
+) wq""",
+        )
+    )
+
+
+EXTENSIONS_R9["winnowing_detector_quality"] = QuerySpec(
+    _winnowing_quality, _winnowing_quality_oracle()
+)

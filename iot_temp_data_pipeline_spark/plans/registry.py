@@ -985,6 +985,7 @@ _CHANGED_R09 = [
     "span_corruption_plan", "fim_transform_plan",
     "stratified_allocation_hamilton",
     "epoch_shuffle_footrule", "seq_len_tradeoff_curve",
+    "winnowing_detector_quality",
     # exhaustive-MaxSim ground truth now session-cached
     "maxsim_pooled_recall",
     # reworked serve/build paths

@@ -708,9 +708,9 @@ def epoch_shuffle_footrule(
 
     Shard assignment is content-stable (seed-0 hash) so both epochs
     rank the SAME doc set per shard; each epoch's order is its own
-    seeded hash. Output per shard: n_docs, footrule_sum, the exact
-    normalized permille vs the ⌊n²/2⌋ maximum, and the ⌊2n²/6⌋-scaled
-    expectation marker both engines compute identically.
+    seeded hash. Output per shard: n_docs, footrule_sum, and the exact
+    normalized permille vs the ⌊n²/2⌋ maximum (independent
+    permutations expect footrule ≈ n²/3 → ~667‰ of that maximum).
 
     Plan: one scan → ONE shard exchange carrying two windows over the
     same partitioning (two sorts, one shuffle) → per-shard aggregate

@@ -388,15 +388,12 @@ def matryoshka_recall(
             bc = spark.sparkContext.broadcast((qfull, qsqrt_by_dim, qids, dims))
         else:
             bc = None
-        # pair key packs (query_id, neighbor_id) into one long; vec_ids
-        # are raw row ordinals, far below 2^31
-        bf_keys = sorted(
-            (int(r["query_id"]) << 32) | int(r["neighbor_id"]) for r in bf_rows
-        )
+        # the ground-truth pair table itself is the membership side —
+        # it is already session-cached/checkpointed by ground_truth_topk
         n_q = len({r["query_id"] for r in bf_rows})
-        art = (bc, bf_keys, n_q)
+        art = (bc, n_q)
         cache[key] = art
-    bc, bf_keys, n_q = art
+    bc, n_q = art
     if bc is None:
         return spark.createDataFrame(
             [], schema="prefix_dim long, n_queries long, mean_recall_at_k double"
@@ -409,19 +406,24 @@ def matryoshka_recall(
     par = spark.sparkContext.defaultParallelism
     emb = emb.coalesce(max(1, min(par, _n // 1000)))
     approx = _matryoshka_topk(emb, bc, k)
-    # recall vs ground truth WITHOUT a join: both sides hold exactly k
-    # rows per (dim, query) by construction, so aggregating the
-    # membership flag over the approx side is identical to the oracle's
-    # bf-side LEFT JOIN count — and every dim keeps its row even at
-    # zero hits because the aggregate is conditional, not a filter.
-    hit = F.array_contains(
-        F.lit(bf_keys),
-        (F.shiftleft(F.col("query_id"), 32) + F.col("neighbor_id")).cast("long"),
+    # recall via a BROADCAST join against the cached ground-truth pair
+    # table, aggregated CONDITIONALLY over the approx side: both sides
+    # hold exactly k rows per (dim, query) by construction, so the
+    # approx-side sum of join hits equals the oracle's bf-side LEFT
+    # JOIN count, and every dim keeps its row even at zero hits. (A
+    # Q·k literal-array membership test was reviewed out here: the
+    # pair set is corpus-scaled — Q = N/query_mod — unlike the
+    # bounded-bin map literals this serve path's precedent uses, so a
+    # literal would embed a growing array in the plan and pay O(Q·k)
+    # per row; the broadcast hash probe is O(1).)
+    bf = ground_truth_topk(spark, sf_dir, query_mod, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
-        approx.groupBy("prefix_dim")
+        approx.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left")
+        .groupBy("prefix_dim")
         .agg(
-            F.sum(hit.cast("long")).alias("hits"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
             F.count("*").alias("cnt"),
         )
         .select(

@@ -454,6 +454,18 @@ def ivf_cell_assignments(
         F.col("qvec").alias("c_qvec"),
         F.col("qnorm2").alias("c_qnorm2"),
     )
+    # Same degenerate-centroid guard as the matmul assigner (review r9):
+    # a zero-norm centroid makes every cosine NaN, and max_by's struct
+    # ordering treats NaN as greatest — every vector would silently
+    # land in the degenerate cell. The two physical strategies must
+    # fail identically, not diverge by corpus size. This path is the
+    # small-N strategy by construction, so the probe scan is tiny.
+    bad = cent.filter(F.col("c_qnorm2") == 0).select("cell_id").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"zero-norm centroid(s) at cell_id(s) {[r['cell_id'] for r in bad]}:"
+            " cosine cell assignment requires non-degenerate centroids"
+        )
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",

@@ -199,28 +199,7 @@ def cms_token_frequencies(
     hash work |corpus|·depth vs |vocab|; identical sketch by
     construction."""
     items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
-    counts = items.groupBy("item").agg(F.count("*").alias("icnt"))
-    cells = (
-        _cms_position_rows(counts, width, depth)
-        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .agg(F.sum("icnt").alias("cnt"))
-    )
-    exact_top = (
-        counts.withColumnRenamed("icnt", "true_count")
-        .orderBy(F.col("true_count").desc(), "item")
-        .limit(topn)
-    )
-    probes = _cms_position_rows(exact_top, width, depth).select(
-        "item",
-        "true_count",
-        F.col("c.row").alias("row"),
-        F.col("c.col").alias("col"),
-    )
-    return (
-        probes.join(F.broadcast(cells), ["row", "col"])
-        .groupBy("item", "true_count")
-        .agg(F.min("cnt").alias("cms_estimate"))
-    )
+    return cms_estimates(items, cms_cells(items, width, depth), width, depth, topn)
 
 
 def _cms_position_rows(df, width: int, depth: int):

@@ -475,7 +475,7 @@ def cached_winnowing_fps(spark, sf_dir: str, w: int = WINNOW_W) -> DataFrame:
 
 
 def winnowing_overlap_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     w: int = WINNOW_W,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     min_shared: int = WINNOW_MIN_SHARED,
@@ -500,6 +500,8 @@ def winnowing_overlap_pairs(
     the quality_rank_fusion bin-table precedent. The materialization
     is density-bounded at ~2/(w+1) of token positions, never corpus²."""
     if fp is None:
+        if docs is None:
+            raise ValueError("winnowing_overlap_pairs needs docs or fp")
         fp = (
             winnowing_fingerprints(docs, w)
             .select("doc_id", "fp_hash")

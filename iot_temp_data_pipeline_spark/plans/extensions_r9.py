@@ -62,17 +62,11 @@ WINNOW_PAIRS_SPEC: ColSpec = [
 
 
 def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # over the duplicate-injected dedup corpus, so the report actually
-    # has overlapping pairs to find (same input as the Jaccard family);
-    # serves from the session-cached fingerprint table — the build
-    # stays measured via doc_fingerprints_winnowing above
-    from ..operators.dedup import dedup_corpus
-
+    # serves entirely from the session-cached fingerprint table of the
+    # duplicate-injected corpus — the build stays measured via
+    # doc_fingerprints_winnowing above
     return shape(
-        ta.winnowing_overlap_pairs(
-            dedup_corpus(spark, sf_dir),
-            fp=ta.cached_winnowing_fps(spark, sf_dir),
-        ),
+        ta.winnowing_overlap_pairs(fp=ta.cached_winnowing_fps(spark, sf_dir)),
         WINNOW_PAIRS_SPEC,
     )
 
@@ -312,10 +306,7 @@ def _winnowing_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_exact", F.lit(1))
     )
     detected = (
-        ta.winnowing_overlap_pairs(
-            dd.dedup_corpus(spark, sf_dir),
-            fp=ta.cached_winnowing_fps(spark, sf_dir),
-        )
+        ta.winnowing_overlap_pairs(fp=ta.cached_winnowing_fps(spark, sf_dir))
         .select("doc_a", "doc_b")
         .withColumn("in_det", F.lit(1))
     )

@@ -994,8 +994,6 @@ _CHANGED_R09 = [
     "tpch_q21_suppliers_who_kept_waiting",
     # oracle-tokenizer alignment (ADVICE r8 #1)
     "pmi_collocations",
-    # exhaustive-MaxSim ground truth now session-cached
-    "maxsim_pooled_recall",
     # CMS count-first build + word-slice hash family (sketch VALUES
     # changed — fresh driver rows required)
     "cms_frequency_check", "join_cardinality_cms", "streaming_cms_partials",

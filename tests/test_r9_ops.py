@@ -58,6 +58,15 @@ def test_ivf_matmul_rejects_zero_norm_centroids(spark, sf_dir):
     with pytest.raises(ValueError, match="zero-norm centroid"):
         # centroid_mod=1 makes every row (incl. the zero vector) a centroid
         ivf_cell_assignments_matmul(emb, centroid_mod=1)
+    # BOTH physical strategies must fail identically — the HOF path's
+    # max_by treats NaN cosines as greatest and would otherwise
+    # silently assign every vector to the degenerate cell (review r9)
+    from iot_temp_data_pipeline_spark.operators.similarity import (
+        ivf_cell_assignments,
+    )
+
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        ivf_cell_assignments(emb, centroid_mod=1)
 
 
 def test_substring_serve_matches_build(spark, sf_dir):

@@ -240,6 +240,7 @@ CACHE_CONSUMING = sorted(
         # tokenize+shingle build measured; dedup_repeated_spans keeps
         # the span-detection build measured)
         "dedup_exact_substrings",
+        "dedup_apply_substring_removal",
         "dedup_repeated_spans",
         # r9: consume the session-cached winnowing fingerprint table /
         # near-dup pair table (doc_fingerprints_winnowing and

@@ -217,9 +217,13 @@ def mixture_temperature_weights(docs: DataFrame) -> DataFrame:
             F.expr(f"div({PPM} * n_tokens, tot_tokens)").alias("share_ppm"),
             "weight",
             F.expr(f"div({PPM} * weight, tot_w)").alias("weight_ppm"),
+            # greatest(…, 1): a source holding under 1 ppm of corpus
+            # tokens floors share_ppm to 0 — guard the denominator in
+            # BOTH engines (ADVICE r9) so the long column never goes
+            # NULL; such a source reads as "boosted vs a 1 ppm share".
             F.expr(
                 f"div(1000 * div({PPM} * weight, tot_w),"
-                f" div({PPM} * n_tokens, tot_tokens))"
+                f" greatest(div({PPM} * n_tokens, tot_tokens), 1))"
             ).alias("boost_permille"),
         )
     )
@@ -246,7 +250,7 @@ def mixture_temperature_weights_sql(docs_table: str = "documents") -> str:
         weight,
         ({PPM} * weight) // tot_w AS weight_ppm,
         (1000 * (({PPM} * weight) // tot_w))
-            // (({PPM} * n_tokens) // tot_tokens) AS boost_permille
+            // GREATEST(({PPM} * n_tokens) // tot_tokens, 1) AS boost_permille
     FROM mtw_w CROSS JOIN mtw_tot
 ) s"""
 

@@ -743,7 +743,8 @@ def epoch_shuffle_footrule(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("footrule_sum").cast("long").alias("footrule_sum"),
             F.expr(
-                "div(2000 * footrule_sum, greatest(n_docs * n_docs, 1))"
+                "div(1000 * footrule_sum,"
+                " greatest(div(n_docs * n_docs, 2), 1))"
             ).alias("footrule_permille_of_max"),
         )
     )
@@ -773,8 +774,8 @@ def epoch_shuffle_footrule_sql(
     SELECT CAST(shard_id AS BIGINT) AS shard_id,
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(ABS(p1 - p2)) AS BIGINT) AS footrule_sum,
-        (2000 * SUM(ABS(p1 - p2)))
-            // GREATEST(COUNT(*) * COUNT(*), 1) AS footrule_permille_of_max
+        (1000 * SUM(ABS(p1 - p2)))
+            // GREATEST((COUNT(*) * COUNT(*)) // 2, 1) AS footrule_permille_of_max
     FROM ef_r
     GROUP BY shard_id
 ) ef"""

@@ -213,7 +213,17 @@ def _cms_position_rows(df, width: int, depth: int):
     — the earlier seed-per-row family paid depth full digests (no CSE
     reaches inside a generator input), ~depth× the hash cost of this
     form on the build pass where md5 dominates."""
-    assert depth <= 4, "word-slice family yields 4 lanes per digest"
+    # Explicit raise, not assert (ADVICE r9): under python -O an assert
+    # is stripped, and depth=5 would substring past the 32-char md5
+    # (NULL lanes) while the DuckDB twin's portable_hash32_family_sql
+    # correctly rolls to a second digest — a silent cross-engine
+    # divergence. Fail loudly in every interpreter mode instead.
+    if depth > 4:
+        raise ValueError(
+            f"word-slice hash family yields 4 lanes per md5 digest; "
+            f"depth={depth} > 4 would read past the digest (extend to "
+            "multi-digest groups to go deeper)"
+        )
     lanes = F.array(
         *[
             F.struct(

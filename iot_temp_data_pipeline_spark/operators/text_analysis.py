@@ -385,9 +385,23 @@ def winnowing_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
     doc_id window (and distinct reuses its partitioning). Docs with
     fewer than w hash positions emit nothing (full windows only) —
     sub-window docs are below the guarantee threshold by definition."""
-    key = (
+    # Key packing is only injective while pos < 2^30 (module constant
+    # note above); beyond that the (2^30−1−pos) term goes negative and
+    # silently corrupts both fields AND the rightmost-min tie rule. Fail
+    # loudly instead (ADVICE r9 — the ivf_cell_assignments degenerate-
+    # input discipline): the guard lives INSIDE the key expression so
+    # column pruning can't drop it, and costs one codegen branch per row.
+    key = F.when(
+        F.col("pos") < _WINNOW_POS_MOD,
         F.col("h") * F.lit(_WINNOW_POS_MOD)
-        + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos"))
+        + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnowing key packing requires pos < 2^30 "
+                "(document has too many shingle positions)"
+            )
+        ).cast("long")
     )
     wwin = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)

@@ -165,6 +165,7 @@ HEADLINE_EXTRA = [
     # round-9 widening: winnowing/MOSS fingerprint family +
     # temperature-scaled mixture weights
     "doc_fingerprints_winnowing",
+    "dedup_winnowing_pair_index",
     "dedup_winnowing_overlap",
     "mixture_temperature_weights",
     "vocab_growth_curve",
@@ -242,9 +243,12 @@ CACHE_CONSUMING = sorted(
         "dedup_exact_substrings",
         "dedup_apply_substring_removal",
         "dedup_repeated_spans",
-        # r9: consume the session-cached winnowing fingerprint table /
-        # near-dup pair table (doc_fingerprints_winnowing and
-        # dedup_ngram_jaccard keep the builds measured)
+        # r9/r10: consume the session-cached winnowing fingerprint
+        # table / pair index / near-dup pair table
+        # (doc_fingerprints_winnowing measures the fingerprint build,
+        # dedup_winnowing_pair_index the pair-index build,
+        # dedup_ngram_jaccard the tokenize+shingle build)
+        "dedup_winnowing_pair_index",
         "dedup_winnowing_overlap",
         "winnowing_detector_quality",
         # r9: consumes the session-cached exhaustive-MaxSim ground truth

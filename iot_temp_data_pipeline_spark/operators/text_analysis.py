@@ -379,48 +379,71 @@ def winnowing_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
     and density is ~2/(w+1) — positional, unlike the bottom-k sketch
     (which keeps globally-smallest hashes and loses locality).
 
-    Plan shape: posexplode → one integer key projection → ONE window
-    min over (doc_id ORDER BY pos ROWS w−1 PRECEDING) → distinct.
-    Everything stays in whole-stage codegen; the only exchange is the
-    doc_id window (and distinct reuses its partitioning). Docs with
-    fewer than w hash positions emit nothing (full windows only) —
-    sub-window docs are below the guarantee threshold by definition."""
+    Plan shape (r10): the sliding min is computed INSIDE the token
+    array per document — transform over positions with an array_min
+    over each w-slice of a pre-bound key array — so the whole build is
+    a ZERO-exchange projection chain (scan → explode of the per-doc
+    distinct selections). Winnowing is doc-local by definition: the
+    earlier posexplode → hash-partition-by-doc_id → window-min form
+    paid a corpus-sized shuffle AND an in-partition sort purely to
+    regroup rows the source row already held together. The per-doc
+    distinct is array_distinct (sel_key packs doc-local positions, so
+    distinctness never crosses documents). O(w) comparisons per
+    position replace the window's O(log n) sort share — w is 4, and
+    sliding-window extrema never reach Spark's window operator's
+    pathologies. Each select binds its array as a real column so the
+    next lambda references a bound value (the shingles_of_tokens PERF
+    note: expression arguments re-evaluate per lambda element).
+
+    Docs with fewer than w hash positions emit nothing (full windows
+    only) — sub-window docs are below the guarantee threshold by
+    definition."""
+    m = _WINNOW_POS_MOD
     # Key packing is only injective while pos < 2^30 (module constant
     # note above); beyond that the (2^30−1−pos) term goes negative and
     # silently corrupts both fields AND the rightmost-min tie rule. Fail
     # loudly instead (ADVICE r9 — the ivf_cell_assignments degenerate-
-    # input discipline): the guard lives INSIDE the key expression so
-    # column pruning can't drop it, and costs one codegen branch per row.
-    key = F.when(
-        F.col("pos") < _WINNOW_POS_MOD,
-        F.col("h") * F.lit(_WINNOW_POS_MOD)
-        + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos")),
+    # input discipline): the guard gates the key-array construction, so
+    # column pruning can't drop it, and costs one branch per DOCUMENT.
+    keys = F.when(
+        F.size(F.col("sh")) < m,
+        F.transform(
+            F.col("sh"),
+            lambda s, i: portable_hash32(s, seed=WINNOW_SEED) * m
+            + (F.lit(m - 1) - i),
+        ),
     ).otherwise(
         F.raise_error(
             F.lit(
                 "winnowing key packing requires pos < 2^30 "
                 "(document has too many shingle positions)"
             )
-        ).cast("long")
+        ).cast("array<bigint>")
     )
-    wwin = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    # 0-based window-end positions p ∈ [w−1, n−1] → 1-based slice start
+    # p−w+2, length w. sequence() counts DOWN for start > stop, so gate
+    # short docs to an empty array explicitly (the shingles_of_tokens
+    # guard).
+    sel = F.array_distinct(
+        F.transform(
+            F.when(
+                F.size(F.col("keys")) >= w,
+                F.sequence(F.lit(w - 1), F.size(F.col("keys")) - 1),
+            ).otherwise(F.array().cast("array<int>")),
+            # least() over w element_at's, not array_min(slice(...)):
+            # HOF lambdas run interpreted (no whole-stage codegen), so
+            # per-element allocations are the cost that matters — this
+            # form reads w scalars with zero per-window array copies.
+            lambda p: F.least(
+                *[F.element_at(F.col("keys"), p + 1 - j) for j in range(w)]
+            ),
+        )
     )
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-        .select(
-            "doc_id",
-            F.posexplode(shingles_of_tokens(F.col("tk"))).alias("pos", "shingle"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            portable_hash32(F.col("shingle"), seed=WINNOW_SEED).alias("h"),
-        )
-        .select("doc_id", "pos", F.min(key).over(wwin).alias("sel_key"))
-        .filter(F.col("pos") >= w - 1)
-        .select("doc_id", "sel_key")
-        .distinct()
+        .select("doc_id", shingles_of_tokens(F.col("tk")).alias("sh"))
+        .select("doc_id", keys.alias("keys"))
+        .select("doc_id", F.explode(sel).alias("sel_key"))
         .select(
             "doc_id",
             F.expr(f"sel_key div {_WINNOW_POS_MOD}").alias("fp_hash"),
@@ -488,12 +511,92 @@ def cached_winnowing_fps(spark, sf_dir: str, w: int = WINNOW_W) -> DataFrame:
     return hit
 
 
+def winnowing_pair_index(
+    fp: DataFrame,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """The MOSS pair index: (doc_a, doc_b, shared_fps) for document
+    pairs sharing ≥ ``min_shared`` winnowing fingerprints, built from a
+    (doc_id, fp_hash) fingerprint table.
+
+    Shape (the LSH band-bucket decomposition, minhash_lsh_pairs): ONE
+    groupBy(fp_hash) collects each fingerprint's sorted doc list; the
+    boilerplate prune is a size() ≤ ``max_fp_df`` filter on that same
+    aggregate (MOSS drops widely-shared fingerprints — and it bounds
+    in-bucket fan-out at C(max_fp_df, 2), never corpus²); in-bucket
+    i<j pairs are emitted array-side as ONE packed int64 per pair
+    (doc_a·2³¹ + doc_b — a single-long groupBy key shuffles and hashes
+    cheaper than a two-field struct), then one count aggregate. Two
+    exchanges total; the packing is guarded loudly (doc_id < 2³¹) like
+    the winnowing key packing above."""
+    _pk_mod = F.lit(1 << 31).cast("long")
+    packed = F.when(
+        F.element_at(F.col("ds"), -1) < _pk_mod,
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a, i: F.transform(
+                    F.slice(
+                        F.col("ds"),
+                        i + 2,
+                        F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                    ),
+                    lambda b: a * _pk_mod + b,
+                ),
+            )
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit("winnowing pair packing requires doc_id < 2^31")
+        ).cast("array<bigint>")
+    )
+    return (
+        fp.groupBy("fp_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_fp_df))
+        .select(F.explode(packed).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(
+            F.expr("pk div 2147483648").alias("doc_a"),
+            (F.col("pk") % _pk_mod).alias("doc_b"),
+            "shared_fps",
+        )
+    )
+
+
+def cached_winnowing_pairs(spark, sf_dir: str, w: int = WINNOW_W) -> DataFrame:
+    """Session-cached MOSS pair index over the dedup corpus — the
+    second artifact of the fingerprint family's build/serve split (the
+    cached_repeated_spans precedent): the pair-index BUILD stays
+    bench-measured via the dedup_winnowing_pair_index registry row,
+    which bypasses this cache; the overlap report and the detector
+    quality eval serve from it. Bounded by pairs sharing ≥ min_shared
+    fingerprints — report-sized, far below corpus²."""
+    import os as _os
+
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_winnow_pairs")
+    key = (_os.path.abspath(sf_dir), w)
+    hit = cache.get(key)
+    if hit is None:
+        hit = winnowing_pair_index(
+            cached_winnowing_fps(spark, sf_dir, w)
+        ).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
 def winnowing_overlap_pairs(
     docs: DataFrame | None = None,
     w: int = WINNOW_W,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     min_shared: int = WINNOW_MIN_SHARED,
     fp: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """MOSS-style overlap report: document pairs sharing ≥
     ``min_shared`` winnowing fingerprints, with per-side fingerprint
@@ -507,12 +610,12 @@ def winnowing_overlap_pairs(
     annotation rides the SAME hash-partition-by-fp_hash exchange the
     self-join needs (one exchange, the doc_shingles trick).
 
-    The distinct fingerprint set is localCheckpoint'ed (pass ``fp`` =
-    ``cached_winnowing_fps`` to reuse the session artifact): four
-    consumers read it (df prune, both self-join sides, per-doc counts)
-    and each would otherwise re-run the explode + window-min chain —
-    the quality_rank_fusion bin-table precedent. The materialization
-    is density-bounded at ~2/(w+1) of token positions, never corpus²."""
+    The fingerprint set and the pair index are both session artifacts
+    (pass ``fp`` = ``cached_winnowing_fps`` and ``pairs`` =
+    ``cached_winnowing_pairs`` to reuse them — the substring family's
+    build/serve split): the report itself is then two |docs|-sized
+    broadcast count-joins plus a projection. With only ``fp``, the pair
+    index is built inline via :func:`winnowing_pair_index`."""
     if fp is None:
         if docs is None:
             raise ValueError("winnowing_overlap_pairs needs docs or fp")
@@ -522,30 +625,13 @@ def winnowing_overlap_pairs(
             .distinct()
             .localCheckpoint()
         )
-    dfw = Window.partitionBy("fp_hash")
-    pruned = (
-        fp.withColumn("df", F.count("*").over(dfw))
-        .filter(F.col("df") <= max_fp_df)
-        .drop("df")
-    )
+    if pairs is None:
+        pairs = winnowing_pair_index(fp, max_fp_df, min_shared)
     counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a, b = pruned.alias("a"), pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= min_shared)
-    )
     ca, cb = counts.alias("ca"), counts.alias("cb")
     return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        pairs.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -557,6 +643,32 @@ def winnowing_overlap_pairs(
             ).alias("overlap_permille"),
         )
     )
+
+
+def winnowing_pair_index_sql(
+    source: str = "documents",
+    w: int = WINNOW_W,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
+    return f"""(
+    WITH wpi_fp AS (
+        SELECT DISTINCT doc_id, fp_hash
+        FROM {winnowing_fingerprints_sql(source, w)}
+    ),
+    wpi_df AS (
+        SELECT doc_id, fp_hash FROM (
+            SELECT doc_id, fp_hash,
+                COUNT(*) OVER (PARTITION BY fp_hash) AS df
+            FROM wpi_fp
+        ) x WHERE df <= {max_fp_df}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM wpi_df a JOIN wpi_df b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_shared}
+) s"""
 
 
 def winnowing_overlap_pairs_sql(

@@ -51,6 +51,38 @@ WINNOW_ORACLE = _winnow_fps_oracle()
 EXTENSIONS_R9["doc_fingerprints_winnowing"] = QuerySpec(_winnow_fps, WINNOW_ORACLE)
 
 
+WINNOW_INDEX_SPEC: ColSpec = [
+    ("doc_a", "long"),
+    ("doc_b", "long"),
+    ("shared_fps", "long"),
+]
+
+
+def _winnow_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS pair-index BUILD path (bucket → packed-pair explode →
+    count), over the session-cached fingerprint table — bypasses
+    cached_winnowing_pairs so the pair generation stays bench-measured
+    (the dedup_repeated_spans precedent: the upstream artifact is
+    cached, the detection pass is the row's own work)."""
+    return shape(
+        ta.winnowing_pair_index(ta.cached_winnowing_fps(spark, sf_dir)),
+        WINNOW_INDEX_SPEC,
+    )
+
+
+def _winnow_pair_index_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        WINNOW_INDEX_SPEC, ta.winnowing_pair_index_sql("corpus")
+    )
+
+
+EXTENSIONS_R9["dedup_winnowing_pair_index"] = QuerySpec(
+    _winnow_pair_index, _winnow_pair_index_oracle()
+)
+
+
 WINNOW_PAIRS_SPEC: ColSpec = [
     ("doc_a", "long"),
     ("doc_b", "long"),
@@ -62,11 +94,15 @@ WINNOW_PAIRS_SPEC: ColSpec = [
 
 
 def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # serves entirely from the session-cached fingerprint table of the
-    # duplicate-injected corpus — the build stays measured via
-    # doc_fingerprints_winnowing above
+    # the REPORT row: serves from both session artifacts (fingerprint
+    # table for per-doc counts, pair index for the shared counts) —
+    # two broadcast joins + a projection; the builds stay measured via
+    # doc_fingerprints_winnowing / dedup_winnowing_pair_index above
     return shape(
-        ta.winnowing_overlap_pairs(fp=ta.cached_winnowing_fps(spark, sf_dir)),
+        ta.winnowing_overlap_pairs(
+            fp=ta.cached_winnowing_fps(spark, sf_dir),
+            pairs=ta.cached_winnowing_pairs(spark, sf_dir),
+        ),
         WINNOW_PAIRS_SPEC,
     )
 
@@ -306,7 +342,7 @@ def _winnowing_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_exact", F.lit(1))
     )
     detected = (
-        ta.winnowing_overlap_pairs(fp=ta.cached_winnowing_fps(spark, sf_dir))
+        ta.cached_winnowing_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("in_det", F.lit(1))
     )

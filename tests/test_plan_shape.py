@@ -486,8 +486,10 @@ def test_example_transforms_are_pure_maps(spark, sf_dir):
         assert "Python" not in plan, name
 
 
-def test_winnowing_fingerprints_single_exchange(spark, sf_dir):
-    """Winnowing build: ONE doc_id exchange — the distinct reuses the
-    window's hash partitioning (subset-clustering satisfaction)."""
+def test_winnowing_fingerprints_zero_exchange(spark, sf_dir):
+    """Winnowing build (r10): the sliding min runs inside each doc's
+    token array, so the whole build is a shuffle-free projection chain
+    — no exchange, no window sort, no join."""
     plan = plan_of(REGISTRY["doc_fingerprints_winnowing"].spark(spark, sf_dir))
-    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert "Exchange" not in plan
+    assert "Window" not in plan

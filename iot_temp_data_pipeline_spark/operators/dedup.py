@@ -862,21 +862,43 @@ def _repeated_spans(base: DataFrame, window: int = SUBSTR_WINDOW) -> DataFrame:
     frame — persisted by callers that also need it for other passes.
     Shared by the span REPORT (exact_substring_spans) and the span
     REMOVAL application (apply_substring_removal)."""
+    # Fingerprint as a 60-bit BIGINT (first 15 hex chars of the seeded
+    # md5, r10) instead of a 16-char string: the gh exchange below
+    # shuffles every position row, so key width is the dominant byte
+    # term of the 100× probe — an 8-byte long vs a ~40-byte string
+    # roughly halves shuffled bytes and hashes/compares cheaper in the
+    # window. The DuckDB twin groups on the matching substr(md5, 1, 15)
+    # STRING — equality classes of the hex prefix and of its integer
+    # value are identical, and spans depend only on those classes, so
+    # cross-engine results are unchanged. 60 bits keeps false repeats
+    # ~n²/2^61 — negligible below ~10^9 positions (the 16-char note in
+    # exact_substring_spans, one hex digit narrower).
     wins = base.select(
         "doc_id",
         F.posexplode(shingles_of_tokens(F.col("tk"), window)).alias("pos", "gram"),
     ).select(
         "doc_id",
         "pos",
-        F.substring(F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 16)
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{SUBSTR_SEED}:"), F.col("gram"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
         .alias("gh"),
     )
     # Repeated-fingerprint filter as a COUNT WINDOW over the one
     # hash-partition-by-gh exchange (the doc_shingles single-exchange
     # trick) instead of groupBy + join back: the groupBy/join form
     # evaluates the tokenize→gram→md5 explode TWICE (once per join
-    # side) and pays a second shuffle — measured ~40% of this
-    # operator's wall clock at sf0.1.
+    # side) and pays a second pass — measured ~40% of this operator's
+    # wall clock at sf0.1. (A count-first + broadcast-semi variant was
+    # measured at the 100× probe and REGRESSED: the repeated set there
+    # is 4.6M fingerprints — duplication-bounded, not small — so the
+    # broadcast build dwarfed the exchange it saved. Window form keeps
+    # one corpus-sized exchange and zero assumptions on dup density.)
     hits = (
         wins.withColumn("cnt", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("cnt") >= 2)
@@ -920,9 +942,10 @@ def exact_substring_spans(
     uses rolling ``window``-token fingerprints at fixed granularity —
     every repeated substring of length >= window is caught (shorter
     repeats are below the removal threshold by construction, which the
-    paper sets to 50 BPE tokens). Fingerprints are 64-bit (the first 16
-    hex chars of a seeded md5), so false repeats from fingerprint
-    collisions are ~n²/2^65 — negligible below ~10^9 positions, and
+    paper sets to 50 BPE tokens). Fingerprints are 60-bit (the first 15
+    hex chars of a seeded md5, carried as one BIGINT — see the
+    _repeated_spans key-width note), so false repeats from fingerprint
+    collisions are ~n²/2^61 — negligible below ~10^9 positions, and
     bounded (not zero) beyond; a 32-bit lane would already produce
     hundreds of false spans at the 30x probe's position count. Shapes,
     in order:
@@ -1012,7 +1035,7 @@ def repeated_spans_sql(
     """DuckDB twin of :func:`_repeated_spans` — the raw merged-span
     table, the oracle of the ``dedup_repeated_spans`` build-path query
     (same CTE chain as the report/removal twins, cut at ss_spans)."""
-    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 15)"
     gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
     return f"""(
     WITH ss_wins AS (
@@ -1057,7 +1080,7 @@ def repeated_spans_sql(
 def exact_substring_spans_sql(
     source: str = "corpus", window: int = SUBSTR_WINDOW
 ) -> str:
-    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 15)"
     gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
     return f"""(
     WITH ss_wins AS (
@@ -1189,7 +1212,7 @@ def apply_substring_removal_sql(
     CTE chain (same fingerprints, same merge) and re-applies the same
     positional filter — DuckDB lambda indexes are 1-based, hence the
     ``i - 1``."""
-    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 16)"
+    h = f"substr(md5('{SUBSTR_SEED}:' || gram), 1, 15)"
     gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(window))
     return f"""(
     WITH ss_base AS (

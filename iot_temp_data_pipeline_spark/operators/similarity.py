@@ -1087,30 +1087,57 @@ def semantic_dedup(
     Serves off the session-cached cell assignment of the dup-injected
     embedding corpus (semdedup_cell_index — the coarse quantizer is
     built by the index's add() pass, not per dedup run; r9, replacing
-    a per-call assignment + private persist): the only per-call work
-    is the in-cell self-join and the keep aggregate/join. The
-    assignment BUILD stays bench-measured via dedup_embedding_cosine
-    (embedding_near_pairs), which assigns from scratch."""
+    a per-call assignment + private persist). The per-call work (r10)
+    is ONE Arrow kernel per cell: applyInPandas(groupBy cell_id)
+    computes the cell's pairwise cosines as a single exact-int64 GEMM
+    (the FAISS shape — `_exact_f64_matmul`, same IEEE operation order
+    as `qcosine`: (dot / √|a|²) / √|b|² with a the LOWER vec_id, rows
+    pre-sorted by id so the upper triangle IS the a<b orientation) and
+    aggregates the keep rule CELL-LOCALLY (duplicate edges never cross
+    cells, so min/count per column of the masked triangle is the full
+    answer). This replaces ~N^1.5 interpreted HOF dot-folds AND the
+    post-join groupBy exchange with one bounded matmul per cell —
+    cells are ~√N by the adaptive mod, so the per-task block is
+    √N×√N doubles, the same quadratic the join form fanned out as
+    rows. The assignment BUILD stays bench-measured via
+    dedup_embedding_cosine (embedding_near_pairs), which assigns from
+    scratch."""
     assigned = semdedup_cell_index(spark, sf_dir, centroid_mod)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dup_edges = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            qcosine(
-                F.col("a.qvec"), F.col("b.qvec"), F.col("a.qnorm2"), F.col("b.qnorm2")
+
+    def cell_edges(pdf):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        if ids.shape[0] < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "dup_of": [], "n_dup_neighbors": []},
+                dtype="int64",
             )
-            >= threshold
+        x = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["qvec"].iloc[order]]
         )
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(
-            F.min(F.col("a.vec_id")).alias("dup_of"),
-            F.count("*").alias("n_dup_neighbors"),
+        s = np.sqrt(
+            pdf["qnorm2"].to_numpy(dtype=np.int64)[order].astype(np.float64)
         )
+        cos = _exact_f64_matmul(x, x, np) / s[:, None] / s[None, :]
+        mask = (cos >= threshold) & np.tri(ids.shape[0], k=-1, dtype=bool).T
+        n = mask.sum(axis=0)
+        hit = n > 0
+        first = mask.argmax(axis=0)  # row index of the FIRST (lowest-id) True
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "dup_of": ids[first[hit]],
+                "n_dup_neighbors": n[hit].astype(np.int64),
+            }
+        )
+
+    dup_edges = assigned.select(
+        "cell_id", "vec_id", "qvec", "qnorm2"
+    ).groupBy("cell_id").applyInPandas(
+        cell_edges, schema="vec_id long, dup_of long, n_dup_neighbors long"
     )
     return assigned.join(dup_edges, "vec_id", "left").select(
         "vec_id",

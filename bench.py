@@ -175,6 +175,10 @@ HEADLINE_EXTRA = [
     "epoch_shuffle_footrule",
     "seq_len_tradeoff_curve",
     "winnowing_detector_quality",
+    # round-10 addition: the delta-crawl winnowing probe
+    # (streaming_winnowing_novelty, its streamed twin, follows the
+    # streamed-partials no-bench rule below)
+    "dedup_incremental_winnowing",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -251,6 +255,7 @@ CACHE_CONSUMING = sorted(
         "dedup_winnowing_pair_index",
         "dedup_winnowing_overlap",
         "winnowing_detector_quality",
+        "dedup_incremental_winnowing",
         # r9: consumes the session-cached exhaustive-MaxSim ground truth
         # (colbert_maxsim_topk keeps the exhaustive build measured)
         "maxsim_pooled_recall",

@@ -525,45 +525,34 @@ def winnowing_pair_index(
     boilerplate prune is a size() ≤ ``max_fp_df`` filter on that same
     aggregate (MOSS drops widely-shared fingerprints — and it bounds
     in-bucket fan-out at C(max_fp_df, 2), never corpus²); in-bucket
-    i<j pairs are emitted array-side as ONE packed int64 per pair
-    (doc_a·2³¹ + doc_b — a single-long groupBy key shuffles and hashes
-    cheaper than a two-field struct), then one count aggregate. Two
-    exchanges total; the packing is guarded loudly (doc_id < 2³¹) like
-    the winnowing key packing above."""
-    _pk_mod = F.lit(1 << 31).cast("long")
-    packed = F.when(
-        F.element_at(F.col("ds"), -1) < _pk_mod,
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a, i: F.transform(
-                    F.slice(
-                        F.col("ds"),
-                        i + 2,
-                        F.greatest(F.size("ds") - i - 1, F.lit(0)),
-                    ),
-                    lambda b: a * _pk_mod + b,
+    i<j pairs are emitted array-side as (doc_a, doc_b) structs, then
+    one count aggregate. Two exchanges total. (A packed-int64 pair key
+    measured ~0.07 s faster locally but requires doc_id < 2³¹ — the
+    100× probe's key-shifted ids already exceed that, so the struct
+    key is the scale-correct form.)"""
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ds"),
+                    i + 2,
+                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
                 ),
-            )
-        ),
-    ).otherwise(
-        F.raise_error(
-            F.lit("winnowing pair packing requires doc_id < 2^31")
-        ).cast("array<bigint>")
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
     )
     return (
         fp.groupBy("fp_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_fp_df))
-        .select(F.explode(packed).alias("pk"))
-        .groupBy("pk")
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
-        .select(
-            F.expr("pk div 2147483648").alias("doc_a"),
-            (F.col("pk") % _pk_mod).alias("doc_b"),
-            "shared_fps",
-        )
     )
 
 
@@ -668,6 +657,144 @@ def winnowing_pair_index_sql(
       ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= {min_shared}
+) s"""
+
+
+# Incremental (delta-crawl) winnowing: the split and verdict constants.
+WINNOW_INC_MOD = 3          # doc_id % 3 == 0 → this crawl's increment
+WINNOW_DUP_PERMILLE = 500   # ≥ half the smaller side's fps → duplicate
+
+
+def winnowing_incremental_overlap(
+    fp: DataFrame,
+    inc_mod: int = WINNOW_INC_MOD,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+    dup_permille: int = WINNOW_DUP_PERMILLE,
+) -> DataFrame:
+    """Delta-crawl winnowing overlap: probe THIS INCREMENT's documents
+    (doc_id % inc_mod == 0) against the FROZEN history fingerprint
+    index (every other doc) — the operator a crawl pipeline runs daily
+    instead of re-fingerprint-pairing the whole corpus
+    (the dedup_incremental_delta / streaming_novelty_curve precedent:
+    increment×history joins, never self-joins).
+
+    Per increment document (one row per doc holding ≥1 fingerprint):
+    n_fp, n_hist_matches (history docs sharing ≥ ``min_shared``
+    fingerprints), best_shared (the strongest match's shared count),
+    best_overlap_permille (max over matches of 1000·shared ÷
+    min(|inc|, |hist|), exact integer), and verdict ∈
+    {'dup', 'novel'} at the ``dup_permille`` cut.
+
+    Scale shape: history's fingerprint table is the frozen artifact
+    (cached_winnowing_fps here; a written index refreshed per snapshot
+    at 100 TB) with its boilerplate prune (df ≤ ``max_fp_df``) applied
+    INDEX-SIDE as a count window riding the same fp_hash exchange the
+    probe join needs; the increment side joins into that partitioning,
+    so per-crawl cost is increment-proportional fan-out over bounded
+    buckets — never |history|² and never a self-join."""
+    inc = fp.filter(F.col("doc_id") % inc_mod == 0)
+    hist = fp.filter(F.col("doc_id") % inc_mod != 0)
+    hist_pruned = (
+        hist.withColumn(
+            "df", F.count("*").over(Window.partitionBy("fp_hash"))
+        )
+        .filter(F.col("df") <= max_fp_df)
+        .select(F.col("doc_id").alias("hist_id"), "fp_hash")
+    )
+    inc_counts = inc.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    hist_counts = hist.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp_h")
+    ).withColumnRenamed("doc_id", "hist_id")
+    best = (
+        inc.join(hist_pruned, "fp_hash")
+        .groupBy("doc_id", "hist_id")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .join(F.broadcast(hist_counts), "hist_id")
+        .join(F.broadcast(inc_counts), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hist_matches"),
+            F.max("shared_fps").alias("best_shared"),
+            F.max(
+                F.expr("div(1000 * shared_fps, least(n_fp, n_fp_h))")
+            ).alias("best_overlap_permille"),
+        )
+    )
+    return (
+        inc_counts.join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
+            F.coalesce("best_shared", F.lit(0)).alias("best_shared"),
+            F.coalesce("best_overlap_permille", F.lit(0)).alias(
+                "best_overlap_permille"
+            ),
+            F.when(
+                F.coalesce("best_overlap_permille", F.lit(0)) >= dup_permille,
+                F.lit("dup"),
+            )
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+
+
+def winnowing_incremental_overlap_sql(
+    source: str = "documents",
+    w: int = WINNOW_W,
+    inc_mod: int = WINNOW_INC_MOD,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+    dup_permille: int = WINNOW_DUP_PERMILLE,
+) -> str:
+    return f"""(
+    WITH wi_fp AS (
+        SELECT DISTINCT doc_id, fp_hash
+        FROM {winnowing_fingerprints_sql(source, w)}
+    ),
+    wi_inc AS (SELECT * FROM wi_fp WHERE doc_id % {inc_mod} = 0),
+    wi_hist AS (SELECT * FROM wi_fp WHERE doc_id % {inc_mod} != 0),
+    wi_hist_pruned AS (
+        SELECT doc_id AS hist_id, fp_hash FROM (
+            SELECT doc_id, fp_hash,
+                COUNT(*) OVER (PARTITION BY fp_hash) AS df
+            FROM wi_hist
+        ) x WHERE df <= {max_fp_df}
+    ),
+    wi_inc_counts AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM wi_inc GROUP BY doc_id
+    ),
+    wi_hist_counts AS (
+        SELECT doc_id, COUNT(*) AS n_fp_h FROM wi_hist GROUP BY doc_id
+    ),
+    wi_matches AS (
+        SELECT i.doc_id, p.hist_id, COUNT(*) AS shared_fps
+        FROM wi_inc i JOIN wi_hist_pruned p ON i.fp_hash = p.fp_hash
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+    ),
+    wi_best AS (
+        SELECT m.doc_id,
+            COUNT(*) AS n_hist_matches,
+            MAX(m.shared_fps) AS best_shared,
+            MAX((1000 * m.shared_fps)
+                // LEAST(ic.n_fp, hc.n_fp_h)) AS best_overlap_permille
+        FROM wi_matches m
+        JOIN wi_inc_counts ic ON m.doc_id = ic.doc_id
+        JOIN wi_hist_counts hc ON m.hist_id = hc.doc_id
+        GROUP BY m.doc_id
+    )
+    SELECT ic.doc_id, ic.n_fp,
+        COALESCE(b.n_hist_matches, 0) AS n_hist_matches,
+        COALESCE(b.best_shared, 0) AS best_shared,
+        COALESCE(b.best_overlap_permille, 0) AS best_overlap_permille,
+        CASE WHEN COALESCE(b.best_overlap_permille, 0) >= {dup_permille}
+             THEN 'dup' ELSE 'novel' END AS verdict
+    FROM wi_inc_counts ic
+    LEFT JOIN wi_best b ON ic.doc_id = b.doc_id
 ) s"""
 
 

@@ -1,0 +1,49 @@
+"""Round-10 query specs: the incremental (delta-crawl) extension of the
+winnowing/MOSS fingerprint family — probe this crawl's increment against
+the frozen history fingerprint index (batch form here; the streamed twin
+lives in plans/streaming_specs.py). The operator a crawl pipeline runs
+daily, per VERDICT r9 #7."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text_analysis as ta
+from .registry import ColSpec, QuerySpec, shape, sql_select
+
+EXTENSIONS_R10: dict[str, QuerySpec] = {}
+
+
+WINNOW_INC_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("n_fp", "long"),
+    ("n_hist_matches", "long"),
+    ("best_shared", "long"),
+    ("best_overlap_permille", "long"),
+    ("verdict", ""),
+]
+
+
+def _winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serves from the session-cached fingerprint table of the
+    dup-injected corpus (the frozen-index lifecycle: at 100 TB the
+    history side is a written fingerprint index refreshed per snapshot,
+    and the increment's fingerprints are the crawl batch's own build —
+    measured here as the probe-join cost over the cached table)."""
+    return shape(
+        ta.winnowing_incremental_overlap(ta.cached_winnowing_fps(spark, sf_dir)),
+        WINNOW_INC_SPEC,
+    )
+
+
+def _winnow_incremental_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        WINNOW_INC_SPEC, ta.winnowing_incremental_overlap_sql("corpus")
+    )
+
+
+EXTENSIONS_R10["dedup_incremental_winnowing"] = QuerySpec(
+    _winnow_incremental, _winnow_incremental_oracle()
+)

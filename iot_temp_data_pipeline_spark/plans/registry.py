@@ -658,6 +658,7 @@ from .extensions import EXTENSIONS  # noqa: E402
 from .extensions_r7 import EXTENSIONS_R7  # noqa: E402
 from .extensions_r8 import EXTENSIONS_R8  # noqa: E402
 from .extensions_r9 import EXTENSIONS_R9  # noqa: E402
+from .extensions_r10 import EXTENSIONS_R10  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -676,6 +677,7 @@ REGISTRY.update(ANALYTICS)
 REGISTRY.update(EXTENSIONS_R7)
 REGISTRY.update(EXTENSIONS_R8)
 REGISTRY.update(EXTENSIONS_R9)
+REGISTRY.update(EXTENSIONS_R10)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 

@@ -1010,6 +1010,58 @@ _CHANGED_R09 = [
     # ⌈236 / (50 − new − changed)⌉ rounds; keeping changed ≤ ~10 holds
     # it near five.
 ]
+# Round-9 driver rows (CORRECTNESS_r09.json keys, frozen): every row
+# green — the r9 sample covered the 11 new queries plus the
+# changed-path consumers and a freshness slice.
+_DRIVER_VERIFIED_R09 = {
+    "analyze_table_stats", "approx_percentile_check", "cms_frequency_check",
+    "continuous_daily_rollup", "customer_order_windows", "dedup_apply_substring_removal",
+    "dedup_exact_substrings", "dedup_repeated_spans", "dedup_valid_readings",
+    "dedup_valid_readings_aggform", "dedup_winnowing_overlap", "doc_fingerprints_winnowing",
+    "dq_check_violations", "epoch_shuffle_footrule", "events_moving_avg_7d",
+    "events_resample_hourly_ffill", "fim_transform_plan", "funnel_ordered_stages",
+    "join_cardinality_cms", "kmeans_embedding_clusters", "maxsim_pooled_recall",
+    "mg_heavy_hitters_check", "mixture_temperature_weights", "multimodal_media_metadata",
+    "multimodal_resize_images", "nation_priority_unpivot", "pack_sequences_grid",
+    "part_setops", "pmi_collocations", "quality_rank_fusion",
+    "revenue_cube", "revenue_rollup", "scd2_user_history",
+    "semantic_dedup_keep", "seq_len_tradeoff_curve", "span_corruption_plan",
+    "staging_readings", "stratified_allocation_hamilton", "streaming_cms_partials",
+    "top_bigrams", "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q1_pricing_summary", "tpch_q21_suppliers_who_kept_waiting", "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue", "tpch_q6_forecast_revenue", "vocab_growth_curve",
+    "winnowing_detector_quality", "zorder_events_box",
+}
+# Round-10 changed/new set: queries whose OPERATOR code path changed
+# this round and therefore need a fresh driver row. The r10 rework
+# (VERDICT r9 asks + ADVICE r9): the zero-exchange array-native
+# winnowing fingerprint build, the winnowing pair-index build/serve
+# split (report + detector quality now serve from the cached pair
+# table), the SemDeDup per-cell Arrow-GEMM pairing kernel, the span
+# build's 60-bit long fingerprints (representation swap — span values
+# pinned identical, but kernel swaps get driver witness per VERDICT
+# r9 #5), the exact-⌊n²/2⌋ footrule normalization (VALUES change for
+# odd-n shards), and the boost_permille denominator guard. Plus
+# matryoshka_recall_sweep — its r9 fused-kernel rework was trimmed
+# from _CHANGED_R09 (VERDICT r9 #5 asks it fronted). Plus the three
+# new delta-crawl winnowing queries. Kept at 13 so the remaining ~37
+# driver slots burn down the 54 r4-and-older stale rows (VERDICT r9
+# #4) stalest-first.
+_CHANGED_R10 = [
+    # new this round (no driver row yet)
+    "dedup_winnowing_pair_index",
+    "dedup_incremental_winnowing",
+    "streaming_winnowing_novelty",
+    # kernel/serve-path swaps needing fresh driver witness
+    "doc_fingerprints_winnowing", "dedup_winnowing_overlap",
+    "winnowing_detector_quality",
+    "semantic_dedup_keep",
+    "dedup_repeated_spans", "dedup_exact_substrings",
+    "dedup_apply_substring_removal",
+    "matryoshka_recall_sweep",
+    # result-changing review fixes (ADVICE r9)
+    "epoch_shuffle_footrule", "mixture_temperature_weights",
+]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,
     _DRIVER_VERIFIED_R03,
@@ -1018,12 +1070,13 @@ _ROUND_SETS = [
     _DRIVER_VERIFIED_R06,
     _DRIVER_VERIFIED_R07,
     _DRIVER_VERIFIED_R08,
+    _DRIVER_VERIFIED_R09,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R09 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R10 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
 _rest_by_staleness = sorted(

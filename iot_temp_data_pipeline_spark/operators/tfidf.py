@@ -312,8 +312,18 @@ def bm25_topk(
         os.path.abspath(sf_dir),
         lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
     )
-    avg = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")
+    # avgdl is a TABLE STATISTIC of the postings index (Lucene stores
+    # it in segment metadata) — cache the 1-row frame alongside the
+    # index (r10) instead of re-running a postings-wide groupBy(doc_id)
+    # exchange on every serve call; bm25_topk and the hybrid fusion
+    # both pay it otherwise.
+    avg = _cached_index(
+        spark,
+        "_sg_bm25_avgdl",
+        os.path.abspath(sf_dir),
+        lambda: postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")),
     )
     qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")

@@ -1061,6 +1061,10 @@ _CHANGED_R10 = [
     "matryoshka_recall_sweep",
     # result-changing review fixes (ADVICE r9)
     "epoch_shuffle_footrule", "mixture_temperature_weights",
+    # avgdl now cached with the BM25 index (serve-path change — the
+    # maxsim_pooled_recall r9 precedent: cached artifacts get a fresh
+    # driver row)
+    "bm25_topk", "hybrid_rrf_retrieval",
 ]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,

@@ -175,10 +175,12 @@ HEADLINE_EXTRA = [
     "epoch_shuffle_footrule",
     "seq_len_tradeoff_curve",
     "winnowing_detector_quality",
-    # round-10 addition: the delta-crawl winnowing probe
+    # round-10 additions: the delta-crawl winnowing probe
     # (streaming_winnowing_novelty, its streamed twin, follows the
-    # streamed-partials no-bench rule below)
+    # streamed-partials no-bench rule below) and the per-doc
+    # bigram-LM surprisal gate
     "dedup_incremental_winnowing",
+    "quality_bigram_surprisal",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the

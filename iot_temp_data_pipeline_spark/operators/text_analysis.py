@@ -1049,6 +1049,102 @@ def unigram_surprisal_sql(source: str = "documents") -> str:
 ) us"""
 
 
+def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-DOCUMENT bigram-LM quality score — the CCNet-style
+    perplexity gate (Wenzek et al. 2020 filter corpora by per-doc LM
+    perplexity; the per-lang unigram_surprisal above is the corpus
+    diagnostic, this is the per-doc FILTER signal): each bigram's
+    conditional surprisal under the corpus's own bigram model, in
+    floor-log2 bits — bitlen(c(w1·)) − bitlen(c(w1 w2)), both exact
+    via binary bit length (the libm-free discipline; c(w1·) counts w1
+    as a bigram CONTEXT, so p = c2/c1 ≤ 1 and bits ≥ 0). High mean =
+    incoherent token soup; low = repetitive boilerplate.
+
+    Plan shape: doc bigrams aggregate ONCE by (doc_id, bigram) with
+    map-side combine; the bigram model (c2) and the context counts
+    (c1) re-aggregate FROM that table (vocab²-bounded, never a second
+    corpus shuffle — the unigram_surprisal trick), the bits table is a
+    c2⋈c1 join on the context token, and scoring is one
+    (doc-bigrams ⋈ bits) join + per-doc aggregate. Docs with < 2
+    tokens have no bigrams and emit nothing (below any LM gate's
+    scope). Output: (doc_id, lang, n_bigrams, total_bits,
+    mean_centibits)."""
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    doc_bg = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                shingles_of_tokens(tokens(F.col("text")), 2)
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count("*").alias("k"))
+    )
+    c2 = doc_bg.groupBy("bg").agg(F.sum("k").alias("c2"))
+    c1 = (
+        c2.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    bits = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(c1, "w1")
+        .select("bg", (bitlen(F.col("c1")) - bitlen(F.col("c2"))).alias("bits"))
+    )
+    return (
+        doc_bg.join(bits, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("bits") * F.col("k")).alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "total_bits",
+            F.expr("div(100 * total_bits, n_bigrams)").alias("mean_centibits"),
+        )
+    )
+
+
+def bigram_surprisal_per_doc_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_surprisal_per_doc`."""
+    return f"""(
+    WITH bs_doc_bg AS (
+        SELECT doc_id, lang, bg, COUNT(*) AS k FROM (
+            SELECT doc_id, lang,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(tk) - 1, 0)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM (
+                SELECT doc_id, lang,
+                    regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM {source}
+            ) t
+        ) GROUP BY 1, 2, 3
+    ),
+    bs_c2 AS (SELECT bg, SUM(k) AS c2 FROM bs_doc_bg GROUP BY 1),
+    bs_c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+        FROM bs_c2 GROUP BY 1
+    ),
+    bs_bits AS (
+        SELECT c2.bg,
+            length(bin(c1.c1)) - length(bin(c2.c2)) AS bits
+        FROM bs_c2 c2
+        JOIN bs_c1 c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+    )
+    SELECT d.doc_id, d.lang,
+        SUM(d.k) AS n_bigrams,
+        SUM(b.bits * d.k) AS total_bits,
+        (100 * SUM(b.bits * d.k)) // SUM(d.k) AS mean_centibits
+    FROM bs_doc_bg d JOIN bs_bits b USING (bg)
+    GROUP BY 1, 2
+) bs"""
+
+
 # --------------------------------------------------- corpus data card
 
 def datacard_rollup(docs: DataFrame) -> DataFrame:

@@ -47,3 +47,31 @@ def _winnow_incremental_oracle() -> str:
 EXTENSIONS_R10["dedup_incremental_winnowing"] = QuerySpec(
     _winnow_incremental, _winnow_incremental_oracle()
 )
+
+
+# ------------------------- per-doc bigram-LM surprisal (CCNet gate)
+
+BIGRAM_SURPRISAL_SPEC: ColSpec = [
+    ("doc_id", "long"),
+    ("lang", ""),
+    ("n_bigrams", "long"),
+    ("total_bits", "long"),
+    ("mean_centibits", "long"),
+]
+
+
+def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    return shape(
+        ta.bigram_surprisal_per_doc(load_table(spark, sf_dir, "documents")),
+        BIGRAM_SURPRISAL_SPEC,
+    )
+
+
+EXTENSIONS_R10["quality_bigram_surprisal"] = QuerySpec(
+    _bigram_surprisal,
+    sql_select(
+        BIGRAM_SURPRISAL_SPEC, ta.bigram_surprisal_per_doc_sql("documents")
+    ),
+)

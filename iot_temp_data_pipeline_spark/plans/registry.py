@@ -1051,6 +1051,7 @@ _CHANGED_R10 = [
     # new this round (no driver row yet)
     "dedup_winnowing_pair_index",
     "dedup_incremental_winnowing",
+    "quality_bigram_surprisal",
     "streaming_winnowing_novelty",
     # kernel/serve-path swaps needing fresh driver witness
     "doc_fingerprints_winnowing", "dedup_winnowing_overlap",

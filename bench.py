@@ -181,6 +181,7 @@ HEADLINE_EXTRA = [
     # bigram-LM surprisal gate
     "dedup_incremental_winnowing",
     "quality_bigram_surprisal",
+    "dataloader_contamination_audit",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -258,6 +259,9 @@ CACHE_CONSUMING = sorted(
         "dedup_winnowing_overlap",
         "winnowing_detector_quality",
         "dedup_incremental_winnowing",
+        # r10: composes the cached near-dup pair table with the shuffle
+        # manifest (dedup_ngram_jaccard keeps the pair build measured)
+        "dataloader_contamination_audit",
         # r9: consumes the session-cached exhaustive-MaxSim ground truth
         # (colbert_maxsim_topk keeps the exhaustive build measured)
         "maxsim_pooled_recall",

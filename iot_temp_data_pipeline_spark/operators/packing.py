@@ -469,6 +469,107 @@ def corpus_shuffle_manifest_sql(
 ) csm"""
 
 
+# ----------------------------------- batch contamination (co-batched dups)
+
+CONTAM_BATCH_DOCS = 32  # dataloader batch size, in documents per shard
+
+
+def batch_contamination_audit(
+    manifest: DataFrame,
+    pairs: DataFrame,
+    batch_docs: int = CONTAM_BATCH_DOCS,
+) -> DataFrame:
+    """Near-dup CO-BATCHING audit: how many verified near-duplicate
+    pairs land in the SAME dataloader batch under a given shuffle
+    manifest. In-batch negatives are what contrastive objectives
+    (InfoNCE/CLIP-style) train against — a near-duplicate sitting in
+    the same batch as its twin becomes a FALSE negative and poisons
+    the gradient; for plain LM training, co-batched duplicates
+    concentrate memorization in single steps. This is the audit a
+    pipeline runs after shuffling and before packing: if
+    co_batch_permille is materially above the uniform-placement
+    expectation, the shuffle (or an explicit dup-scatter pass) is
+    broken.
+
+    Inputs compose two session artifacts: the shuffle manifest
+    (corpus_shuffle_manifest — (doc_id, shard_id, shard_pos)) and the
+    verified near-dup pair table (dedup.cached_jaccard_pairs). Batch =
+    (shard_pos − 1) div ``batch_docs`` within the shard. One row out:
+    n_pairs, co_shard_pairs, co_batch_pairs, co_batch_permille (exact
+    integer ÷).
+
+    Scale shape: two equi-joins of the pair table against the
+    manifest's (doc_id → placement) projection — pair-table-sized,
+    never corpus² — plus a 1-row aggregate. At 100 TB both inputs are
+    written tables; the joins shuffle on doc ids, or broadcast when
+    the pair table is small."""
+    place = manifest.select(
+        "doc_id",
+        "shard_id",
+        F.expr(f"div(shard_pos - 1, {batch_docs})").alias("batch_id"),
+    )
+    pa = place.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shard_id").alias("shard_a"),
+        F.col("batch_id").alias("batch_a"),
+    )
+    pb = place.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shard_id").alias("shard_b"),
+        F.col("batch_id").alias("batch_b"),
+    )
+    placed = pairs.select("doc_a", "doc_b").join(pa, "doc_a").join(pb, "doc_b")
+    return placed.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (F.col("shard_a") == F.col("shard_b")).cast("long")
+        ).alias("co_shard_pairs"),
+        F.sum(
+            (
+                (F.col("shard_a") == F.col("shard_b"))
+                & (F.col("batch_a") == F.col("batch_b"))
+            ).cast("long")
+        ).alias("co_batch_pairs"),
+    ).select(
+        "n_pairs",
+        "co_shard_pairs",
+        "co_batch_pairs",
+        F.expr(
+            "div(1000 * co_batch_pairs, greatest(n_pairs, 1))"
+        ).alias("co_batch_permille"),
+    )
+
+
+def batch_contamination_audit_sql(
+    pairs_sql: str,
+    manifest_source: str = "corpus",
+    batch_docs: int = CONTAM_BATCH_DOCS,
+) -> str:
+    return f"""(
+    WITH bc_place AS (
+        SELECT doc_id, shard_id, (shard_pos - 1) // {batch_docs} AS batch_id
+        FROM {corpus_shuffle_manifest_sql(manifest_source)}
+    ),
+    bc_pairs AS (SELECT doc_a, doc_b FROM {pairs_sql}),
+    bc_placed AS (
+        SELECT a.shard_id AS shard_a, a.batch_id AS batch_a,
+               b.shard_id AS shard_b, b.batch_id AS batch_b
+        FROM bc_pairs p
+        JOIN bc_place a ON p.doc_a = a.doc_id
+        JOIN bc_place b ON p.doc_b = b.doc_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+        COALESCE(SUM(CASE WHEN shard_a = shard_b THEN 1 ELSE 0 END), 0)
+            AS co_shard_pairs,
+        COALESCE(SUM(CASE WHEN shard_a = shard_b AND batch_a = batch_b
+                 THEN 1 ELSE 0 END), 0) AS co_batch_pairs,
+        (1000 * COALESCE(SUM(CASE WHEN shard_a = shard_b
+                 AND batch_a = batch_b THEN 1 ELSE 0 END), 0))
+            // GREATEST(COUNT(*), 1) AS co_batch_permille
+    FROM bc_placed
+) bc"""
+
+
 # ------------------------------------------- resharding stability (HRW)
 
 RESHARD_FROM = 64

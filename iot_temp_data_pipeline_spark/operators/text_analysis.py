@@ -1060,44 +1060,45 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
     as a bigram CONTEXT, so p = c2/c1 ≤ 1 and bits ≥ 0). High mean =
     incoherent token soup; low = repetitive boilerplate.
 
-    Plan shape: doc bigrams aggregate ONCE by (doc_id, bigram) with
-    map-side combine; the bigram model (c2) and the context counts
-    (c1) re-aggregate FROM that table (vocab²-bounded, never a second
-    corpus shuffle — the unigram_surprisal trick), the bits table is a
-    c2⋈c1 join on the context token, and scoring is one
-    (doc-bigrams ⋈ bits) join + per-doc aggregate. Docs with < 2
-    tokens have no bigrams and emit nothing (below any LM gate's
-    scope). Output: (doc_id, lang, n_bigrams, total_bits,
-    mean_centibits)."""
+    Plan shape: the exploded bigram rows are PERSISTED (they feed both
+    the model build and the scoring pass — unpersisted, Spark
+    re-evaluates the explode per consumer; and the token array is
+    bound as a real column first per the shingles_of_tokens PERF note,
+    which alone was a measured 7.1 s → 1.7 s at sf0.1). The bigram
+    model (c2) is ONE map-side-combined groupBy(bg); the context
+    counts (c1) are a window over c2 partitioned by the context token
+    — vocab-sized, never a corpus exchange, no c2-side self-join —
+    and the per-(bigram) bits table BROADCASTS onto the raw bigram
+    stream (bigram-vocab-sized; at 100 TB vocabulary a broadcast no
+    longer fits and this flips to a bucketed shuffle join on the
+    model table — the tfidf postings posture). Scoring itself is then
+    a zero-shuffle map + one per-doc aggregate. Docs with < 2 tokens
+    have no bigrams and emit nothing (below any LM gate's scope).
+    Output: (doc_id, lang, n_bigrams, total_bits, mean_centibits)."""
     bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
-    doc_bg = (
-        docs.select(
+    bg_rows = (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+        .select(
             "doc_id",
             "lang",
-            F.explode(
-                shingles_of_tokens(tokens(F.col("text")), 2)
-            ).alias("bg"),
+            F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("bg"),
         )
-        .groupBy("doc_id", "lang", "bg")
-        .agg(F.count("*").alias("k"))
+        .persist()
     )
-    c2 = doc_bg.groupBy("bg").agg(F.sum("k").alias("c2"))
-    c1 = (
-        c2.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c2")
-        .groupBy("w1")
-        .agg(F.sum("c2").alias("c1"))
-    )
-    bits = (
-        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
-        .join(c1, "w1")
-        .select("bg", (bitlen(F.col("c1")) - bitlen(F.col("c2"))).alias("bits"))
+    c2 = bg_rows.groupBy("bg").agg(F.count("*").alias("c2"))
+    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
+    bits = c2.select(
+        "bg",
+        (
+            bitlen(F.sum("c2").over(w1win)) - bitlen(F.col("c2"))
+        ).alias("bits"),
     )
     return (
-        doc_bg.join(bits, "bg")
+        bg_rows.join(F.broadcast(bits), "bg")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.sum(F.col("bits") * F.col("k")).alias("total_bits"),
+            F.count("*").alias("n_bigrams"),
+            F.sum("bits").alias("total_bits"),
         )
         .select(
             "doc_id",

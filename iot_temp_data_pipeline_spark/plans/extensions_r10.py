@@ -75,3 +75,48 @@ EXTENSIONS_R10["quality_bigram_surprisal"] = QuerySpec(
         BIGRAM_SURPRISAL_SPEC, ta.bigram_surprisal_per_doc_sql("documents")
     ),
 )
+
+
+# ------------------------- dataloader batch-contamination audit
+
+CONTAM_SPEC: ColSpec = [
+    ("n_pairs", "long"),
+    ("co_shard_pairs", "long"),
+    ("co_batch_pairs", "long"),
+    ("co_batch_permille", "long"),
+]
+
+
+def _batch_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes two session artifacts: the verified near-dup pair table
+    (cached_jaccard_pairs — build measured by dedup_ngram_jaccard) and
+    the shuffle manifest of the SAME dup-injected corpus (the training
+    set with its duplicates — that is what the dataloader actually
+    batches)."""
+    from ..operators import dedup as dd
+    from ..operators import packing as pk
+
+    manifest = pk.corpus_shuffle_manifest(dd.dedup_corpus(spark, sf_dir))
+    pairs = dd.cached_jaccard_pairs(spark, sf_dir)
+    return shape(pk.batch_contamination_audit(manifest, pairs), CONTAM_SPEC)
+
+
+def _batch_contamination_oracle() -> str:
+    from ..operators import dedup as dd
+    from ..operators import packing as pk
+
+    return (
+        "WITH "
+        + dd.CORPUS_SQL.strip()
+        + ",\n"
+        + dd.SHINGLES_SQL.strip()
+        + sql_select(
+            CONTAM_SPEC,
+            pk.batch_contamination_audit_sql(dd.NGRAM_JACCARD_SQL, "corpus"),
+        )
+    )
+
+
+EXTENSIONS_R10["dataloader_contamination_audit"] = QuerySpec(
+    _batch_contamination, _batch_contamination_oracle()
+)

@@ -1052,6 +1052,7 @@ _CHANGED_R10 = [
     "dedup_winnowing_pair_index",
     "dedup_incremental_winnowing",
     "quality_bigram_surprisal",
+    "dataloader_contamination_audit",
     "streaming_winnowing_novelty",
     # kernel/serve-path swaps needing fresh driver witness
     "doc_fingerprints_winnowing", "dedup_winnowing_overlap",

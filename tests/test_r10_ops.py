@@ -107,3 +107,31 @@ def test_bigram_surprisal_invariants(spark, sf_dir):
     ).first()
     assert agg["mn"] >= 0
     assert agg["bad"] == 0
+
+
+def test_batch_contamination_scatter_vs_colocate(spark):
+    """A manifest that co-locates a dup pair in one batch must count it;
+    one that scatters the pair across shards must not."""
+    from iot_temp_data_pipeline_spark.operators.packing import (
+        batch_contamination_audit,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    co = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 2)], "doc_id long, shard_id long, shard_pos long"
+    )
+    scattered = spark.createDataFrame(
+        [(1, 0, 1), (2, 1, 1)], "doc_id long, shard_id long, shard_pos long"
+    )
+    r_co = batch_contamination_audit(co, pairs).first()
+    assert (r_co["n_pairs"], r_co["co_shard_pairs"], r_co["co_batch_pairs"]) == (1, 1, 1)
+    assert r_co["co_batch_permille"] == 1000
+    r_sc = batch_contamination_audit(scattered, pairs).first()
+    assert (r_sc["co_shard_pairs"], r_sc["co_batch_pairs"]) == (0, 0)
+    # batch boundary: positions 32 and 33 straddle batches (1-based pos,
+    # batch = (pos-1) div 32)
+    straddle = spark.createDataFrame(
+        [(1, 0, 32), (2, 0, 33)], "doc_id long, shard_id long, shard_pos long"
+    )
+    r_st = batch_contamination_audit(straddle, pairs).first()
+    assert (r_st["co_shard_pairs"], r_st["co_batch_pairs"]) == (1, 0)

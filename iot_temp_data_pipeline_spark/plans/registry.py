@@ -1054,6 +1054,7 @@ _CHANGED_R10 = [
     "quality_bigram_surprisal",
     "dataloader_contamination_audit",
     "streaming_winnowing_novelty",
+    "streaming_bigram_lm_partials",
     # kernel/serve-path swaps needing fresh driver witness
     "doc_fingerprints_winnowing", "dedup_winnowing_overlap",
     "winnowing_detector_quality",

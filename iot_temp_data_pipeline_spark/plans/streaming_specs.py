@@ -1828,3 +1828,111 @@ def _winnowing_novelty_oracle() -> str:
 STREAMING["streaming_winnowing_novelty"] = QuerySpec(
     _streaming_winnowing_novelty, _winnowing_novelty_oracle()
 )
+
+
+# --------------------------- streamed bigram-LM model partials
+
+BIGRAM_LM_TOPN = 50
+
+BIGRAM_LM_SPEC = [
+    ("bg", ""),
+    ("c2", "long"),
+    ("bits", "long"),
+]
+
+
+def _streaming_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram LM behind quality_bigram_surprisal maintained BY THE
+    STREAM: every micro-batch appends its own (bigram, count) partial
+    via foreachBatch — batch-vocabulary-sized, never batch-row-sized —
+    and the read side merges partials by summing per bigram (counts
+    are a pure function of the token multiset ⇒ batching- and
+    arrival-order-independent ⇒ the batch oracle pins the streamed
+    model exactly; the mergeable-sketch contract of
+    streaming_cms_partials applied to an n-gram LM). The final digest
+    re-derives the conditional floor-log2 bits from the merged model
+    (window over the context token — vocab-sized) and reports the
+    top-N bigrams by count, ties to bigram ascending. This is how a
+    crawl pipeline keeps its perplexity-gate LM fresh without corpus
+    rebuilds: per-batch partials into the model store, serve-side
+    merge."""
+    from ..functions.text import shingles_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = workdir("bigramlm")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/landing")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(tokens(F.col("text")).alias("tk"))
+            .select(F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("bg"))
+            .groupBy("bg")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(sink).groupBy("bg").agg(F.sum("cnt").alias("c2"))
+    )
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
+    digest = (
+        merged.select(
+            "bg",
+            "c2",
+            (bitlen(F.sum("c2").over(w1win)) - bitlen(F.col("c2"))).alias(
+                "bits"
+            ),
+        )
+        .orderBy(F.col("c2").desc(), F.col("bg"))
+        .limit(BIGRAM_LM_TOPN)
+    )
+    return shape(digest, BIGRAM_LM_SPEC)
+
+
+def _bigram_lm_oracle() -> str:
+    return sql_select(
+        BIGRAM_LM_SPEC,
+        f"""(
+    WITH blm_c2 AS (
+        SELECT bg, COUNT(*) AS c2 FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 1, 0)),
+                i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM (
+                SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+                FROM documents
+            ) t
+        ) GROUP BY 1
+    ),
+    blm_bits AS (
+        SELECT bg, c2,
+            length(bin(SUM(c2) OVER (
+                PARTITION BY string_split(bg, ' ')[1])))
+            - length(bin(c2)) AS bits
+        FROM blm_c2
+    )
+    SELECT bg, c2, bits FROM blm_bits
+    ORDER BY c2 DESC, bg
+    LIMIT {BIGRAM_LM_TOPN}
+) blm""",
+    )
+
+
+STREAMING["streaming_bigram_lm_partials"] = QuerySpec(
+    _streaming_bigram_lm, _bigram_lm_oracle()
+)

@@ -182,6 +182,7 @@ HEADLINE_EXTRA = [
     "dedup_incremental_winnowing",
     "quality_bigram_surprisal",
     "dataloader_contamination_audit",
+    "mixture_unimax_allocation",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the

@@ -332,3 +332,140 @@ def stratified_allocation_hamilton_sql(
              AS BIGINT) AS final_alloc
     FROM ha_rank
 ) s"""
+
+
+# --------------------------------------- UniMax budget allocation
+
+UNIMAX_EPOCH_CAP = 4  # max epochs any source may repeat
+
+
+def mixture_unimax_allocation(
+    docs: DataFrame, epoch_cap: int = UNIMAX_EPOCH_CAP
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al., "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): spread the token budget B as UNIFORMLY
+    as possible across sources, but cap every source at ``epoch_cap``
+    epochs of its own corpus (cap_d = epoch_cap·n_d) — the published
+    alternative to temperature sampling that bounds repetition of
+    small sources instead of merely damping giants.
+
+    Exact integer waterfilling: sources ascending by cap; source k is
+    CAPPED iff giving every remaining source its cap_k is affordable
+    (cap_k·(N−k+1) ≤ B − prefix_{k−1} — the capped set is a prefix of
+    the cap order); uncapped sources share the residual budget as
+    L = (B−ΣcapK) div (N−K) with the mod-remainder distributed +1 to
+    the first R uncapped sources in the same order (the Hamilton
+    largest-remainder discipline; Σ allocated == min(B, Σcap)
+    exactly, and allocated ≤ cap row-wise — L < cap_first_uncapped by
+    the capping predicate). B is half the corpus's total tokens (a
+    1-row digest broadcast back), so both branches are exercised.
+
+    Plan: one map-side-combined corpus groupBy, a broadcast totals
+    digest, and windows over |sources| rows — bounded by the stratum
+    count, never the corpus (the Hamilton shape)."""
+    per = (
+        docs.select("source", token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn("cap_tokens", F.lit(epoch_cap) * F.col("n_tokens"))
+    )
+    tot = per.agg(
+        F.expr("div(sum(n_tokens), 2)").alias("budget"),
+        F.count("*").alias("n_src"),
+    )
+    w = Window.orderBy(F.col("cap_tokens"), F.col("source"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn("prefix_prev", F.sum("cap_tokens").over(wcum) - F.col("cap_tokens"))
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("n_src") - F.col("k") + 1)
+            <= F.col("budget") - F.col("prefix_prev"),
+        )
+        .withColumn(
+            "capped_total",
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0)).over(wall),
+        )
+        .withColumn("n_capped", F.sum(F.col("capped").cast("long")).over(wall))
+    )
+    n_unc = F.col("n_src") - F.col("n_capped")
+    level = F.expr("div(budget - capped_total, n_src - n_capped)")
+    leftover = (F.col("budget") - F.col("capped_total")) % n_unc
+    return staged.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        F.when(F.col("capped"), F.col("cap_tokens"))
+        .otherwise(
+            level
+            + ((F.col("k") - F.col("n_capped")) <= leftover).cast("long")
+        )
+        .cast("long")
+        .alias("allocated_tokens"),
+        "capped",
+        F.expr(
+            "div(1000 * (CASE WHEN capped THEN cap_tokens ELSE "
+            "div(budget - capped_total, n_src - n_capped) "
+            "+ (CASE WHEN k - n_capped <= "
+            "(budget - capped_total) % (n_src - n_capped) "
+            "THEN 1 ELSE 0 END) END), n_tokens)"
+        ).alias("epochs_permille"),
+    )
+
+
+def mixture_unimax_allocation_sql(
+    docs_table: str = "documents", epoch_cap: int = UNIMAX_EPOCH_CAP
+) -> str:
+    return f"""(
+    WITH um_per AS (
+        SELECT source,
+            SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS n_tokens
+        FROM {docs_table} GROUP BY source
+    ),
+    um_cap AS (
+        SELECT source, n_tokens, {epoch_cap} * n_tokens AS cap_tokens
+        FROM um_per
+    ),
+    um_tot AS (
+        SELECT SUM(n_tokens) // 2 AS budget, COUNT(*) AS n_src FROM um_cap
+    ),
+    um_staged AS (
+        SELECT *,
+            ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS k,
+            SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - cap_tokens AS prefix_prev
+        FROM um_cap CROSS JOIN um_tot
+    ),
+    um_flag AS (
+        SELECT *,
+            cap_tokens * (n_src - k + 1) <= budget - prefix_prev AS capped
+        FROM um_staged
+    ),
+    um_agg AS (
+        SELECT *,
+            SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
+                AS capped_total,
+            SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped
+        FROM um_flag
+    )
+    SELECT source, n_tokens, cap_tokens,
+        CAST(CASE WHEN capped THEN cap_tokens
+             ELSE (budget - capped_total) // (n_src - n_capped)
+                  + (CASE WHEN k - n_capped <=
+                      (budget - capped_total) % (n_src - n_capped)
+                     THEN 1 ELSE 0 END)
+        END AS BIGINT) AS allocated_tokens,
+        capped,
+        (1000 * (CASE WHEN capped THEN cap_tokens
+             ELSE (budget - capped_total) // (n_src - n_capped)
+                  + (CASE WHEN k - n_capped <=
+                      (budget - capped_total) % (n_src - n_capped)
+                     THEN 1 ELSE 0 END)
+        END)) // n_tokens AS epochs_permille
+    FROM um_agg
+) s"""

@@ -1093,12 +1093,17 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
             bitlen(F.sum("c2").over(w1win)) - bitlen(F.col("c2"))
         ).alias("bits"),
     )
+    # Broadcast only the NONZERO bits rows (bits = 0 ⇔ bitlen(c1) ==
+    # bitlen(c2), which covers every singleton bigram with a
+    # near-singleton context — the bulk of a heavy-tailed vocabulary)
+    # and LEFT-join with coalesce: same totals, a several-× smaller
+    # broadcast build.
     return (
-        bg_rows.join(F.broadcast(bits), "bg")
+        bg_rows.join(F.broadcast(bits.filter(F.col("bits") > 0)), "bg", "left")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.sum("bits").alias("total_bits"),
+            F.sum(F.coalesce(F.col("bits"), F.lit(0))).alias("total_bits"),
         )
         .select(
             "doc_id",

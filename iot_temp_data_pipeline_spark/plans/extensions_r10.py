@@ -120,3 +120,34 @@ def _batch_contamination_oracle() -> str:
 EXTENSIONS_R10["dataloader_contamination_audit"] = QuerySpec(
     _batch_contamination, _batch_contamination_oracle()
 )
+
+
+# ------------------------------- UniMax budget allocation (mixture)
+
+UNIMAX_SPEC: ColSpec = [
+    ("source", ""),
+    ("n_tokens", "long"),
+    ("cap_tokens", "long"),
+    ("allocated_tokens", "long"),
+    ("capped", ""),
+    ("epochs_permille", "long"),
+]
+
+
+def _unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import mixture as mx
+    from ..sources.catalog import load_table
+
+    return shape(
+        mx.mixture_unimax_allocation(load_table(spark, sf_dir, "documents")),
+        UNIMAX_SPEC,
+    )
+
+
+def _unimax_oracle() -> str:
+    from ..operators import mixture as mx
+
+    return sql_select(UNIMAX_SPEC, mx.mixture_unimax_allocation_sql("documents"))
+
+
+EXTENSIONS_R10["mixture_unimax_allocation"] = QuerySpec(_unimax, _unimax_oracle())

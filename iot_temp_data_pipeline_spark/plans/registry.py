@@ -1053,6 +1053,7 @@ _CHANGED_R10 = [
     "dedup_incremental_winnowing",
     "quality_bigram_surprisal",
     "dataloader_contamination_audit",
+    "mixture_unimax_allocation",
     "streaming_winnowing_novelty",
     "streaming_bigram_lm_partials",
     # kernel/serve-path swaps needing fresh driver witness

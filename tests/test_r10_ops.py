@@ -135,3 +135,36 @@ def test_batch_contamination_scatter_vs_colocate(spark):
     )
     r_st = batch_contamination_audit(straddle, pairs).first()
     assert (r_st["co_shard_pairs"], r_st["co_batch_pairs"]) == (1, 0)
+
+
+def test_unimax_waterfilling_invariants(spark, sf_dir):
+    """Σ allocated == min(B, Σ cap) exactly; allocated ≤ cap row-wise;
+    the capped set is a prefix of the cap order; both branches occur
+    on the fixture (B = tot/2 with a 4-epoch cap)."""
+    from iot_temp_data_pipeline_spark.operators.mixture import (
+        mixture_unimax_allocation,
+    )
+    from iot_temp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = mixture_unimax_allocation(docs).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = total_tokens // 2
+    cap_sum = sum(r["cap_tokens"] for r in rows)
+    assert sum(r["allocated_tokens"] for r in rows) == min(budget, cap_sum)
+    assert all(0 <= r["allocated_tokens"] <= r["cap_tokens"] for r in rows)
+    ordered = sorted(rows, key=lambda r: (r["cap_tokens"], r["source"]))
+    flags = [r["capped"] for r in ordered]
+    assert flags == sorted(flags, reverse=True)  # capped is a prefix
+    # synthetic corpus forcing both branches: one tiny source, one giant
+    synth = spark.createDataFrame(
+        [(1, "a b", "tiny"), (2, " ".join(["w"] * 1000), "giant")],
+        "doc_id long, text string, source string",
+    )
+    srows = {r["source"]: r for r in mixture_unimax_allocation(synth).collect()}
+    assert srows["tiny"]["capped"] and srows["tiny"]["allocated_tokens"] == 8
+    assert not srows["giant"]["capped"]
+    assert (
+        srows["tiny"]["allocated_tokens"] + srows["giant"]["allocated_tokens"]
+        == (2 + 1000) // 2
+    )

@@ -183,6 +183,8 @@ HEADLINE_EXTRA = [
     "quality_bigram_surprisal",
     "dataloader_contamination_audit",
     "mixture_unimax_allocation",
+    "bm25_impact_topk",
+    "bm25_impact_recall",
     # streaming_novelty_curve is NOT benched: like every other
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
@@ -263,6 +265,9 @@ CACHE_CONSUMING = sorted(
         # r10: composes the cached near-dup pair table with the shuffle
         # manifest (dedup_ngram_jaccard keeps the pair build measured)
         "dataloader_contamination_audit",
+        # r10: serve over the cached BM25 postings/avgdl artifacts
+        "bm25_impact_topk",
+        "bm25_impact_recall",
         # r9: consumes the session-cached exhaustive-MaxSim ground truth
         # (colbert_maxsim_topk keeps the exhaustive build measured)
         "maxsim_pooled_recall",

@@ -466,3 +466,243 @@ def tfidf_topk_sql(
     ) r
     WHERE rank <= {k}
 ) s"""
+
+
+# ------------------------------------ impact-ordered BM25 pruning
+
+# Postings kept per term in the impact-ordered index. The fixture's
+# synthetic text draws from a tiny near-uniform vocabulary (931 bigram
+# terms, dfs clustered 300-450), so per-posting impacts are nearly
+# tied — the hardest possible regime for static pruning; m=256 prunes
+# ~35% of postings at recall@5 ≈ 0.65 (measured sweep: m=64 → 0.18,
+# 128 → 0.30, 256 → 0.65, 512 ≥ max df → 1.0 trivially). On a real
+# zipf-vocabulary corpus the impact distribution is heavy-tailed and
+# the same m retains far more of the ranking.
+BM25_IMPACT_M = 256
+
+
+def bm25_impact_postings(
+    spark: SparkSession, sf_dir: str, m: int = BM25_IMPACT_M
+) -> DataFrame:
+    """Impact-ordered static index pruning (Anh & Moffat, "Pruned query
+    evaluation using pre-computed impacts", SIGIR 2006; Broder et al.'s
+    static pruning family): pre-compute every posting's q_tf=1 BM25
+    contribution c = w·sat(tf, dl) as an exact integer and keep only
+    each term's TOP-``m`` postings by (c desc, doc_id) — the index
+    layout that bounds per-term scoring work at m regardless of df,
+    the documented "next lever at 100 TB" of the bm25_postings df-cap
+    note. c is the right static order for ANY query: the query's own
+    q_tf multiplies the stored contribution, so per-term ranking by c
+    is query-independent.
+
+    Plan: the cached full postings cross-join the 1-row avgdl digest
+    (broadcast), one window per term (the index's own exchange — at
+    scale this IS the index build's sort order, paid at write time),
+    deterministic integer contributions throughout."""
+    postings = _cached_index(
+        spark,
+        "_sg_bm25_index",
+        os.path.abspath(sf_dir),
+        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
+    )
+    avg = _cached_index(
+        spark,
+        "_sg_bm25_avgdl",
+        os.path.abspath(sf_dir),
+        lambda: postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")),
+    )
+    base = postings.crossJoin(F.broadcast(avg)).select(
+        "doc_id",
+        "term",
+        (
+            F.col("w")
+            * F.expr(
+                f"div({BM25_SCALE} * 22 * a_milli * tf,"
+                " 10 * a_milli * tf + 3 * a_milli + 9000 * dl)"
+            )
+        ).alias("c"),
+    )
+    win = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col("doc_id"))
+    return (
+        base.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= m)
+        .select("doc_id", "term", "c")
+    )
+
+
+def bm25_impact_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    m: int = BM25_IMPACT_M,
+) -> DataFrame:
+    """Top-k BM25 over the impact-PRUNED index: identical scoring
+    algebra to :func:`bm25_topk` (score = Σ q_tf·c, exact integers)
+    restricted to each term's top-``m`` impact postings — per-term
+    join work bounded at df_q·m instead of df_q·df. Deterministic by
+    construction (the pruned set and all scores are exact-integer
+    functions of the corpus), so the DuckDB twin reproduces the
+    approximation bit-for-bit; the approximation QUALITY is measured
+    by bm25_impact_recall against the unpruned ranking."""
+    postings = _cached_index(
+        spark,
+        "_sg_bm25_index",
+        os.path.abspath(sf_dir),
+        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
+    )
+    pruned = bm25_impact_postings(spark, sf_dir, m)
+    qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")
+    )
+    hint = _query_side_hint(spark, sf_dir)
+    scored = (
+        pruned.join(hint(qp), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("q_tf") * F.col("c")).alias("score_scaled"),
+            F.count("*").alias("shared_terms"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_impact_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    m: int = BM25_IMPACT_M,
+) -> DataFrame:
+    """Recall@k of the impact-pruned ranking vs the exact BM25 top-k —
+    the static-pruning family's quality dial (the sq8_recall_check
+    pattern applied to the sparse index): one inner join of two
+    Q·k-bounded rank tables + a 1-row digest."""
+    exact = bm25_topk(spark, sf_dir, query_mod, k).select("query_id", "doc_id")
+    appr = bm25_impact_topk(spark, sf_dir, query_mod, k, m).select(
+        "query_id", "doc_id"
+    )
+    hits = exact.join(appr, ["query_id", "doc_id"]).agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_exact",
+            "hits",
+            (
+                F.col("hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _bm25_impact_ctes(query_mod: int, m: int) -> str:
+    """Shared CTE chain for the impact-pruned twins (expects the dedup
+    CORPUS_SQL prelude): the bm25_topk_sql postings/avgdl chain plus
+    the per-term top-m impact pruning."""
+    return f"""doc_tokens AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM corpus
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, greatest(len(tk) - 1, 0) AS dl,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(tk) - 1, 0)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS term
+            FROM doc_tokens
+        ) GROUP BY doc_id, dl, term
+    ),
+    wt AS (
+        SELECT term, {IDF_SCALE} // df AS w FROM (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ) d WHERE 2 * df <= (SELECT COUNT(*) FROM corpus)
+    ),
+    postings AS (
+        SELECT t.doc_id, t.dl, t.term, t.tf, wt.w FROM tf t JOIN wt USING (term)
+    ),
+    avgdl AS (
+        SELECT 1000 * SUM(dl) // COUNT(*) AS a_milli FROM (
+            SELECT doc_id, ANY_VALUE(dl) AS dl FROM postings GROUP BY doc_id
+        )
+    ),
+    impact_base AS (
+        SELECT doc_id, term,
+            w * (({BM25_SCALE} * 22 * a_milli * tf)
+                // (10 * a_milli * tf + 3 * a_milli + 9000 * dl)) AS c
+        FROM postings CROSS JOIN avgdl
+    ),
+    impact AS (
+        SELECT doc_id, term, c FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY term ORDER BY c DESC, doc_id) AS rn
+            FROM impact_base
+        ) x WHERE rn <= {m}
+    ),
+    impact_dots AS (
+        SELECT q.doc_id AS query_id, i.doc_id AS doc_id,
+            SUM(q.tf * i.c) AS score_scaled,
+            COUNT(*) AS shared_terms
+        FROM postings q
+        JOIN impact i ON q.term = i.term AND i.doc_id != q.doc_id
+        WHERE q.doc_id % {query_mod} = 0
+        GROUP BY 1, 2
+    )"""
+
+
+def bm25_impact_topk_sql(
+    query_mod: int = 100, k: int = 5, m: int = BM25_IMPACT_M
+) -> str:
+    return f"""(
+    WITH {_bm25_impact_ctes(query_mod, m)}
+    SELECT query_id, doc_id, score_scaled, shared_terms,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+        FROM impact_dots
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
+def bm25_impact_recall_sql(
+    query_mod: int = 100, k: int = 5, m: int = BM25_IMPACT_M
+) -> str:
+    exact = bm25_topk_sql(query_mod, k)
+    return f"""(
+    WITH {_bm25_impact_ctes(query_mod, m)},
+    ir_appr AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score_scaled DESC, doc_id
+            ) AS rank FROM impact_dots
+        ) a WHERE rank <= {k}
+    ),
+    ir_exact AS (
+        SELECT query_id, doc_id FROM {exact}
+    )
+    SELECT (SELECT COUNT(DISTINCT query_id) FROM ir_exact) AS n_queries,
+        (SELECT COUNT(*) FROM ir_exact) AS n_exact,
+        (SELECT COUNT(*) FROM ir_exact e
+         JOIN ir_appr a ON e.query_id = a.query_id
+            AND e.doc_id = a.doc_id) AS hits,
+        CAST((SELECT COUNT(*) FROM ir_exact e
+              JOIN ir_appr a ON e.query_id = a.query_id
+                AND e.doc_id = a.doc_id) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ir_exact) AS recall
+) s"""

@@ -151,3 +151,61 @@ def _unimax_oracle() -> str:
 
 
 EXTENSIONS_R10["mixture_unimax_allocation"] = QuerySpec(_unimax, _unimax_oracle())
+
+
+# ------------------------------ impact-ordered BM25 static pruning
+
+BM25_IMPACT_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("doc_id", "long"),
+    ("score_scaled", "long"),
+    ("shared_terms", "long"),
+    ("rank", "long"),
+]
+
+BM25_IMPACT_RECALL_SPEC: ColSpec = [
+    ("n_queries", "long"),
+    ("n_exact", "long"),
+    ("hits", "long"),
+    ("recall", "f4"),
+]
+
+
+def _bm25_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tfidf as ti
+
+    return shape(ti.bm25_impact_topk(spark, sf_dir), BM25_IMPACT_SPEC)
+
+
+def _bm25_impact_oracle() -> str:
+    from ..operators import tfidf as ti
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        BM25_IMPACT_SPEC, ti.bm25_impact_topk_sql()
+    )
+
+
+EXTENSIONS_R10["bm25_impact_topk"] = QuerySpec(_bm25_impact, _bm25_impact_oracle())
+
+
+def _bm25_impact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tfidf as ti
+
+    return shape(
+        ti.bm25_impact_recall(spark, sf_dir), BM25_IMPACT_RECALL_SPEC
+    )
+
+
+def _bm25_impact_recall_oracle() -> str:
+    from ..operators import tfidf as ti
+    from ..operators.dedup import CORPUS_SQL
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        BM25_IMPACT_RECALL_SPEC, ti.bm25_impact_recall_sql()
+    )
+
+
+EXTENSIONS_R10["bm25_impact_recall"] = QuerySpec(
+    _bm25_impact_recall, _bm25_impact_recall_oracle()
+)

@@ -1054,6 +1054,7 @@ _CHANGED_R10 = [
     "quality_bigram_surprisal",
     "dataloader_contamination_audit",
     "mixture_unimax_allocation",
+    "bm25_impact_topk", "bm25_impact_recall",
     "streaming_winnowing_novelty",
     "streaming_bigram_lm_partials",
     # kernel/serve-path swaps needing fresh driver witness

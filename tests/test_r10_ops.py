@@ -168,3 +168,24 @@ def test_unimax_waterfilling_invariants(spark, sf_dir):
         srows["tiny"]["allocated_tokens"] + srows["giant"]["allocated_tokens"]
         == (2 + 1000) // 2
     )
+
+
+def test_bm25_impact_reduces_to_exact_when_unpruned(spark, sf_dir):
+    """With m ≥ every term's df the impact index keeps all postings, so
+    the pruned ranking must equal exact BM25 row-for-row (the
+    r-covers-corpus equality pattern)."""
+    from iot_temp_data_pipeline_spark.operators.tfidf import (
+        bm25_impact_topk,
+        bm25_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_scaled"])
+        for r in bm25_topk(spark, sf_dir).collect()
+    }
+    pruned = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_scaled"])
+        for r in bm25_impact_topk(spark, sf_dir, m=10_000_000).collect()
+    }
+    assert exact == pruned
+    assert len(exact) > 0

@@ -381,6 +381,56 @@ SHOWCASE = {
         "sort); percentile ppm and decile are exact integer "
         "expressions in the projection — no joins, no second shuffle."
     ),
+    "doc_fingerprints_winnowing": (
+        "Winnowing build (r10): the sliding w-window minimum runs "
+        "INSIDE each document's token array (transform over positions, "
+        "least() over bound-column reads; per-doc distinct is "
+        "array_distinct), so the whole build is a shuffle-free "
+        "projection chain — NO Exchange, NO Window, NO Join anywhere "
+        "in the plan (pinned by test_plan_shape)."
+    ),
+    "dedup_winnowing_pair_index": (
+        "MOSS pair-index build (r10): ONE groupBy(fp_hash) collects "
+        "each fingerprint's sorted doc list off the checkpointed "
+        "fingerprint artifact (the scan is an ExistingRDD), the "
+        "size<=40 boilerplate prune filters that same aggregate, "
+        "in-bucket i<j pairs are emitted array-side, and one count "
+        "aggregate finishes — exactly two exchanges, zero joins."
+    ),
+    "dedup_incremental_winnowing": (
+        "Delta-crawl probe (r10): the history-side df prune is a count "
+        "window riding the SAME fp_hash exchange the increment-vs-"
+        "history join consumes (subset-clustering satisfaction), the "
+        "per-doc count lookups and the best-match digest are "
+        "BroadcastHashJoins — per-crawl work is increment-proportional "
+        "fan-out over df-bounded buckets, never a self-join."
+    ),
+    "quality_bigram_surprisal": (
+        "Per-doc bigram-LM gate (r10): the persisted exploded-bigram "
+        "table (InMemoryTableScan) feeds one map-side-combined "
+        "groupBy(bg) model build; context counts are a window over the "
+        "vocab-sized model keyed by the context token; the bits table "
+        "BROADCASTS onto the bigram stream and the per-doc aggregate "
+        "map-side-combines — the only corpus-sized exchange is the "
+        "model build."
+    ),
+    "bm25_impact_topk": (
+        "Impact-ordered static pruning (r10): per-posting q_tf=1 "
+        "contributions off the cached postings (ExistingRDD scan + a "
+        "1-row broadcast avgdl digest), ONE per-term top-m window — "
+        "the index's own sort order, paid at build time at scale — "
+        "then the same broadcast-query-side scoring join and top-k "
+        "window as exact BM25, with per-term join work bounded at m."
+    ),
+    "semantic_dedup_keep": (
+        "SemDeDup serve (r10): the session-cached cell index scans as "
+        "an ExistingRDD, ONE exchange on cell_id feeds "
+        "FlatMapGroupsInPandas (the per-cell exact-int64 GEMM kernel "
+        "that also aggregates the keep rule cell-locally — dup edges "
+        "never cross cells), and the survivor flags come back through "
+        "a single vec_id join; no N^1.5 pairwise rows ever materialize "
+        "in the plan."
+    ),
 }
 
 

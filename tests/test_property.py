@@ -644,3 +644,107 @@ def test_prefix_filter_join_lossless_on_random_corpora(spark, token_lists):
         for r in jaccard_prefix_filter_pairs(corpus).collect()
     }
     assert got == _py_jaccard_pairs(docs)
+
+
+# ------------------------- round-10 properties: winnowing + UniMax
+
+
+def _py_winnow(tokens_list, w=4, seed=31):
+    """Single-process reference winnowing: hash 3-grams with the same
+    portable md5 scheme, slide a w-window, keep the min with
+    rightmost-tie (robust winnowing), return the distinct
+    (hash, pos) set."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens_list[i : i + 3]) for i in range(len(tokens_list) - 2)
+    ]
+    hs = [
+        int(hashlib.md5(f"{seed}:{g}".encode()).hexdigest()[:8], 16)
+        for g in grams
+    ]
+    out = set()
+    for end in range(w - 1, len(hs)):
+        best_pos, best_h = None, None
+        for p in range(end - w + 1, end + 1):  # rightmost min: <= update
+            if best_h is None or hs[p] <= best_h:
+                best_h, best_pos = hs[p], p
+        out.add((best_h, best_pos))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_winnowing_matches_reference(spark, docs_tokens):
+    """The zero-exchange array-native build must reproduce the
+    single-process robust-winnowing reference exactly — including the
+    rightmost-min tie rule on repeated-token docs (ties everywhere)."""
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    rows = [(i, " ".join(tks)) for i, tks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp_hash"], r["fp_pos"])
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    # empty docs tokenize to [''] on both sides — reference must match
+    want = set()
+    for i, tks in enumerate(docs_tokens):
+        text = " ".join(tks)
+        toks = text.lower().split(" ") if text else [""]
+        for h, p in _py_winnow(toks):
+            want.add((i, h, p))
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=8)
+)
+@_SETTINGS
+def test_unimax_matches_reference(spark, sizes):
+    """UniMax allocation must equal the single-process waterfilling
+    reference: Σ = min(B, Σcap), alloc ≤ cap, uniform level for the
+    uncapped set with Hamilton-style +1 remainders."""
+    from iot_temp_data_pipeline_spark.operators.mixture import (
+        mixture_unimax_allocation,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * n), f"s{i:02d}") for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r["allocated_tokens"]
+        for r in mixture_unimax_allocation(docs).collect()
+    }
+    caps = sorted(
+        ((4 * n, f"s{i:02d}") for i, n in enumerate(sizes)),
+    )
+    budget = sum(sizes) // 2
+    n_src = len(sizes)
+    alloc = {}
+    spent = 0
+    remaining = list(caps)
+    # waterfill ascending by cap
+    for idx, (cap, name) in enumerate(caps):
+        if cap * (n_src - idx) <= budget - spent:
+            alloc[name] = cap
+            spent += cap
+        else:
+            unc = caps[idx:]
+            level, rem = divmod(budget - spent, len(unc))
+            for j, (_, nm) in enumerate(unc):
+                alloc[nm] = level + (1 if j < rem else 0)
+            break
+    assert got == alloc
+    assert sum(got.values()) == min(budget, sum(c for c, _ in caps))

@@ -97,3 +97,12 @@ def sql_exact_stddev(col: str, scale: int = 100) -> str:
         f" / (CAST(COUNT({col}) AS DOUBLE) * (CAST(COUNT({col}) AS DOUBLE) - 1)))"
         f" / {scale}.0 END"
     )
+
+
+def bit_length_col(c: Column) -> Column:
+    """floor(log2(x)) + 1 of a positive integer column, via base-2
+    string length — the libm-free floor-log2 building block the
+    surprisal operators share (exact and engine-portable: DuckDB's
+    twin is length(bin(x)); a true log2 would ride libm, whose last
+    bits differ across engines)."""
+    return F.length(F.conv(c.cast("string"), 10, 2))

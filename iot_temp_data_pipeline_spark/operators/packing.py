@@ -519,16 +519,23 @@ def batch_contamination_audit(
         F.col("batch_id").alias("batch_b"),
     )
     placed = pairs.select("doc_a", "doc_b").join(pa, "doc_a").join(pb, "doc_b")
+    # coalesce(…, 0): SUM over zero rows is NULL in Spark while the
+    # DuckDB twin COALESCEs — a clean corpus with no near-dup pairs
+    # must read (0, 0, 0, 0) in both engines (review r10).
     return placed.agg(
         F.count("*").alias("n_pairs"),
-        F.sum(
-            (F.col("shard_a") == F.col("shard_b")).cast("long")
+        F.coalesce(
+            F.sum((F.col("shard_a") == F.col("shard_b")).cast("long")),
+            F.lit(0),
         ).alias("co_shard_pairs"),
-        F.sum(
-            (
-                (F.col("shard_a") == F.col("shard_b"))
-                & (F.col("batch_a") == F.col("batch_b"))
-            ).cast("long")
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("shard_a") == F.col("shard_b"))
+                    & (F.col("batch_a") == F.col("batch_b"))
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("co_batch_pairs"),
     ).select(
         "n_pairs",

@@ -616,6 +616,15 @@ def winnowing_overlap_pairs(
         )
     if pairs is None:
         pairs = winnowing_pair_index(fp, max_fp_df, min_shared)
+    elif (max_fp_df, min_shared) != (WINNOW_MAX_FP_DF, WINNOW_MIN_SHARED):
+        # a prebuilt pair table bakes in ITS build parameters — silently
+        # ignoring different ones here would return pairs below the
+        # requested threshold (review r10; fail loudly instead)
+        raise ValueError(
+            "winnowing_overlap_pairs: max_fp_df/min_shared are fixed by "
+            "the prebuilt `pairs` table — rebuild the index with the "
+            "desired parameters instead of passing overrides here"
+        )
     counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     ca, cb = counts.alias("ca"), counts.alias("cb")
     return (
@@ -706,13 +715,19 @@ def winnowing_incremental_overlap(
     hist_counts = hist.groupBy("doc_id").agg(
         F.count("*").alias("n_fp_h")
     ).withColumnRenamed("doc_id", "hist_id")
+    # No broadcast hints on the count joins (review r10): hist_counts
+    # is |history|-doc-sized and inc_counts |increment|-sized — forcing
+    # either to the driver contradicts this operator's own scale
+    # contract. The matches table is report-bounded (pairs sharing ≥
+    # min_shared fps), so AQE converts these joins to broadcasts at
+    # runtime when — and only when — the small side is actually small.
     best = (
         inc.join(hist_pruned, "fp_hash")
         .groupBy("doc_id", "hist_id")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
-        .join(F.broadcast(hist_counts), "hist_id")
-        .join(F.broadcast(inc_counts), "doc_id")
+        .join(hist_counts, "hist_id")
+        .join(inc_counts, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_hist_matches"),
@@ -723,7 +738,7 @@ def winnowing_incremental_overlap(
         )
     )
     return (
-        inc_counts.join(F.broadcast(best), "doc_id", "left")
+        inc_counts.join(best, "doc_id", "left")
         .select(
             "doc_id",
             "n_fp",
@@ -984,6 +999,8 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
 
     Output per lang: (lang, n_docs, n_tokens, total_bits,
     mean_centibits)."""
+    from ..functions.stats import bit_length_col as bitlen
+
     tl = (
         docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term", "lang")
@@ -991,7 +1008,6 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     )
     vocab = tl.groupBy("term").agg(F.sum("k").alias("tc"))
     total = vocab.agg(F.sum("tc").alias("n_total"))
-    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
     scored = (
         tl.join(vocab, "term")
         .crossJoin(F.broadcast(total))
@@ -1075,7 +1091,6 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
     a zero-shuffle map + one per-doc aggregate. Docs with < 2 tokens
     have no bigrams and emit nothing (below any LM gate's scope).
     Output: (doc_id, lang, n_bigrams, total_bits, mean_centibits)."""
-    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
     bg_rows = (
         docs.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
         .select(
@@ -1086,13 +1101,7 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
         .persist()
     )
     c2 = bg_rows.groupBy("bg").agg(F.count("*").alias("c2"))
-    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
-    bits = c2.select(
-        "bg",
-        (
-            bitlen(F.sum("c2").over(w1win)) - bitlen(F.col("c2"))
-        ).alias("bits"),
-    )
+    bits = bigram_bits_from_counts(c2).select("bg", "bits")
     # Broadcast only the NONZERO bits rows (bits = 0 ⇔ bitlen(c1) ==
     # bitlen(c2), which covers every singleton bigram with a
     # near-singleton context — the bulk of a heavy-tailed vocabulary)
@@ -1112,6 +1121,25 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
             "total_bits",
             F.expr("div(100 * total_bits, n_bigrams)").alias("mean_centibits"),
         )
+    )
+
+
+def bigram_bits_from_counts(c2: DataFrame) -> DataFrame:
+    """(bg, c2, bits) from a merged (bg, c2) bigram-count model: the
+    conditional floor-log2 bits derivation — context counts are a
+    window over the VOCAB-sized model keyed by the context token,
+    never a corpus exchange. Shared by the batch gate above and its
+    streamed-partials twin (plans/streaming_specs), so the two can
+    never diverge on the bit scheme (review r10)."""
+    from ..functions.stats import bit_length_col
+
+    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
+    return c2.select(
+        "bg",
+        "c2",
+        (
+            bit_length_col(F.sum("c2").over(w1win)) - bit_length_col(F.col("c2"))
+        ).alias("bits"),
     )
 
 

@@ -288,6 +288,36 @@ def bm25_postings(corpus: DataFrame) -> DataFrame:
     return tf.join(w, "term").select("doc_id", "dl", "term", "tf", "w")
 
 
+def _cached_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached BM25 inverted index — one cache key, one
+    build lambda, shared by every consumer (bm25_topk, the impact-
+    pruned variants, hybrid fusion) so the index can never fork."""
+    return _cached_index(
+        spark,
+        "_sg_bm25_index",
+        os.path.abspath(sf_dir),
+        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
+    )
+
+
+def _cached_bm25_avgdl(
+    spark: SparkSession, sf_dir: str, postings: DataFrame
+) -> DataFrame:
+    """avgdl is a TABLE STATISTIC of the postings index (Lucene stores
+    it in segment metadata) — cached alongside the index (r10) instead
+    of re-running a postings-wide groupBy(doc_id) exchange on every
+    serve call. One definition site (review r10): the statistic and
+    its cache key can never diverge between consumers."""
+    return _cached_index(
+        spark,
+        "_sg_bm25_avgdl",
+        os.path.abspath(sf_dir),
+        lambda: postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")),
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -306,25 +336,8 @@ def bm25_topk(
     DuckDB oracle reproduces bit-for-bit — no float summation order
     anywhere. Work is Σ_term df_q·df (inverted-index sparsity + df cap),
     never O(Q·N); the query side broadcasts (1/query_mod of the corpus)."""
-    postings = _cached_index(
-        spark,
-        "_sg_bm25_index",
-        os.path.abspath(sf_dir),
-        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
-    )
-    # avgdl is a TABLE STATISTIC of the postings index (Lucene stores
-    # it in segment metadata) — cache the 1-row frame alongside the
-    # index (r10) instead of re-running a postings-wide groupBy(doc_id)
-    # exchange on every serve call; bm25_topk and the hybrid fusion
-    # both pay it otherwise.
-    avg = _cached_index(
-        spark,
-        "_sg_bm25_avgdl",
-        os.path.abspath(sf_dir),
-        lambda: postings.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")),
-    )
+    postings = _cached_bm25_postings(spark, sf_dir)
+    avg = _cached_bm25_avgdl(spark, sf_dir, postings)
     qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")
     )
@@ -499,20 +512,8 @@ def bm25_impact_postings(
     (broadcast), one window per term (the index's own exchange — at
     scale this IS the index build's sort order, paid at write time),
     deterministic integer contributions throughout."""
-    postings = _cached_index(
-        spark,
-        "_sg_bm25_index",
-        os.path.abspath(sf_dir),
-        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
-    )
-    avg = _cached_index(
-        spark,
-        "_sg_bm25_avgdl",
-        os.path.abspath(sf_dir),
-        lambda: postings.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.expr("div(1000 * sum(dl), count(*))").alias("a_milli")),
-    )
+    postings = _cached_bm25_postings(spark, sf_dir)
+    avg = _cached_bm25_avgdl(spark, sf_dir, postings)
     base = postings.crossJoin(F.broadcast(avg)).select(
         "doc_id",
         "term",
@@ -547,12 +548,7 @@ def bm25_impact_topk(
     functions of the corpus), so the DuckDB twin reproduces the
     approximation bit-for-bit; the approximation QUALITY is measured
     by bm25_impact_recall against the unpruned ranking."""
-    postings = _cached_index(
-        spark,
-        "_sg_bm25_index",
-        os.path.abspath(sf_dir),
-        lambda: bm25_postings(dedup_corpus(spark, sf_dir)),
-    )
+    postings = _cached_bm25_postings(spark, sf_dir)
     pruned = bm25_impact_postings(spark, sf_dir, m)
     qp = postings.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")

@@ -1043,10 +1043,11 @@ _DRIVER_VERIFIED_R09 = {
 # r9 #5), the exact-⌊n²/2⌋ footrule normalization (VALUES change for
 # odd-n shards), and the boost_permille denominator guard. Plus
 # matryoshka_recall_sweep — its r9 fused-kernel rework was trimmed
-# from _CHANGED_R09 (VERDICT r9 #5 asks it fronted). Plus the three
-# new delta-crawl winnowing queries. Kept at 13 so the remaining ~37
-# driver slots burn down the 54 r4-and-older stale rows (VERDICT r9
-# #4) stalest-first.
+# from _CHANGED_R09 (VERDICT r9 #5 asks it fronted). Plus the round's
+# nine new queries. 21 entries total, so a ~50-row driver sample
+# leaves ~29 slots for the 54 r4-and-older stale rows (VERDICT r9 #4)
+# stalest-first — the burn-down completes next round; coverage growth
+# was weighted over staleness this round.
 _CHANGED_R10 = [
     # new this round (no driver row yet)
     "dedup_winnowing_pair_index",

@@ -1763,7 +1763,20 @@ def _streaming_winnowing_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hist_set, "fp_hash", "left_anti")
     )
     run_available_now(novel, f"{work}/sink", f"{work}/ckpt")
-    sunk = spark.read.parquet(f"{work}/sink")
+    # an increment whose docs ALL duplicate history writes zero novel
+    # rows (no parquet files at all) — read with an explicit schema and
+    # fall back to an empty frame so the all-zero novelty report still
+    # comes out (review r10)
+    import os as _os
+
+    sink_schema = "doc_id long, fp_hash long"
+    if any(
+        f.endswith(".parquet")
+        for f in (_os.listdir(f"{work}/sink") if _os.path.isdir(f"{work}/sink") else [])
+    ):
+        sunk = spark.read.schema(sink_schema).parquet(f"{work}/sink")
+    else:
+        sunk = spark.createDataFrame([], sink_schema)
     novel_counts = sunk.groupBy("doc_id").agg(
         F.countDistinct("fp_hash").alias("n_novel_fp")
     )
@@ -1874,6 +1887,10 @@ def _streaming_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("bg"))
             .groupBy("bg")
             .agg(F.count("*").alias("cnt"))
+            # batch_id provenance, the file's mergeable-partials
+            # convention (cms/hll partials) — merge ignores it, debug
+            # attribution needs it
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(sink)
         )
@@ -1888,16 +1905,10 @@ def _streaming_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         spark.read.parquet(sink).groupBy("bg").agg(F.sum("cnt").alias("c2"))
     )
-    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
-    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
+    from ..operators.text_analysis import bigram_bits_from_counts
+
     digest = (
-        merged.select(
-            "bg",
-            "c2",
-            (bitlen(F.sum("c2").over(w1win)) - bitlen(F.col("c2"))).alias(
-                "bits"
-            ),
-        )
+        bigram_bits_from_counts(merged)
         .orderBy(F.col("c2").desc(), F.col("bg"))
         .limit(BIGRAM_LM_TOPN)
     )

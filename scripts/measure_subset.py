@@ -21,7 +21,10 @@ from bench import duckdb_timings  # noqa: E402
 
 
 def main() -> None:
-    names = [n for n in sys.argv[1:] if n in REGISTRY]
+    unknown = [n for n in sys.argv[1:] if n not in REGISTRY]
+    if unknown:  # fail loudly — a typo must not read as "no drift"
+        raise SystemExit(f"not in REGISTRY: {unknown}")
+    names = list(sys.argv[1:])
     n_runs = int(os.environ.get("MEASURE_N", "3"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="measure_subset")

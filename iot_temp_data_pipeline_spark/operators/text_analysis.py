@@ -680,6 +680,7 @@ def winnowing_incremental_overlap(
     max_fp_df: int = WINNOW_MAX_FP_DF,
     min_shared: int = WINNOW_MIN_SHARED,
     dup_permille: int = WINNOW_DUP_PERMILLE,
+    count_hint=None,
 ) -> DataFrame:
     """Delta-crawl winnowing overlap: probe THIS INCREMENT's documents
     (doc_id % inc_mod == 0) against the FROZEN history fingerprint
@@ -715,19 +716,23 @@ def winnowing_incremental_overlap(
     hist_counts = hist.groupBy("doc_id").agg(
         F.count("*").alias("n_fp_h")
     ).withColumnRenamed("doc_id", "hist_id")
-    # No broadcast hints on the count joins (review r10): hist_counts
-    # is |history|-doc-sized and inc_counts |increment|-sized — forcing
-    # either to the driver contradicts this operator's own scale
-    # contract. The matches table is report-bounded (pairs sharing ≥
-    # min_shared fps), so AQE converts these joins to broadcasts at
-    # runtime when — and only when — the small side is actually small.
+    # Cost-based broadcast hint on the count joins (review r10, the
+    # tfidf _query_side_hint discipline): hist_counts is |history|-doc-
+    # sized and inc_counts |increment|-sized — an UNCONDITIONAL
+    # broadcast contradicts this operator's scale contract, but below
+    # the doc-count threshold the hint saves two shuffle stages
+    # (measured 0.46 → 0.82 s at sf0.1 without it). Callers pass the
+    # corpus-statistic-backed hint; default is no hint (AQE decides —
+    # the matches side is report-bounded, so AQE broadcasts IT when
+    # genuinely small).
+    hint = count_hint if count_hint is not None else (lambda df: df)
     best = (
         inc.join(hist_pruned, "fp_hash")
         .groupBy("doc_id", "hist_id")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
-        .join(hist_counts, "hist_id")
-        .join(inc_counts, "doc_id")
+        .join(hint(hist_counts), "hist_id")
+        .join(hint(inc_counts), "doc_id")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_hist_matches"),
@@ -738,7 +743,7 @@ def winnowing_incremental_overlap(
         )
     )
     return (
-        inc_counts.join(best, "doc_id", "left")
+        inc_counts.join(hint(best), "doc_id", "left")
         .select(
             "doc_id",
             "n_fp",

@@ -29,9 +29,16 @@ def _winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-injected corpus (the frozen-index lifecycle: at 100 TB the
     history side is a written fingerprint index refreshed per snapshot,
     and the increment's fingerprints are the crawl batch's own build —
-    measured here as the probe-join cost over the cached table)."""
+    measured here as the probe-join cost over the cached table). The
+    count joins get the corpus-statistic-backed broadcast hint (the
+    tfidf _query_side_hint discipline)."""
+    from ..operators.tfidf import _query_side_hint
+
     return shape(
-        ta.winnowing_incremental_overlap(ta.cached_winnowing_fps(spark, sf_dir)),
+        ta.winnowing_incremental_overlap(
+            ta.cached_winnowing_fps(spark, sf_dir),
+            count_hint=_query_side_hint(spark, sf_dir),
+        ),
         WINNOW_INC_SPEC,
     )
 

@@ -189,6 +189,10 @@ HEADLINE_EXTRA = [
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
     # upsert_merge rule); correctness + the 100x probe cover it.
+    # round-11 addition: the delta-crawl end-to-end flagship (its
+    # streamed twin streaming_corpus_refresh follows the same
+    # streamed-no-bench rule as above)
+    "corpus_refresh_report",
 ]
 
 
@@ -271,6 +275,13 @@ CACHE_CONSUMING = sorted(
         # r9: consumes the session-cached exhaustive-MaxSim ground truth
         # (colbert_maxsim_topk keeps the exhaustive build measured)
         "maxsim_pooled_recall",
+        # r11: serves the frozen history artifacts (hash set, pruned
+        # fingerprint index, bigram model) + the cached pair table;
+        # the builds stay measured via doc_fingerprints_winnowing /
+        # dedup_winnowing_pair_index / streaming_bigram_lm_partials'
+        # batch kernel — its measured wall is the per-crawl probe
+        # cost, the thing a refresh pays daily
+        "corpus_refresh_report",
     }
 )
 

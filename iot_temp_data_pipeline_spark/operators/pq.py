@@ -666,6 +666,198 @@ def knn_ivfpq(
     )
 
 
+# Residual IVF-PQ (VERDICT r10 #6) --------------------------------------
+
+
+def _unit_centroids(cent: DataFrame) -> DataFrame:
+    """(cell_id, ucvec): the coarse centroids re-quantized onto the
+    UNIT_SCALE grid with the exact _with_unit rule, so residuals are
+    int64 subtractions on the SAME grid as the vectors."""
+    uc = F.transform(
+        F.col("c_qvec"),
+        lambda v: F.round(
+            v.cast("double") * UNIT_SCALE / F.sqrt(F.col("c_qnorm2").cast("double"))
+        ).cast("long"),
+    )
+    return cent.select("cell_id", uc.alias("ucvec"))
+
+
+def residual_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, Codebook, DataFrame, DataFrame, DataFrame]:
+    """Session-cached RESIDUAL IVF-PQ index build — the actual FAISS
+    IVFADC (Jégou et al. 2011 §IV.B): codes quantize the residual
+    ``uvec − ucent(cell)`` instead of the raw unit vector, coupling the
+    codebook to the coarse quantizer. Residuals concentrate near the
+    origin (the coarse step removed the cell mean), so the same
+    M·NCENT codebook budget spends its codes on a tighter distribution
+    — the accuracy the paper buys with this coupling.
+
+    Returns (codes+cells, codebook, centroid table, unit centroids,
+    unit corpus). Build shape: cell assignment and unit-normalize are
+    the cached map-side passes (ivf_index / train_codebook); residuals
+    are one broadcast join against the ~√N centroid table + a zip_with
+    — no new corpus exchange; seeding/refinement/encoding reuse the
+    raw-PQ machinery verbatim on the residual frame (same seed rule,
+    same Lloyd step, same int64 kernels), so determinism and the
+    oracle contract carry over unchanged."""
+    from ..sources.catalog import session_cache
+    from .similarity import (
+        MATMUL_ASSIGN_MIN_N,
+        adaptive_centroid_mod,
+        ivf_index,
+        quantized_corpus,
+    )
+
+    cache = session_cache(spark, "_sg_ivfpq_residual_cache")
+    key = os.path.abspath(sf_dir)
+    hit = cache.get(key)
+    if hit is None:
+        _, n = quantized_corpus(spark, sf_dir)
+        centroid_mod = adaptive_centroid_mod(n)
+        assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+        assigned, cent = ivf_index(spark, sf_dir, centroid_mod, assign)
+        q, _ = train_codebook(spark, sf_dir)
+        ucent = _unit_centroids(cent).localCheckpoint(eager=True)
+        res = (
+            q.select("vec_id", "uvec")
+            .join(assigned.select("vec_id", "cell_id"), "vec_id")
+            .join(F.broadcast(ucent), "cell_id")
+            .select(
+                "vec_id",
+                "cell_id",
+                F.zip_with(
+                    "uvec", "ucvec", lambda a, b: a - b
+                ).alias("uvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cb = _refine(res, _seed_codebook(res))
+        enc = (
+            pq_encode(res, cb)
+            .join(res.select("vec_id", "cell_id"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        hit = (enc, cb, cent, ucent, q)
+        cache[key] = hit
+    return hit
+
+
+def knn_ivfpq_residual(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+    n_probe: int = IVFPQ_N_PROBE,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ search: probe selection is identical to
+    :func:`knn_ivfpq` (exact-int cosine to the coarse centroids, top
+    ``n_probe``); ADC then scores each probed candidate against the
+    QUERY'S RESIDUAL IN THAT CELL — the LUT is per (query, probed
+    cell), Q·n_probe·M·NCENT ints, still query-side-bounded (the
+    brute-force broadcast contract; the per-cell centroid rows are
+    collected via the probes join, Q·n_probe rows, never the ~√N
+    centroid table). Candidate-side work is unchanged: M int64 LUT
+    gathers per 8-byte code row. Output schema and plan shape match
+    knn_ivfpq exactly (broadcast probe join into the code scan → Arrow
+    LUT kernel → per-query top-k window); only the LUT contents — and
+    therefore the accuracy — differ."""
+    enc, cb, cent, ucent, q = residual_pq_index(spark, sf_dir)
+
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+        F.col("uvec").alias("q_uvec"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        qcosine(
+            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
+        ).alias("p_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cell_id").alias("q_cell"))
+    )
+    cand = enc.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+    import numpy as np
+
+    q_rows = queries.select("query_id", "q_uvec").collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            schema="query_id long, neighbor_id long, adc_dist long,"
+            " rank long",
+        )
+    quv = {int(r["query_id"]): np.asarray(r["q_uvec"], dtype=np.int64) for r in q_rows}
+    # per-(query, probed cell) residual LUTs: Q·n_probe rows collected
+    pc_rows = (
+        probes.join(ucent, probes["q_cell"] == ucent["cell_id"])
+        .select("query_id", "q_cell", "ucvec")
+        .collect()
+    )
+    pcidx: dict[tuple[int, int], int] = {}
+    luts = np.full((len(pc_rows), M, NCENT), 2**62, dtype=np.int64)
+    cbm = {j: dict(cb[j]) for j in range(M)}
+    for i, row in enumerate(pc_rows):
+        qid, cid = int(row["query_id"]), int(row["q_cell"])
+        pcidx[(qid, cid)] = i
+        qres = quv[qid] - np.asarray(row["ucvec"], dtype=np.int64)
+        for j in range(M):
+            sub = qres[j * SUBDIM : (j + 1) * SUBDIM]
+            for code, centv in cbm[j].items():
+                diff = sub - np.asarray(centv, dtype=np.int64)
+                luts[i, j, code] = int((diff * diff).sum())
+    bc = spark.sparkContext.broadcast((pcidx, luts))
+
+    def score(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
+
+        pcidx, luts = bc.value
+        jdx = np.arange(M)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = pdf[[f"c{j}" for j in range(M)]].to_numpy(dtype=np.int64)
+            li = np.fromiter(
+                (
+                    pcidx[(int(a), int(b))]
+                    for a, b in zip(pdf["query_id"], pdf["cell_id"])
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            d = luts[li[:, None], jdx, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "adc_dist": d,
+                }
+            )
+
+    scored = cand.select(
+        "query_id", "cell_id", "vec_id", *[f"c{j}" for j in range(M)]
+    ).mapInPandas(score, schema="query_id long, neighbor_id long, adc_dist long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # SQL twins ------------------------------------------------------------
 #
 # The oracle recomputes the ENTIRE pipeline — seeds, refinement, encode,
@@ -828,6 +1020,100 @@ def knn_ivfpq_sql(k: int = PQ_K) -> str:
         SELECT query_id, neighbor_id, adc_dist, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
         FROM ivfpq_pairs
+    ) r
+    WHERE rank <= {k}
+) s"""
+
+
+def residual_cte_sql() -> str:
+    """Residual-IVFADC CTEs (expects QUANT_SQL + pq_cte_sql +
+    ivfpq_cte_sql in scope — reuses ``unormed``/``seeds``/
+    ``ivf_centroids``/``ivf_assigned``/``ivfpq_probes``): the residual
+    chain mirrors the raw chain stage for stage — residuals vs the
+    unit-requantized cell centroid, SAME seed vec_ids (the rule selects
+    by id, not value), one Lloyd step on residual subvectors, encode,
+    per-(query, probed cell) query residuals, ADC. All int64."""
+    dim = M * SUBDIM
+    floor_cents = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(sub[{d + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for d in range(SUBDIM)
+    )
+    res_list = (
+        f"list_transform(generate_series(1, {dim}),"
+        " i -> u.uvec[i] - c.ucvec[i])"
+    )
+    return f"""
+r_ucent AS (
+    SELECT cell_id,
+        list_transform(qvec, v -> CAST(ROUND(
+            CAST(v AS DOUBLE) * {UNIT_SCALE} / sqrt(CAST(qnorm2 AS DOUBLE))
+        ) AS BIGINT)) AS ucvec
+    FROM ivf_centroids
+),
+r_res AS (
+    SELECT u.vec_id, a.cell_id, {res_list} AS uvec
+    FROM unormed u
+    JOIN ivf_assigned a ON a.vec_id = u.vec_id
+    JOIN r_ucent c ON c.cell_id = a.cell_id
+),
+r_subs AS (
+    SELECT vec_id, cell_id, j,
+        list_slice(uvec, j * {SUBDIM} + 1, j * {SUBDIM} + {SUBDIM}) AS sub
+    FROM r_res, (SELECT unnest(generate_series(0, {M - 1})) AS j) js
+),
+r_cb0 AS (
+    SELECT s.j, se.code, s.sub AS cent
+    FROM r_subs s JOIN seeds se USING (vec_id)
+),
+r_assign0 AS (
+    SELECT s.vec_id, s.j, s.sub, c.code,
+           {_sql_sub_l2("s.sub", "c.cent")} AS dist
+    FROM r_subs s JOIN r_cb0 c ON s.j = c.j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                               ORDER BY dist, c.code) = 1
+),
+r_refined AS (
+    SELECT j, code, [{floor_cents}] AS cent
+    FROM r_assign0 GROUP BY j, code
+),
+r_encode AS (
+    SELECT s.vec_id, s.cell_id, s.j, r.code,
+           {_sql_sub_l2("s.sub", "r.cent")} AS dist
+    FROM r_subs s JOIN r_refined r ON s.j = r.j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                               ORDER BY dist, r.code) = 1
+),
+r_qres AS (
+    SELECT p.query_id, p.q_cell, {res_list} AS uvec
+    FROM ivfpq_probes p
+    JOIN unormed u ON u.vec_id = p.query_id
+    JOIN r_ucent c ON c.cell_id = p.q_cell
+),
+r_qsubs AS (
+    SELECT query_id, q_cell, j,
+        list_slice(uvec, j * {SUBDIM} + 1, j * {SUBDIM} + {SUBDIM}) AS sub
+    FROM r_qres, (SELECT unnest(generate_series(0, {M - 1})) AS j) js
+),
+r_pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           SUM({_sql_sub_l2("q.sub", "r.cent")}) AS adc_dist
+    FROM r_qsubs q
+    JOIN r_encode e ON e.cell_id = q.q_cell AND e.j = q.j
+        AND e.vec_id <> q.query_id
+    JOIN r_refined r ON r.j = e.j AND r.code = e.code
+    GROUP BY q.query_id, e.vec_id
+)"""
+
+
+def knn_ivfpq_residual_sql(k: int = PQ_K) -> str:
+    """Final subselect over pq_cte_sql + ivfpq_cte_sql +
+    residual_cte_sql."""
+    return f"""(
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM r_pairs
     ) r
     WHERE rank <= {k}
 ) s"""

@@ -526,10 +526,26 @@ def winnowing_pair_index(
     aggregate (MOSS drops widely-shared fingerprints — and it bounds
     in-bucket fan-out at C(max_fp_df, 2), never corpus²); in-bucket
     i<j pairs are emitted array-side as (doc_a, doc_b) structs, then
-    one count aggregate. Two exchanges total. (A packed-int64 pair key
+    one count aggregate. (A packed-int64 pair key
     measured ~0.07 s faster locally but requires doc_id < 2³¹ — the
     100× probe's key-shifted ids already exceed that, so the struct
-    key is the scale-correct form.)"""
+    key is the scale-correct form.)
+
+    MEASURED AND REJECTED (VERDICT r10 #3, the span-build precedent):
+    a count-first bucket prune — groupBy(fp_hash) COUNT, filter to
+    [2, max_fp_df], semi-join before the collect_list exchange — read
+    16.82 s / 13.8× at the 100× probe vs this single-pass form's
+    10.37 s / 9.9× (r10). The probe's token-suffixed replicas keep
+    duplication LOW, so the prune's pre-exchange drop only removes
+    singleton-bucket rows while adding a second full fp pass whose
+    partial-count shuffle is ~|distinct fp_hash| ≈ ~|fp| rows (hashes
+    spread across partitions, so map-side combine collapses almost
+    nothing). The prune only wins when duplication multiplies bucket
+    sizes past max_fp_df — a corpus regime the boilerplate cap already
+    makes rare by construction. The single-pass form is the bound: all
+    four stage terms (fp exchange, collect_list, C(size,2) pair
+    emission, pair-count exchange) scale linearly with corpus size for
+    an EXACT pair table; see SCALE.md round-11 for the arithmetic."""
     pair_arr = F.flatten(
         F.transform(
             F.col("ds"),
@@ -586,6 +602,7 @@ def winnowing_overlap_pairs(
     min_shared: int = WINNOW_MIN_SHARED,
     fp: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    count_hint=None,
 ) -> DataFrame:
     """MOSS-style overlap report: document pairs sharing ≥
     ``min_shared`` winnowing fingerprints, with per-side fingerprint
@@ -603,7 +620,8 @@ def winnowing_overlap_pairs(
     (pass ``fp`` = ``cached_winnowing_fps`` and ``pairs`` =
     ``cached_winnowing_pairs`` to reuse them — the substring family's
     build/serve split): the report itself is then two |docs|-sized
-    broadcast count-joins plus a projection. With only ``fp``, the pair
+    count-joins (broadcast below the caller's ``count_hint`` threshold)
+    plus a projection. With only ``fp``, the pair
     index is built inline via :func:`winnowing_pair_index`."""
     if fp is None:
         if docs is None:
@@ -625,11 +643,19 @@ def winnowing_overlap_pairs(
             "the prebuilt `pairs` table — rebuild the index with the "
             "desired parameters instead of passing overrides here"
         )
+    # Cost-based hint on the per-doc count joins (ADVICE r10 — the
+    # winnowing_incremental_overlap / tfidf _query_side_hint
+    # discipline): ca/cb are |docs|-sized, so an UNCONDITIONAL
+    # broadcast violates the operator's scale contract at large corpus
+    # sizes. Callers pass the corpus-statistic-backed hint; default is
+    # identity (AQE decides — the pairs side is report-bounded, so AQE
+    # broadcasts IT when genuinely small).
+    hint = count_hint if count_hint is not None else (lambda df: df)
     counts = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     ca, cb = counts.alias("ca"), counts.alias("cb")
     return (
-        pairs.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        pairs.join(hint(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(hint(cb), F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -1182,6 +1208,151 @@ def bigram_surprisal_per_doc_sql(source: str = "documents") -> str:
     FROM bs_doc_bg d JOIN bs_bits b USING (bg)
     GROUP BY 1, 2
 ) bs"""
+
+
+# ------------------------- add-one-smoothed trigram LM (VERDICT r10 #5)
+
+def trigram_surprisal_per_doc(
+    docs: DataFrame, model_docs: DataFrame
+) -> DataFrame:
+    """Per-document surprisal under an ADD-ONE-SMOOTHED trigram model —
+    the smoothed-LM upgrade of :func:`bigram_surprisal_per_doc`
+    (VERDICT r10 #5). CCNet's quality gate (Wenzek et al. 2020) scores
+    NEW text under a smoothed reference n-gram LM; the raw-count bigram
+    form can only score text against a model that contains every one of
+    its n-grams (self-scoring) or exclude OOV n-grams from the mean
+    (the refresh gate's ``n_oov`` story). Smoothing closes that gap:
+    EVERY trigram of the scored side gets a finite surprisal, unseen
+    ones included, so the mean is over all of them.
+
+    Exact-integer smoothing (the floor-log2 discipline, so the DuckDB
+    twin is bit-exact — the reason add-one is chosen over Kneser-Ney /
+    absolute discounting, whose fractional discounts would ride floats):
+
+        p(w3 | w1 w2) = (c3 + 1) / (c12 + V)
+        bits          = bitlen(c12 + V) − bitlen(c3 + 1)
+
+    with c3 the model's trigram count, c12 = Σ c3 over the context
+    (w1 w2), and V the model's distinct-unigram vocabulary size. The
+    three cases collapse into ONE expression via coalesce: seen trigram
+    (c3, c12 from the model), unseen trigram in a seen context (c3→0),
+    unseen context (c3→0, c12→0 — p = 1/V, the uniform prior). bits ≥ 0
+    always, since c12 + V ≥ c3 + 1.
+
+    Plan shape: the trigram model (c3) is one map-side-combined
+    groupBy over the MODEL side; context totals are a second
+    vocab-sized aggregate of c3 (never a corpus exchange); V is a
+    1-row aggregate cross-joined broadcast (the anomaly-pipeline J1
+    pattern). Scoring joins the two vocab-bounded model tables onto the
+    scored side's trigram stream — broadcast locally; at a 100 TB
+    vocabulary both flip to bucketed shuffle joins on the model tables
+    (the tfidf postings posture) — then one per-doc aggregate. Docs
+    with < 3 tokens emit nothing (no trigram is in any LM gate's
+    scope). Output: (doc_id, n_trigrams, n_unseen, total_bits,
+    mean_centibits)."""
+    from ..functions.stats import bit_length_col
+
+    md_tok = model_docs.select(tokens(F.col("text")).alias("tk"))
+    c3 = (
+        md_tok.select(F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx_of = lambda c: F.array_join(F.slice(F.split(c, " "), 1, 2), " ")  # noqa: E731
+    ctx = c3.groupBy(ctx_of(F.col("tg")).alias("ctx")).agg(
+        F.sum("c3").alias("c12")
+    )
+    vsz = md_tok.select(F.explode("tk").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    sc = docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg")
+    )
+    return (
+        sc.join(F.broadcast(c3), "tg", "left")
+        .join(
+            F.broadcast(ctx), ctx_of(F.col("tg")) == F.col("ctx"), "left"
+        )
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.col("c3").isNull().cast("long").alias("unseen"),
+            (
+                bit_length_col(F.coalesce("c12", F.lit(0)) + F.col("v"))
+                - bit_length_col(F.coalesce("c3", F.lit(0)) + F.lit(1))
+            ).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("unseen").alias("n_unseen"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_unseen",
+            "total_bits",
+            F.expr("div(100 * total_bits, n_trigrams)").alias(
+                "mean_centibits"
+            ),
+        )
+    )
+
+
+def trigram_surprisal_sql(
+    source: str = "documents", inc_mod: int = WINNOW_INC_MOD
+) -> str:
+    """DuckDB twin of :func:`trigram_surprisal_per_doc` with the
+    standard increment/history split: score ``doc_id % inc_mod == 0``
+    under the model built from the rest."""
+    tg_expr = (
+        "unnest(list_transform("
+        "generate_series(1, greatest(len(tk) - 2, 0)),"
+        " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg"
+    )
+    ctx_expr = "array_to_string(list_slice(string_split({0}, ' '), 1, 2), ' ')"
+    return f"""(
+    WITH ts_md AS (
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM {source} WHERE doc_id % {inc_mod} != 0
+    ),
+    ts_c3 AS (
+        SELECT tg, COUNT(*) AS c3
+        FROM (SELECT {tg_expr} FROM ts_md) GROUP BY 1
+    ),
+    ts_ctx AS (
+        SELECT {ctx_expr.format("tg")} AS ctx, SUM(c3) AS c12
+        FROM ts_c3 GROUP BY 1
+    ),
+    ts_v AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(tk) AS w FROM ts_md)
+    ),
+    ts_sc AS (
+        SELECT doc_id, {tg_expr} FROM (
+            SELECT doc_id,
+                regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM {source} WHERE doc_id % {inc_mod} = 0
+        ) t
+    ),
+    ts_scored AS (
+        SELECT s.doc_id,
+            CASE WHEN m.tg IS NULL THEN 1 ELSE 0 END AS unseen,
+            length(bin(COALESCE(x.c12, 0) + v.v))
+                - length(bin(COALESCE(m.c3, 0) + 1)) AS bits
+        FROM ts_sc s
+        LEFT JOIN ts_c3 m USING (tg)
+        LEFT JOIN ts_ctx x ON {ctx_expr.format("s.tg")} = x.ctx
+        CROSS JOIN ts_v v
+    )
+    SELECT doc_id,
+        COUNT(*) AS n_trigrams,
+        SUM(unseen) AS n_unseen,
+        SUM(bits) AS total_bits,
+        (100 * SUM(bits)) // COUNT(*) AS mean_centibits
+    FROM ts_scored GROUP BY 1
+) ts"""
 
 
 # --------------------------------------------------- corpus data card

@@ -607,6 +607,75 @@ def bm25_impact_recall(
     )
 
 
+# --------------------------------- cost-routed BM25 serve default
+
+# Scored-pair budget for the EXACT serve (VERDICT r10 #2): the exact
+# inverted-index join does Σ_term df(term)·df_q(term) work; the
+# impact-pruned serve bounds it at Σ_term min(df, m)·df_q at a
+# measured recall (the bm25_impact_recall dial). Routing threshold:
+# 10⁸ scored pairs ≈ 88× the sf0.1 workload (measured 1.14e6 pairs →
+# 0.65 s on local[32]; linear extrapolation puts 10⁸ near ~50 s
+# locally, ~fractions of a second per executor on a 1000-executor
+# cluster) — the point where the exact serve's latency materially
+# exceeds the pruned serve plus its recall audit. The 100× grown-Q
+# probe (queries AND corpus ×100 → 10⁴× pair work ≈ 1.3e10) routes to
+# the impact serve, whose measured slope is 12.8× vs the exact
+# serve's 21.5× under the same protocol.
+BM25_EXACT_PAIRWORK_MAX = 100_000_000
+
+
+def _cached_bm25_pairwork(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100
+) -> int:
+    """Session-cached scored-pair work statistic of the exact BM25
+    serve: Σ_term df·df_q over the postings index — a TABLE STATISTIC
+    like avgdl (one aggregate riding the cached index, collected as a
+    single driver-side long; the ANALYZE lifecycle, not a hot-path
+    collect)."""
+    from ..sources.catalog import session_cache
+
+    cache = session_cache(spark, "_sg_bm25_pairwork")
+    key = (os.path.abspath(sf_dir), query_mod)
+    if key not in cache:
+        postings = _cached_bm25_postings(spark, sf_dir)
+        per_term = postings.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sum(
+                (F.col("doc_id") % query_mod == 0).cast("long")
+            ).alias("df_q"),
+        )
+        row = per_term.agg(
+            F.sum(F.col("df") * F.col("df_q")).alias("pairs")
+        ).collect()[0]
+        cache[key] = int(row["pairs"] or 0)
+    return cache[key]
+
+
+def bm25_serve_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = 5,
+    m: int = BM25_IMPACT_M,
+) -> DataFrame:
+    """The BM25 serve DEFAULT: cost-routed between the exact serve
+    (:func:`bm25_topk`) and the impact-pruned serve
+    (:func:`bm25_impact_topk`) on the cached Σ df·df_q work statistic
+    — the same decide-by-table-statistic discipline as
+    ``_query_side_hint``. Below ``BM25_EXACT_PAIRWORK_MAX`` the exact
+    ranking is cheap enough to be the answer; above it the per-term
+    m-bounded index serves, with :func:`bm25_impact_recall` as the
+    quality dial. Every oracle-checked fixture scale (sf0.001-0.1,
+    ~1.3e4-1.3e6 pairs) routes exact — the registry row's DuckDB twin
+    pins that branch — while the impact branch is pinned by
+    bm25_impact_topk's own oracle row; both rankings are exact-integer
+    deterministic, so whichever branch the statistic selects is
+    reproducible bit-for-bit."""
+    if _cached_bm25_pairwork(spark, sf_dir, query_mod) <= BM25_EXACT_PAIRWORK_MAX:
+        return bm25_topk(spark, sf_dir, query_mod, k)
+    return bm25_impact_topk(spark, sf_dir, query_mod, k, m)
+
+
 def _bm25_impact_ctes(query_mod: int, m: int) -> str:
     """Shared CTE chain for the impact-pruned twins (expects the dedup
     CORPUS_SQL prelude): the bm25_topk_sql postings/avgdl chain plus

@@ -96,12 +96,16 @@ WINNOW_PAIRS_SPEC: ColSpec = [
 def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REPORT row: serves from both session artifacts (fingerprint
     # table for per-doc counts, pair index for the shared counts) —
-    # two broadcast joins + a projection; the builds stay measured via
+    # two count-joins (broadcast below the corpus-statistic threshold,
+    # ADVICE r10) + a projection; the builds stay measured via
     # doc_fingerprints_winnowing / dedup_winnowing_pair_index above
+    from ..operators.tfidf import _query_side_hint
+
     return shape(
         ta.winnowing_overlap_pairs(
             fp=ta.cached_winnowing_fps(spark, sf_dir),
             pairs=ta.cached_winnowing_pairs(spark, sf_dir),
+            count_hint=_query_side_hint(spark, sf_dir),
         ),
         WINNOW_PAIRS_SPEC,
     )

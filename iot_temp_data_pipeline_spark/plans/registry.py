@@ -659,6 +659,7 @@ from .extensions_r7 import EXTENSIONS_R7  # noqa: E402
 from .extensions_r8 import EXTENSIONS_R8  # noqa: E402
 from .extensions_r9 import EXTENSIONS_R9  # noqa: E402
 from .extensions_r10 import EXTENSIONS_R10  # noqa: E402
+from .extensions_r11 import EXTENSIONS_R11  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -678,6 +679,7 @@ REGISTRY.update(EXTENSIONS_R7)
 REGISTRY.update(EXTENSIONS_R8)
 REGISTRY.update(EXTENSIONS_R9)
 REGISTRY.update(EXTENSIONS_R10)
+REGISTRY.update(EXTENSIONS_R11)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
@@ -726,8 +728,16 @@ _DRIVER_VERIFIED_R0102 = {
 }
 # Queries whose latest driver row is from round 3 (CORRECTNESS_r03.json
 # keys, frozen). Together with _DRIVER_VERIFIED_R0102 this gives every
-# query a last-verified round, so the ordering can rotate FRESHNESS:
-# no query's driver row should ever go >2 rounds stale.
+# query a last-verified round, so the ordering can rotate FRESHNESS.
+# Honest restatement of the rotation bound (VERDICT r10 #1): with a
+# ~50-row driver sample and ~248 registered queries, the achievable
+# worst-case staleness is ⌈(N − changed) / (50 − changed)⌉ ≈ 5 rounds,
+# not the 2 this comment used to promise — PROVIDED staleness actually
+# dominates the rest-block ordering (fixed below: through r10 the
+# global batch-first tiebreak starved streaming rows of slots).
+# The local parity suite (tests/test_registry_parity.py) still
+# hash-checks all queries every round, so driver staleness is about
+# independent re-witness, not about anything going unverified.
 _DRIVER_VERIFIED_R03 = {
     "analyze_table_stats", "anomaly_breakdown", "anomaly_scores",
     "anomaly_scores_t2", "approx_distinct_users", "clicks_in_error_windows",
@@ -1072,6 +1082,54 @@ _CHANGED_R10 = [
     # driver row)
     "bm25_topk", "hybrid_rrf_retrieval",
 ]
+# Round-10 driver rows (CORRECTNESS_r10.json keys, frozen): every row
+# green — the 21 _CHANGED_R10 new/changed queries plus 29 staleness
+# burn-down slots.
+_DRIVER_VERIFIED_R10 = {
+    'approx_distinct_users', 'bm25_impact_recall', 'bm25_impact_topk',
+    'bm25_topk', 'bpe_encode_stats', 'bpe_merge_table',
+    'clicks_in_error_windows', 'corpus_filter_funnel', 'corpus_shuffle_manifest',
+    'curriculum_score_phases', 'datacard_rollup', 'dataloader_contamination_audit',
+    'decontaminate_bloom_prefilter', 'dedup_apply_substring_removal', 'dedup_exact_substrings',
+    'dedup_incremental_delta', 'dedup_incremental_winnowing', 'dedup_repeated_spans',
+    'dedup_winnowing_overlap', 'dedup_winnowing_pair_index', 'doc_fingerprints_winnowing',
+    'dsir_importance_weights', 'epoch_shuffle_footrule', 'events_asof_last_click',
+    'events_variant_props', 'histogram_quantile_sketch', 'hll_register_sketch',
+    'hybrid_rrf_retrieval', 'jdbc_roundtrip', 'keyword_tagging',
+    'l_diversity_audit', 'matryoshka_recall_sweep', 'mixture_temperature_weights',
+    'mixture_unimax_allocation', 'nation_priority_pivot', 'profile_events_columns',
+    'quality_bigram_surprisal', 'quality_classifier_filter', 'range_partition_audit',
+    'record_linkage_blocked', 'reshard_stability_hrw', 'semantic_dedup_keep',
+    'streaming_bigram_lm_partials', 'streaming_winnowing_novelty', 'timetravel_upsert',
+    'tokenizer_fertility', 'unigram_surprisal_bits', 'vocab_divergence_tvd',
+    'weighted_sample_topk', 'winnowing_detector_quality',
+}
+# Round-11 changed/new set (VERDICT r10 asks #2-#4 + ADVICE r10).
+# Kept deliberately SMALL: r11 is the staleness burn-down round —
+# VERDICT r10 #1 requires every one of the 25 queries whose newest
+# driver row is r3/r4 to get a fresh row, so changed+new must leave
+# ≥25 sample slots for them.
+_CHANGED_R11 = [
+    # new this round (no driver row yet): the delta-crawl composite
+    # (VERDICT r10 #4) in batch and streamed form, the add-one-smoothed
+    # trigram LM gate (VERDICT r10 #5), and the residual IVF-PQ serve
+    # (VERDICT r10 #6)
+    "corpus_refresh_report",
+    "streaming_corpus_refresh",
+    "quality_trigram_surprisal",
+    "knn_ivfpq_residual",
+    # serve-path changes needing fresh driver witness:
+    # - winnowing_overlap_pairs broadcast → cost-based hint (ADVICE r10)
+    # - bm25_topk registry row now cost-routes between the exact and
+    #   impact-pruned serves (VERDICT r10 #2)
+    # (NOT fronted: dedup_winnowing_pair_index — the VERDICT r10 #3
+    # count-first prune was measured 13.8× at 100× vs the single-pass
+    # form's 9.9× and REJECTED, so the build code is byte-identical to
+    # its r10-verified state; the irreducibility note lives in the
+    # operator docstring + SCALE.md r11)
+    "dedup_winnowing_overlap",
+    "bm25_topk",
+]
 _ROUND_SETS = [
     _DRIVER_VERIFIED_R0102,
     _DRIVER_VERIFIED_R03,
@@ -1081,25 +1139,27 @@ _ROUND_SETS = [
     _DRIVER_VERIFIED_R07,
     _DRIVER_VERIFIED_R08,
     _DRIVER_VERIFIED_R09,
+    _DRIVER_VERIFIED_R10,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R10 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R11 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
-_rest_by_staleness = sorted(
-    (n for n in REGISTRY if n not in _changed),
-    key=lambda n: _last_round.get(n, -1),
-)
 # Ordering priority (driver samples ~50 entries per round, dict order):
 # 1. queries added this round (no row anywhere),
 # 2. changed-this-round queries (hold a green row; need a fresh one),
-# 3. everything else, stalest driver row first (r1/r2 → … → r6).
+# 3. everything else, stalest driver row first (r1/r2 → … → r10).
 # Within each block batch queries precede micro-batch streaming ones
 # (fixed ~2 s harness cost each) so a time-boxed run verifies the most
-# queries per second.
+# queries per second. CRITICAL ordering fix (VERDICT r10 #1): through
+# r10 the batch-first tiebreak was applied to the WHOLE rest block, so
+# an r3-stale streaming row sorted BEHIND every batch row including
+# r9-fresh ones — exactly why the streaming family's driver rows
+# stayed stale for seven rounds. Staleness now dominates: the
+# batch-first preference applies only WITHIN a staleness level.
 
 
 def _batch_first(names):
@@ -1108,9 +1168,13 @@ def _batch_first(names):
     ]
 
 
+_rest_by_staleness = sorted(
+    (n for n in REGISTRY if n not in _changed),
+    key=lambda n: (_last_round.get(n, -1), n.startswith("streaming_")),
+)
 _order = (
     _batch_first(_new_this_round)
     + _batch_first(_changed_with_row)
-    + _batch_first(_rest_by_staleness)
+    + _rest_by_staleness
 )
 REGISTRY = {n: REGISTRY[n] for n in _order}

@@ -1947,3 +1947,104 @@ def _bigram_lm_oracle() -> str:
 STREAMING["streaming_bigram_lm_partials"] = QuerySpec(
     _streaming_bigram_lm, _bigram_lm_oracle()
 )
+
+
+# --------------------------- streamed corpus refresh (delta crawl e2e)
+
+
+def _streaming_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-refresh composition AS A STREAM (VERDICT r10 #4 —
+    the streamed twin of plans/extensions_r11's corpus_refresh_report):
+    the crawl increment (doc_id % 3 == 0 of the dup-injected corpus)
+    arrives through a parquet landing zone in micro-batches; each
+    micro-batch runs the SAME admission kernel
+    (operators/refresh.refresh_gate_report — exact-hash, winnowing
+    near-dup, history-LM surprisal, one definition site with the batch
+    row) against the FROZEN history artifacts via foreachBatch, and
+    appends its per-doc gate rows to the sink. Every gate is a pure
+    per-doc function of (doc, frozen history) and each doc lives in
+    exactly one batch, so the sink's union is batching- and
+    arrival-order-independent — the batch oracle pins the streamed
+    result exactly. The co-batch contamination audit is the finishing
+    batch query over the admitted set (refresh.attach_cobatch_flag) —
+    as in production, where the audit runs after the refresh lands and
+    before packing. At 100 TB each micro-batch pays
+    increment-proportional probe joins into written history indexes;
+    the audit is pair-table-sized."""
+    from ..operators import refresh as rfo
+    from ..operators.dedup import dedup_corpus
+    from ..operators.tfidf import _query_side_hint
+
+    hist_hashes, hist_fp_pruned, hist_fp_counts, bits = rfo.history_artifacts(
+        spark, sf_dir
+    )
+    inc = (
+        dedup_corpus(spark, sf_dir)
+        .filter(F.col("doc_id") % rfo.WINNOW_INC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    work = workdir("corprefresh")
+    inc.repartition(4).write.mode("overwrite").parquet(f"{work}/landing")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/landing")
+    )
+    sink = f"{work}/sink"
+    hint = _query_side_hint(spark, sf_dir)
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            rfo.refresh_gate_report(
+                batch_df,
+                hist_hashes,
+                hist_fp_pruned,
+                hist_fp_counts,
+                bits,
+                count_hint=hint,
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # explicit schema + empty fallback (the streaming_winnowing_novelty
+    # review-r10 convention) — an empty increment writes no files
+    import os as _os
+
+    sink_schema = (
+        "doc_id long, n_exact long, n_fp long, best_overlap_permille long,"
+        " n_bigrams long, n_oov long, mean_centibits long, action string,"
+        " batch_id long"
+    )
+    if any(
+        f.endswith(".parquet")
+        for f in (_os.listdir(sink) if _os.path.isdir(sink) else [])
+    ):
+        gate = spark.read.schema(sink_schema).parquet(sink).drop("batch_id")
+    else:
+        gate = spark.createDataFrame([], sink_schema).drop("batch_id")
+    from .extensions_r11 import REFRESH_SPEC
+
+    return shape(
+        rfo.attach_cobatch_flag(spark, sf_dir, gate, count_hint=hint),
+        REFRESH_SPEC,
+    )
+
+
+def _streaming_corpus_refresh_oracle() -> str:
+    from .extensions_r11 import EXTENSIONS_R11
+
+    return EXTENSIONS_R11["corpus_refresh_report"].oracle
+
+
+STREAMING["streaming_corpus_refresh"] = QuerySpec(
+    _streaming_corpus_refresh, _streaming_corpus_refresh_oracle()
+)

@@ -189,10 +189,14 @@ HEADLINE_EXTRA = [
     # streamed-partials query its wall is micro-batch machinery while
     # the oracle is the batch SELECT — not like for like (the
     # upsert_merge rule); correctness + the 100x probe cover it.
-    # round-11 addition: the delta-crawl end-to-end flagship (its
+    # round-11 additions: the delta-crawl end-to-end flagship (its
     # streamed twin streaming_corpus_refresh follows the same
-    # streamed-no-bench rule as above)
+    # streamed-no-bench rule as above), the add-one-smoothed trigram
+    # LM gate (a measured model-build+score row), and the
+    # residual-encoded IVFADC serve
     "corpus_refresh_report",
+    "quality_trigram_surprisal",
+    "knn_ivfpq_residual",
 ]
 
 
@@ -282,6 +286,9 @@ CACHE_CONSUMING = sorted(
         # batch kernel — its measured wall is the per-crawl probe
         # cost, the thing a refresh pays daily
         "corpus_refresh_report",
+        # r11: serves the session-cached residual codes/codebook
+        # (the index-build lifecycle shared with knn_ivfpq_adc)
+        "knn_ivfpq_residual",
     }
 )
 

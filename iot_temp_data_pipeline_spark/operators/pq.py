@@ -807,16 +807,15 @@ def knn_ivfpq_residual(
     )
     pcidx: dict[tuple[int, int], int] = {}
     luts = np.full((len(pc_rows), M, NCENT), 2**62, dtype=np.int64)
-    cbm = {j: dict(cb[j]) for j in range(M)}
+    cents = _cb_arrays(cb)
     for i, row in enumerate(pc_rows):
         qid, cid = int(row["query_id"]), int(row["q_cell"])
         pcidx[(qid, cid)] = i
         qres = quv[qid] - np.asarray(row["ucvec"], dtype=np.int64)
         for j in range(M):
             sub = qres[j * SUBDIM : (j + 1) * SUBDIM]
-            for code, centv in cbm[j].items():
-                diff = sub - np.asarray(centv, dtype=np.int64)
-                luts[i, j, code] = int((diff * diff).sum())
+            codes, mat = cents[j]
+            luts[i, j, codes] = ((sub[None, :] - mat) ** 2).sum(-1)
     bc = spark.sparkContext.broadcast((pcidx, luts))
 
     def score(batches):

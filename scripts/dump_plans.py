@@ -431,6 +431,36 @@ SHOWCASE = {
         "a single vec_id join; no N^1.5 pairwise rows ever materialize "
         "in the plan."
     ),
+    "corpus_refresh_report": (
+        "Delta-crawl refresh (r11): the frozen history artifacts (hash "
+        "set, pruned fingerprint index, per-doc counts, bigram bits) "
+        "all scan as ExistingRDDs — the build-once/serve-many split — "
+        "and every gate is an increment-proportional probe join into "
+        "them: the exact gate a left join on md5, the near-dup gate an "
+        "fp_hash equi-join + two count joins under the cost-based "
+        "hint, the LM gate a vocab-bounded broadcast. The "
+        "contamination side is pair-table-sized. No |history|-squared "
+        "term, no self-join, anywhere."
+    ),
+    "quality_trigram_surprisal": (
+        "Smoothed trigram LM (r11): the model tables (trigram counts, "
+        "context totals, the 1-row vocab size) are all vocab-bounded "
+        "aggregates of the HISTORY side, broadcast onto the scored "
+        "side's trigram stream — BroadcastHashJoins plus a "
+        "BroadcastNestedLoopJoin for the 1-row V — then one per-doc "
+        "hash aggregate. The corpus is exchanged exactly once (the "
+        "final groupBy(doc_id)); smoothing itself is pure projection "
+        "arithmetic (bitlen(c12+V) - bitlen(c3+1)) inside codegen."
+    ),
+    "knn_ivfpq_residual": (
+        "Residual IVFADC serve (r11): identical plan shape to "
+        "knn_ivfpq_adc — cached residual codes scan as an ExistingRDD, "
+        "the Q*n_probe probe table broadcasts into the code scan, ADC "
+        "is one Arrow mapInPandas over 8-byte codes, then the "
+        "per-query top-k window. Only the LUT contents differ (per-"
+        "(query, probed cell) residuals); the candidate-side work and "
+        "exchange count are unchanged."
+    ),
 }
 
 

@@ -197,6 +197,8 @@ HEADLINE_EXTRA = [
     "corpus_refresh_report",
     "quality_trigram_surprisal",
     "knn_ivfpq_residual",
+    "ivfpq_residual_recall",
+    "knn_ivfpq_residual_rerank",
 ]
 
 
@@ -289,6 +291,11 @@ CACHE_CONSUMING = sorted(
         # r11: serves the session-cached residual codes/codebook
         # (the index-build lifecycle shared with knn_ivfpq_adc)
         "knn_ivfpq_residual",
+        # r11: reads all three cached serves (ground truth + both
+        # IVFADC variants)
+        "ivfpq_residual_recall",
+        # r11: shortlists from the cached residual index
+        "knn_ivfpq_residual_rerank",
     }
 )
 

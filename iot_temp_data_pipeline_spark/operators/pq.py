@@ -700,7 +700,22 @@ def residual_pq_index(
     — no new corpus exchange; seeding/refinement/encoding reuse the
     raw-PQ machinery verbatim on the residual frame (same seed rule,
     same Lloyd step, same int64 kernels), so determinism and the
-    oracle contract carry over unchanged."""
+    oracle contract carry over unchanged.
+
+    MEASURED FIXTURE FINDING (r11): the accuracy benefit REQUIRES the
+    corpus to cluster around its cell centers. The synthetic
+    embeddings fixture is isotropic — vectors are near-orthogonal, so
+    the mod-selected coarse centroid is far from its members and
+    residual norm² measures ≈1.53× raw norm² (400-row sample, sf0.01);
+    the same codebook budget then covers a WIDER distribution and
+    recall@5 reads 150 vs the flat serve's 180 permille at sf0.1
+    (ivfpq_residual_recall exposes both). The implementation delivers
+    the coupling's benefit where its premise holds — pinned by
+    tests/test_r11_ops.py::test_residual_coupling_wins_on_clustered_data
+    (clustered synth → residual quantization error strictly below
+    raw); the isotropy of the fixture itself is pinned by
+    test_residual_fixture_isotropy_finding so a future fixture change
+    re-opens the recall question."""
     from ..sources.catalog import session_cache
     from .similarity import (
         MATMUL_ASSIGN_MIN_N,
@@ -1114,6 +1129,87 @@ def knn_ivfpq_residual_sql(k: int = PQ_K) -> str:
             PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
         FROM r_pairs
     ) r
+    WHERE rank <= {k}
+) s"""
+
+
+def knn_ivfpq_residual_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = PQ_QUERY_MOD,
+    k: int = PQ_K,
+    r: int = PQ_RERANK_R,
+    n_probe: int = IVFPQ_N_PROBE,
+) -> DataFrame:
+    """The FULL production IVFADC-with-refine architecture (FAISS
+    IndexIVFPQ + refine): coarse cells route the scan, residual codes
+    compress it, the residual ADC produces a top-``r`` shortlist per
+    query, and ONLY the shortlisted raw vectors are fetched and
+    re-scored with the exact quantized cosine — the knn_pq_rerank
+    composition with the IVF-routed residual shortlist. The
+    full-vector read is bounded at Q·r rows regardless of corpus
+    size; every boundary (probe set, shortlist, rerank) is a
+    deterministic total order, so the pipeline stays
+    bit-reproducible. NOTE the rerank stage also erases the
+    shortlist's quantization ranking — which is exactly why the
+    refine stage is how production deployments neutralize the
+    isotropy sensitivity measured on the plain residual serve (see
+    residual_pq_index)."""
+    q, _ = train_codebook(spark, sf_dir)
+    shortlist = knn_ivfpq_residual(
+        spark, sf_dir, query_mod, r, n_probe
+    ).select("query_id", "neighbor_id")
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    nb = q.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
+    rer = (
+        shortlist.join(nb, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(
+                F.col("q_qvec"),
+                F.col("qvec"),
+                F.col("q_qnorm2"),
+                F.col("qnorm2"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivfpq_residual_rerank_sql(k: int = PQ_K, r: int = PQ_RERANK_R) -> str:
+    """Shortlist-then-exact-rerank over the residual chain (also needs
+    the QUANT_SQL prelude's qnormed in scope) — knn_pq_rerank_sql with
+    r_pairs as the shortlist source."""
+    cos = sql_qcos("a.qvec", "b.qvec", "a.qnorm2", "b.qnorm2")
+    return f"""(
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT s.query_id, s.neighbor_id, {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos} DESC, s.neighbor_id) AS rank
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS srank
+                FROM r_pairs
+            ) t WHERE srank <= {r}
+        ) s
+        JOIN qnormed a ON a.vec_id = s.query_id
+        JOIN qnormed b ON b.vec_id = s.neighbor_id
+    ) ranked
     WHERE rank <= {k}
 ) s"""
 

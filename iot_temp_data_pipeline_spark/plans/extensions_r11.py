@@ -103,9 +103,11 @@ def _knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize ``uvec − ucent(cell)`` — the actual FAISS IVFADC coupling
     — with a per-(query, probed cell) residual LUT. The oracle
     re-derives cells, residuals, and the residual codebook in SQL;
-    exact int64 distances match bit-for-bit. Recall ≥ the residual-free
-    knn_ivfpq_adc on the shared exact ground truth is pinned in
-    tests/test_r11_ops.py."""
+    exact int64 distances match bit-for-bit. Accuracy posture: on the
+    ISOTROPIC fixture the coupling's premise fails (residual norms
+    exceed raw norms — see residual_pq_index's measured finding), so
+    ivfpq_residual_recall shows parity/noise here; the coupling's
+    benefit is pinned on clustered data in tests/test_r11_ops.py."""
     from ..operators import pq
 
     return shape(pq.knn_ivfpq_residual(spark, sf_dir), IVFPQ_RES_SPEC)
@@ -130,4 +132,143 @@ def _ivfpq_residual_oracle() -> str:
 
 EXTENSIONS_R11["knn_ivfpq_residual"] = QuerySpec(
     _knn_ivfpq_residual, _ivfpq_residual_oracle()
+)
+
+
+# -------- residual-vs-flat IVFADC recall dial (driver-witnessed form
+# of the tests/test_r11_ops.py acceptance bar)
+
+IVFPQ_RECALL_SPEC: ColSpec = [
+    ("variant", ""),
+    ("n_queries", "long"),
+    ("hits", "long"),
+    ("possible", "long"),
+    ("recall_permille", "long"),
+]
+
+
+def _ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of BOTH IVFADC variants against the shared brute-force
+    ground truth, one row each — the dial that justifies the residual
+    coupling (the ann_recall_check / bm25_impact_recall pattern:
+    deterministic pipelines, so recall is a fixed exact-integer number
+    the oracle recomputes). All three inputs serve from session caches;
+    the comparison itself is two ground-truth-sized left joins + 1-row
+    digests."""
+    from ..operators import pq
+    from ..operators import similarity as sim
+
+    bf = sim.ground_truth_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def leg(approx: DataFrame, name: str) -> DataFrame:
+        joined = bf.join(
+            approx.select("query_id", "neighbor_id").withColumn(
+                "hit", F.lit(1)
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return joined.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+            F.count("*").alias("possible"),
+        ).select(
+            F.lit(name).alias("variant"),
+            "n_queries",
+            "hits",
+            "possible",
+            F.expr("div(1000 * hits, possible)").alias("recall_permille"),
+        )
+
+    out = leg(pq.knn_ivfpq(spark, sf_dir), "flat").unionByName(
+        leg(pq.knn_ivfpq_residual(spark, sf_dir), "residual")
+    )
+    return shape(out.orderBy("variant"), IVFPQ_RECALL_SPEC)
+
+
+def _ivfpq_residual_recall_oracle() -> str:
+    from ..operators import pq, similarity as sim
+
+    def leg_sql(approx_sql: str, name: str) -> str:
+        return f"""
+    SELECT '{name}' AS variant,
+        COUNT(DISTINCT bf.query_id) AS n_queries,
+        SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+        COUNT(*) AS possible,
+        (1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS recall_permille
+    FROM (SELECT query_id, neighbor_id FROM {sim.knn_brute_force_sql()}) bf
+    LEFT JOIN (SELECT query_id, neighbor_id FROM {approx_sql}) a
+        ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id"""
+
+    body = f"""(
+    SELECT * FROM (
+        {leg_sql(pq.knn_ivfpq_sql(), "flat")}
+        UNION ALL
+        {leg_sql(pq.knn_ivfpq_residual_sql(), "residual")}
+    ) u ORDER BY variant
+) s"""
+    return (
+        "WITH "
+        + sim.QUANT_SQL.strip()
+        + ",\n"
+        + pq.pq_cte_sql().strip()
+        + ",\n"
+        + pq.ivfpq_cte_sql().strip()
+        + ",\n"
+        + pq.residual_cte_sql().strip()
+        + "\n"
+        + sql_select(IVFPQ_RECALL_SPEC, body)
+    )
+
+
+EXTENSIONS_R11["ivfpq_residual_recall"] = QuerySpec(
+    _ivfpq_residual_recall, _ivfpq_residual_recall_oracle()
+)
+
+
+# -------- residual IVFADC + exact refine (the full production serve)
+
+IVFPQ_RERANK_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("neighbor_id", "long"),
+    ("cosine", ""),
+    ("rank", "long"),
+]
+
+
+def _knn_ivfpq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ+refine: residual-ADC top-R shortlist → exact
+    quantized-cosine rerank of only the shortlisted vectors (Q·R raw
+    rows regardless of corpus size). The refine stage is how
+    production neutralizes code-quality sensitivity — including the
+    isotropy effect measured on the plain residual serve."""
+    from ..operators import pq
+
+    return shape(
+        pq.knn_ivfpq_residual_rerank(spark, sf_dir), IVFPQ_RERANK_SPEC
+    )
+
+
+def _ivfpq_residual_rerank_oracle() -> str:
+    from ..operators import pq, similarity as sim
+
+    return (
+        "WITH "
+        + sim.QUANT_SQL.strip()
+        + ",\n"
+        + pq.pq_cte_sql().strip()
+        + ",\n"
+        + pq.ivfpq_cte_sql().strip()
+        + ",\n"
+        + pq.residual_cte_sql().strip()
+        + "\n"
+        + sql_select(IVFPQ_RERANK_SPEC, pq.knn_ivfpq_residual_rerank_sql())
+    )
+
+
+EXTENSIONS_R11["knn_ivfpq_residual_rerank"] = QuerySpec(
+    _knn_ivfpq_residual_rerank, _ivfpq_residual_rerank_oracle()
 )

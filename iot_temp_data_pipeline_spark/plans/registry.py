@@ -1118,6 +1118,8 @@ _CHANGED_R11 = [
     "streaming_corpus_refresh",
     "quality_trigram_surprisal",
     "knn_ivfpq_residual",
+    "ivfpq_residual_recall",
+    "knn_ivfpq_residual_rerank",
     # serve-path changes needing fresh driver witness:
     # - winnowing_overlap_pairs broadcast → cost-based hint (ADVICE r10)
     # - bm25_topk registry row now cost-routes between the exact and

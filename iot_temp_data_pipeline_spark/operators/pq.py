@@ -498,13 +498,63 @@ def knn_pq_rerank(
     shortlist = adc_topm(
         enc, cb, queries, r, n * (n // query_mod), strategy
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(q, shortlist, query_mod, k)
+
+
+IVFPQ_N_PROBE = 3
+
+
+def _ivf_queries_probes(
+    q: DataFrame, cent: DataFrame, query_mod: int, n_probe: int
+) -> tuple[DataFrame, DataFrame]:
+    """(queries, probes): the IVF probe selection shared VERBATIM by
+    both IVFADC variants (review r11 — the (p_cos DESC, cell_id)
+    total order is oracle-pinned; one definition site keeps the two
+    serves bit-identical on it). queries carries the raw/unit columns
+    both consumers need; probes is (query_id, q_cell), top ``n_probe``
+    cells per query by exact-int cosine."""
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+        F.col("uvec").alias("q_uvec"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        qcosine(
+            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
+        ).alias("p_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cell_id").alias("q_cell"))
+    )
+    return queries, probes
+
+
+def _exact_rerank(
+    q: DataFrame, shortlist: DataFrame, query_mod: int, k: int
+) -> DataFrame:
+    """Exact quantized-cosine rerank of a (query_id, neighbor_id)
+    shortlist — the refine stage shared by knn_pq_rerank and
+    knn_ivfpq_residual_rerank (review r11: the cosine form and the
+    (cosine DESC, neighbor_id) total order are oracle-pinned; one
+    definition site). The full-vector read is bounded at the
+    shortlist size regardless of corpus size."""
+    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
     nb = q.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
     rer = (
         shortlist.join(nb, "neighbor_id")
-        .join(
-            F.broadcast(queries.select("query_id", "q_qvec", "q_qnorm2")),
-            "query_id",
-        )
+        .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -523,9 +573,6 @@ def knn_pq_rerank(
         rer.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
-
-
-IVFPQ_N_PROBE = 3
 
 
 def knn_ivfpq(
@@ -580,27 +627,7 @@ def knn_ivfpq(
     codes, cb = pq_codes(spark, sf_dir)
     enc = codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
 
-    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm2").alias("q_qnorm2"),
-        F.col("uvec").alias("q_uvec"),
-    )
-    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "cell_id",
-        qcosine(
-            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
-        ).alias("p_cos"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("p_cos").desc(), F.col("cell_id")
-    )
-    probes = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", F.col("cell_id").alias("q_cell"))
-    )
+    queries, probes = _ivf_queries_probes(q, cent, query_mod, n_probe)
     cand = enc.join(
         F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
     ).filter(F.col("vec_id") != F.col("query_id"))
@@ -671,15 +698,21 @@ def knn_ivfpq(
 
 def _unit_centroids(cent: DataFrame) -> DataFrame:
     """(cell_id, ucvec): the coarse centroids re-quantized onto the
-    UNIT_SCALE grid with the exact _with_unit rule, so residuals are
-    int64 subtractions on the SAME grid as the vectors."""
-    uc = F.transform(
-        F.col("c_qvec"),
-        lambda v: F.round(
-            v.cast("double") * UNIT_SCALE / F.sqrt(F.col("c_qnorm2").cast("double"))
-        ).cast("long"),
+    UNIT_SCALE grid by DELEGATING to :func:`_with_unit` (review r11:
+    the rounding rule is parity-critical and already lives in
+    _with_unit + the two SQL twins — a third Python copy here would
+    silently desynchronize the residual grid if the rule ever
+    changed), so residuals are int64 subtractions on the SAME grid as
+    the vectors."""
+    return _with_unit(
+        cent.select(
+            F.col("cell_id").alias("vec_id"),
+            F.col("c_qvec").alias("qvec"),
+            F.col("c_qnorm2").alias("qnorm2"),
+        )
+    ).select(
+        F.col("vec_id").alias("cell_id"), F.col("uvec").alias("ucvec")
     )
-    return cent.select("cell_id", uc.alias("ucvec"))
 
 
 def residual_pq_index(
@@ -779,30 +812,7 @@ def knn_ivfpq_residual(
     therefore the accuracy — differ."""
     enc, cb, cent, ucent, q = residual_pq_index(spark, sf_dir)
 
-    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm2").alias("q_qnorm2"),
-        F.col("uvec").alias("q_uvec"),
-    )
-    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "cell_id",
-        qcosine(
-            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
-        ).alias("p_cos"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("p_cos").desc(), F.col("cell_id")
-    )
-    probes = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", F.col("cell_id").alias("q_cell"))
-    )
-    cand = enc.join(
-        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    queries, probes = _ivf_queries_probes(q, cent, query_mod, n_probe)
 
     import numpy as np
 
@@ -820,6 +830,18 @@ def knn_ivfpq_residual(
         .select("query_id", "q_cell", "ucvec")
         .collect()
     )
+    # The candidate join's probe side is REBUILT from the collected
+    # rows (review r11): one evaluation of the probe-selection plan
+    # instead of two, and the LUT kernel's (query_id, cell_id) lookup
+    # is then keyed by the SAME materialized probe set by
+    # construction, not by deterministic re-execution.
+    probes = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["q_cell"])) for r in pc_rows],
+        "query_id long, q_cell long",
+    )
+    cand = enc.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).filter(F.col("vec_id") != F.col("query_id"))
     pcidx: dict[tuple[int, int], int] = {}
     luts = np.full((len(pc_rows), M, NCENT), 2**62, dtype=np.int64)
     cents = _cb_arrays(cb)
@@ -1159,33 +1181,7 @@ def knn_ivfpq_residual_rerank(
     shortlist = knn_ivfpq_residual(
         spark, sf_dir, query_mod, r, n_probe
     ).select("query_id", "neighbor_id")
-    queries = q.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm2").alias("q_qnorm2"),
-    )
-    nb = q.select(F.col("vec_id").alias("neighbor_id"), "qvec", "qnorm2")
-    rer = (
-        shortlist.join(nb, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            qcosine(
-                F.col("q_qvec"),
-                F.col("qvec"),
-                F.col("q_qnorm2"),
-                F.col("qnorm2"),
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_rerank(q, shortlist, query_mod, k)
 
 
 def knn_ivfpq_residual_rerank_sql(k: int = PQ_K, r: int = PQ_RERANK_R) -> str:

@@ -259,10 +259,10 @@ def corpus_refresh_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch composition: gate report over the full increment plus
     the co-batch contamination flag on the admitted set. The
     contamination side reuses the session pair index
-    (cached_winnowing_pairs) restricted to increment-increment pairs
-    with BOTH ends admitted — precisely the pairs the vs-history gates
-    cannot see (two novel near-duplicates of EACH OTHER both pass),
-    which is why the audit exists."""
+    (cached_winnowing_pairs); the placement joins restrict it to pairs
+    with BOTH ends admitted (kept ⊆ increment) — precisely the pairs
+    the vs-history gates cannot see (two novel near-duplicates of EACH
+    OTHER both pass), which is why the audit exists."""
     from ..operators.tfidf import _query_side_hint
     from .dedup import dedup_corpus
 
@@ -312,10 +312,13 @@ def attach_cobatch_flag(
     )
     if pairs is None:
         pairs = cached_winnowing_pairs(spark, sf_dir)
-    inc_pairs = pairs.filter(
-        (F.col("doc_a") % WINNOW_INC_MOD == 0)
-        & (F.col("doc_b") % WINNOW_INC_MOD == 0)
-    )
+    # No increment-mod filter here (review r11): the inner joins
+    # against the placements already restrict pairs to both-ends-kept
+    # (kept ⊆ the caller's gate report), so a mod filter is redundant
+    # on the registry path and would silently ZERO the audit for an
+    # injected pairs table whose ids don't follow the fixture's mod
+    # convention — the documented at-scale seam.
+    inc_pairs = pairs
     pa = place.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shard_id").alias("shard_a"),

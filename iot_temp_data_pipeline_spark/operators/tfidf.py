@@ -665,11 +665,12 @@ def bm25_serve_topk(
     ``_query_side_hint``. Below ``BM25_EXACT_PAIRWORK_MAX`` the exact
     ranking is cheap enough to be the answer; above it the per-term
     m-bounded index serves, with :func:`bm25_impact_recall` as the
-    quality dial. Every oracle-checked fixture scale (sf0.001-0.1,
-    ~1.3e4-1.3e6 pairs) routes exact — the registry row's DuckDB twin
-    pins that branch — while the impact branch is pinned by
-    bm25_impact_topk's own oracle row; both rankings are exact-integer
-    deterministic, so whichever branch the statistic selects is
+    quality dial. The registry row's DuckDB twin
+    (:func:`bm25_serve_topk_sql`) routes on the SAME statistic with
+    the same budget, so oracle and serve select the same branch at
+    any corpus size (review r11 — an exact-only oracle would go red
+    as a false mismatch past the budget); both rankings are
+    exact-integer deterministic, so whichever branch fires is
     reproducible bit-for-bit."""
     if _cached_bm25_pairwork(spark, sf_dir, query_mod) <= BM25_EXACT_PAIRWORK_MAX:
         return bm25_topk(spark, sf_dir, query_mod, k)
@@ -727,6 +728,73 @@ def _bm25_impact_ctes(query_mod: int, m: int) -> str:
         WHERE q.doc_id % {query_mod} = 0
         GROUP BY 1, 2
     )"""
+
+
+def bm25_serve_topk_sql(
+    query_mod: int = 100,
+    k: int = 5,
+    m: int = BM25_IMPACT_M,
+    budget: int = BM25_EXACT_PAIRWORK_MAX,
+) -> str:
+    """DuckDB twin of :func:`bm25_serve_topk` that ROUTES ON THE SAME
+    STATISTIC (review r11): the previous oracle pinned the exact serve
+    unconditionally, which silently scale-bounded the contract — on a
+    corpus whose Σ df·df_q crosses the budget the Spark row would have
+    served the impact ranking against an exact oracle and gone red as
+    a false mismatch. Here the pairwork statistic is computed in SQL
+    from the identical postings table and the SAME ``≤ budget``
+    comparison selects between the two rankings, so oracle and serve
+    route together at ANY corpus size. (Every driver fixture routes
+    exact; the 100× probe corpus routes impact — both branches are
+    covered by their own standalone oracle rows as well.)"""
+    return f"""(
+    WITH {_bm25_impact_ctes(query_mod, m)},
+    sv_pairwork AS (
+        SELECT COALESCE(SUM(df * df_q), 0) AS pairs FROM (
+            SELECT term, COUNT(*) AS df,
+                SUM(CASE WHEN doc_id % {query_mod} = 0 THEN 1 ELSE 0 END)
+                    AS df_q
+            FROM postings GROUP BY term
+        ) pt
+    ),
+    sv_exact_dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+            SUM(q.tf * d.w * (({BM25_SCALE} * 22 * a_milli * d.tf)
+                // (10 * a_milli * d.tf + 3 * a_milli + 9000 * d.dl)))
+                AS score_scaled,
+            COUNT(*) AS shared_terms
+        FROM postings q
+        JOIN postings d ON q.term = d.term AND d.doc_id != q.doc_id
+        CROSS JOIN avgdl
+        WHERE q.doc_id % {query_mod} = 0
+        GROUP BY 1, 2
+    ),
+    sv_exact AS (
+        SELECT query_id, doc_id, score_scaled, shared_terms,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY score_scaled DESC, doc_id) AS rank
+            FROM sv_exact_dots
+        ) r WHERE rank <= {k}
+    ),
+    sv_impact AS (
+        SELECT query_id, doc_id, score_scaled, shared_terms,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY score_scaled DESC, doc_id) AS rank
+            FROM impact_dots
+        ) r WHERE rank <= {k}
+    )
+    SELECT * FROM sv_exact
+    WHERE (SELECT pairs FROM sv_pairwork) <= {budget}
+    UNION ALL
+    SELECT * FROM sv_impact
+    WHERE (SELECT pairs FROM sv_pairwork) > {budget}
+) s"""
 
 
 def bm25_impact_topk_sql(

@@ -23,7 +23,13 @@ from ..operators import quality as qa
 from ..operators import sketches as sk
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
-from ..operators.tfidf import bm25_topk, bm25_topk_sql, tfidf_topk, tfidf_topk_sql
+from ..operators.tfidf import (
+    bm25_serve_topk_sql,
+    bm25_topk,
+    bm25_topk_sql,
+    tfidf_topk,
+    tfidf_topk_sql,
+)
 from ..sources.catalog import load_table
 from .registry import QuerySpec, shape, sql_select
 
@@ -445,16 +451,22 @@ BM25_SPEC = [
 
 def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SERVE DEFAULT is cost-routed (VERDICT r10 #2): exact below
-    # the Σ df·df_q pair-work budget — which every oracle-checked
-    # fixture scale is, so the exact DuckDB twin below pins this row —
-    # and the impact-pruned index above it (its exactness pinned by
-    # bm25_impact_topk's own oracle; quality by bm25_impact_recall)
+    # the Σ df·df_q pair-work budget, impact-pruned above it. The
+    # DuckDB twin routes on the SAME statistic (bm25_serve_topk_sql),
+    # so whichever branch fires, oracle and serve agree — at fixture
+    # scales that is the exact branch; the impact branch is
+    # additionally pinned by bm25_impact_topk's own oracle and its
+    # quality by bm25_impact_recall
     from ..operators.tfidf import bm25_serve_topk
 
     return shape(bm25_serve_topk(spark, sf_dir), BM25_SPEC)
 
 
-BM25_ORACLE = _CORPUS + sql_select(BM25_SPEC, bm25_topk_sql())
+# The oracle ROUTES on the same Σ df·df_q statistic as the serve
+# (review r11): bm25_serve_topk_sql computes pairwork in SQL and
+# selects exact vs impact-pruned with the identical ≤ budget test, so
+# the contract holds at any corpus size, not just fixture scales.
+BM25_ORACLE = _CORPUS + sql_select(BM25_SPEC, bm25_serve_topk_sql())
 
 
 EXTENSIONS: dict[str, QuerySpec] = {

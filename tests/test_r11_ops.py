@@ -152,6 +152,35 @@ def test_trigram_surprisal_invariants(spark, sf_dir):
         assert r["mean_centibits"] >= 0
 
 
+def test_bm25_routed_oracle_flips_with_budget(sf_dir):
+    """The ORACLE must route like the serve (review r11): with the
+    default budget the routed twin equals the exact ranking; with
+    budget=0 it equals the impact-pruned ranking — pure DuckDB, no
+    Spark, so this pins the SQL routing logic itself."""
+    from iot_temp_data_pipeline_spark.operators.tfidf import (
+        bm25_impact_topk_sql,
+        bm25_serve_topk_sql,
+        bm25_topk_sql,
+    )
+    from iot_temp_data_pipeline_spark.plans.extensions import _CORPUS
+
+    from .oracle_compare import duckdb_con
+
+    con = duckdb_con(sf_dir)
+
+    def run(frag):
+        return (
+            con.sql(_CORPUS + " SELECT * FROM " + frag + " ORDER BY 1, 5")
+            .df()
+            .astype(str)
+            .values.tolist()
+        )
+
+    assert run(bm25_serve_topk_sql()) == run(bm25_topk_sql())
+    assert run(bm25_serve_topk_sql(budget=0)) == run(bm25_impact_topk_sql())
+    con.close()
+
+
 def test_bm25_serve_routes_by_pairwork(spark, sf_dir, monkeypatch):
     from iot_temp_data_pipeline_spark.operators import tfidf
 
@@ -342,3 +371,46 @@ def test_cobatch_flag_positive_path(spark, sf_dir):
     assert got == expected
     assert expected  # the injected layout must actually co-batch pairs
     assert ids[1] not in got  # dropped doc transmits nothing
+
+
+def test_cobatch_flag_ignores_fixture_mod_convention(spark, sf_dir):
+    """Review r11: an injected pairs table whose doc_ids do NOT follow
+    the fixture's mod-3 increment convention must still be audited —
+    the placement joins are the both-ends-kept restriction, not a mod
+    filter (which would silently zero the audit at the documented
+    at-scale seam)."""
+    from iot_temp_data_pipeline_spark.operators.refresh import (
+        attach_cobatch_flag,
+    )
+
+    gate = spark.createDataFrame(
+        [(d, 0, 1, 0, 1, 0, 100, "keep") for d in (1, 4)],
+        "doc_id long, n_exact long, n_fp long, best_overlap_permille long,"
+        " n_bigrams long, n_oov long, mean_centibits long, action string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 4, 9)], "doc_a long, doc_b long, shared_fps long"
+    )
+    from iot_temp_data_pipeline_spark.operators.packing import (
+        CONTAM_BATCH_DOCS,
+        corpus_shuffle_manifest,
+    )
+    from iot_temp_data_pipeline_spark.operators.refresh import REFRESH_SHARDS
+
+    got = {
+        r["doc_id"]: r["co_batch_dup"]
+        for r in attach_cobatch_flag(spark, sf_dir, gate, pairs=pairs).collect()
+    }
+    place = {
+        r["doc_id"]: (r["shard_id"], (r["shard_pos"] - 1) // CONTAM_BATCH_DOCS)
+        for r in corpus_shuffle_manifest(
+            spark.createDataFrame([(1,), (4,)], "doc_id long"),
+            n_shards=REFRESH_SHARDS,
+        ).collect()
+    }
+    flag = 1 if place[1] == place[4] else 0
+    assert got == {1: flag, 4: flag}
+    # the seam must be capable of flagging: with a co-located pair the
+    # audit reports it (if this placement ever separates them, pick ids
+    # that co-locate — the point is no mod filter zeroes the audit)
+    assert flag == 1

@@ -1300,6 +1300,36 @@ def trigram_surprisal_per_doc(
     )
 
 
+def trigram_bits_from_counts(c3: DataFrame, vsz: DataFrame) -> DataFrame:
+    """(tg, c3, bits) from a merged (tg, c3) trigram-count model plus a
+    1-row vocab-size frame: the add-one-smoothed conditional bits of
+    the model's own trigrams — bitlen(c12 + V) − bitlen(c3 + 1), with
+    c12 a window over the VOCAB-sized model keyed by the (w1 w2)
+    context (the bigram_bits_from_counts discipline). Shared by the
+    streamed model-partials digest; the batch gate
+    (:func:`trigram_surprisal_per_doc`) uses the equivalent
+    groupBy-join form because its scored side also needs contexts for
+    UNSEEN trigrams — both forms apply the same formula, and the
+    oracles pin the equivalence."""
+    from ..functions.stats import bit_length_col
+
+    ctx_w = Window.partitionBy(
+        F.array_join(F.slice(F.split(F.col("tg"), " "), 1, 2), " ")
+    )
+    return (
+        c3.withColumn("c12", F.sum("c3").over(ctx_w))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "tg",
+            "c3",
+            (
+                bit_length_col(F.col("c12") + F.col("v"))
+                - bit_length_col(F.col("c3") + F.lit(1))
+            ).alias("bits"),
+        )
+    )
+
+
 def trigram_surprisal_sql(
     source: str = "documents", inc_mod: int = WINNOW_INC_MOD
 ) -> str:

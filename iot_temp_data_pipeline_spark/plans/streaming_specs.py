@@ -2048,3 +2048,123 @@ def _streaming_corpus_refresh_oracle() -> str:
 STREAMING["streaming_corpus_refresh"] = QuerySpec(
     _streaming_corpus_refresh, _streaming_corpus_refresh_oracle()
 )
+
+
+# --------------------------- streamed trigram-LM model partials
+
+TRIGRAM_LM_TOPN = 50
+
+TRIGRAM_LM_SPEC = [
+    ("tg", ""),
+    ("c3", "long"),
+    ("bits", "long"),
+]
+
+
+def _streaming_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADD-ONE-SMOOTHED trigram LM behind quality_trigram_surprisal
+    maintained BY THE STREAM — the smoothed-model twin of
+    streaming_bigram_lm_partials with one extra mergeable artifact:
+    smoothing needs the vocabulary size V, and a count-distinct is NOT
+    sum-mergeable, so each micro-batch appends its DISTINCT token set
+    (batch-vocab-sized rows) alongside its (trigram, count) partial;
+    the read side merges counts by summing and derives V as a distinct
+    count over the union of token partials — both pure functions of
+    the token multiset, so batching and arrival order cannot change
+    the merged model and the batch oracle pins it exactly. The digest
+    reports the top-N trigrams by count with their smoothed bits
+    (trigram_bits_from_counts — the same formula the batch gate
+    applies)."""
+    from ..functions.text import shingles_of_tokens, tokens
+    from ..operators.text_analysis import trigram_bits_from_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = workdir("trigramlm")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/landing")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/landing")
+    )
+    tg_sink = f"{work}/tg_sink"
+    tok_sink = f"{work}/tok_sink"
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        tok = batch_df.select(tokens(F.col("text")).alias("tk"))
+        (
+            tok.select(
+                F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg")
+            )
+            .groupBy("tg")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(tg_sink)
+        )
+        (
+            tok.select(F.explode("tk").alias("w"))
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(tok_sink)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(write_partials)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = (
+        spark.read.parquet(tg_sink).groupBy("tg").agg(F.sum("cnt").alias("c3"))
+    )
+    vsz = spark.read.parquet(tok_sink).agg(
+        F.count_distinct("w").alias("v")
+    )
+    digest = (
+        trigram_bits_from_counts(merged, vsz)
+        .orderBy(F.col("c3").desc(), F.col("tg"))
+        .limit(TRIGRAM_LM_TOPN)
+    )
+    return shape(digest, TRIGRAM_LM_SPEC)
+
+
+def _trigram_lm_oracle() -> str:
+    return sql_select(
+        TRIGRAM_LM_SPEC,
+        f"""(
+    WITH tlm_tok AS (
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM documents
+    ),
+    tlm_c3 AS (
+        SELECT tg, COUNT(*) AS c3 FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 0)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+            FROM tlm_tok
+        ) GROUP BY 1
+    ),
+    tlm_v AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(tk) AS w FROM tlm_tok)
+    ),
+    tlm_bits AS (
+        SELECT tg, c3,
+            length(bin(SUM(c3) OVER (PARTITION BY
+                array_to_string(list_slice(string_split(tg, ' '), 1, 2), ' '))
+                + v.v))
+            - length(bin(c3 + 1)) AS bits
+        FROM tlm_c3 CROSS JOIN tlm_v v
+    )
+    SELECT tg, c3, bits FROM tlm_bits
+    ORDER BY c3 DESC, tg
+    LIMIT {TRIGRAM_LM_TOPN}
+) tlm""",
+    )
+
+
+STREAMING["streaming_trigram_lm_partials"] = QuerySpec(
+    _streaming_trigram_lm, _trigram_lm_oracle()
+)

@@ -461,6 +461,15 @@ SHOWCASE = {
         "(query, probed cell) residuals); the candidate-side work and "
         "exchange count are unchanged."
     ),
+    "knn_ivfpq_residual_rerank": (
+        "IVFADC + refine (r11): the residual-ADC shortlist plan above "
+        "feeds the shared exact-rerank stage — the Q*R shortlist joins "
+        "the raw-vector table (corpus side) plus a broadcast of the "
+        "query vectors, the exact quantized cosine is projection "
+        "arithmetic inside codegen, and one per-query window takes "
+        "top-k. The full-vector read is shortlist-bounded regardless "
+        "of corpus size."
+    ),
 }
 
 

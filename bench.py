@@ -199,6 +199,7 @@ HEADLINE_EXTRA = [
     "knn_ivfpq_residual",
     "ivfpq_residual_recall",
     "knn_ivfpq_residual_rerank",
+    "bm25_hard_negatives",
 ]
 
 
@@ -296,6 +297,9 @@ CACHE_CONSUMING = sorted(
         "ivfpq_residual_recall",
         # r11: shortlists from the cached residual index
         "knn_ivfpq_residual_rerank",
+        # r11: serves the cached BM25 postings + the cached near-dup
+        # pair table (both builds carry their own measured rows)
+        "bm25_hard_negatives",
     }
 )
 

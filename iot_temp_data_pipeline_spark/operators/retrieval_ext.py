@@ -1090,3 +1090,105 @@ def hybrid_rrf_sql(
     ) r
     WHERE rank <= {k}
 ) s"""
+
+
+# ----------------------------- BM25 hard-negative mining (DPR recipe)
+
+HN_POOL = 10  # candidate pool depth per query before near-dup exclusion
+HN_K = 5
+
+
+def bm25_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    k: int = HN_K,
+    pool: int = HN_POOL,
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al., EMNLP 2020
+    §4.2: contrastive retrieval training mines its negatives from
+    BM25's top results): for each query doc, the top-``k`` BM25-ranked
+    docs that are NOT near-duplicates of the query. A near-duplicate
+    "negative" is a FALSE negative — the contrastive objective would
+    learn to push apart paraphrases — so mining excludes it at the
+    source (the same failure mode batch_contamination_audit detects
+    at dataloader time, cut off one stage earlier).
+
+    Composition of two session artifacts: the COST-ROUTED BM25 serve
+    (bm25_serve_topk — exact below the Σ df·df_q budget, impact-pruned
+    above; the oracle routes on the same statistic) pools
+    top-``pool`` per query (deeper than ``k`` so exclusions don't
+    starve the negative set; a query can still return < k rows if its
+    pool is near-dup-heavy — production mines deeper pools for the
+    same reason), then the VERIFIED winnowing pair index
+    (cached_winnowing_pairs — the plagiarism-grade near-dup artifact,
+    not a cosine guess) anti-joins in both orientations, and the
+    survivors re-rank on the original (score DESC, doc_id) total
+    order. Scale shape: the pool is Q·pool rows, the pair table is
+    report-bounded, the anti-join is keyed (query_id, doc_id) — AQE
+    broadcasts the smaller side; no corpus-sized work beyond the BM25
+    serve itself."""
+    from .text_analysis import cached_winnowing_pairs
+    from .tfidf import bm25_serve_topk
+
+    pool_df = bm25_serve_topk(spark, sf_dir, query_mod, pool).select(
+        "query_id", "doc_id", "score_scaled"
+    )
+    pairs = cached_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    excl = pairs.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("doc_id")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("query_id"), F.col("doc_a").alias("doc_id")
+        )
+    )
+    surv = pool_df.join(excl, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        surv.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_hard_negatives_sql(
+    query_mod: int = 100, k: int = HN_K, pool: int = HN_POOL
+) -> str:
+    """DuckDB twin (expects the dedup CORPUS_SQL prelude): the
+    COST-ROUTED BM25 pool (bm25_serve_topk_sql — routes on the same
+    Σ df·df_q statistic as the Spark serve), the winnowing pair
+    index, a NOT EXISTS anti-join in both orientations, and the
+    re-rank."""
+    from .text_analysis import winnowing_pair_index_sql
+    from .tfidf import bm25_serve_topk_sql
+
+    return f"""(
+    WITH hn_pool AS (
+        SELECT query_id, doc_id, score_scaled
+        FROM {bm25_serve_topk_sql(query_mod, pool)}
+    ),
+    hn_pairs AS (
+        SELECT doc_a, doc_b FROM {winnowing_pair_index_sql("corpus")}
+    ),
+    hn_excl AS (
+        SELECT doc_a AS query_id, doc_b AS doc_id FROM hn_pairs
+        UNION ALL
+        SELECT doc_b AS query_id, doc_a AS doc_id FROM hn_pairs
+    ),
+    hn_surv AS (
+        SELECT p.query_id, p.doc_id, p.score_scaled FROM hn_pool p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hn_excl e
+            WHERE e.query_id = p.query_id AND e.doc_id = p.doc_id
+        )
+    )
+    SELECT query_id, doc_id, score_scaled, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score_scaled DESC, doc_id) AS rank
+        FROM hn_surv
+    ) r
+    WHERE rank <= {k}
+) s"""

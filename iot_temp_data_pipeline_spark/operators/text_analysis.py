@@ -1252,6 +1252,13 @@ def trigram_surprisal_per_doc(
     mean_centibits)."""
     from ..functions.stats import bit_length_col
 
+    # NOT persisted, measured (review r11): md_tok feeds two
+    # aggregates (trigram counts + vocab size), but caching the fat
+    # token arrays measured 0.84 → 1.16 s min-of-3 at sf0.1 —
+    # re-tokenizing from the columnar scan is cheaper than
+    # materializing arrays, the OPPOSITE of the
+    # bigram_surprisal_per_doc case (whose persisted frame feeds the
+    # corpus-sized SCORING join, not two small aggregates).
     md_tok = model_docs.select(tokens(F.col("text")).alias("tk"))
     c3 = (
         md_tok.select(F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg"))

@@ -272,3 +272,39 @@ def _ivfpq_residual_rerank_oracle() -> str:
 EXTENSIONS_R11["knn_ivfpq_residual_rerank"] = QuerySpec(
     _knn_ivfpq_residual_rerank, _ivfpq_residual_rerank_oracle()
 )
+
+
+# -------- DPR-style BM25 hard-negative mining with near-dup exclusion
+
+HN_SPEC: ColSpec = [
+    ("query_id", "long"),
+    ("doc_id", "long"),
+    ("score_scaled", "long"),
+    ("rank", "long"),
+]
+
+
+def _bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining (Karpukhin et al. 2020):
+    top-k BM25 candidates per query doc with verified near-duplicates
+    excluded via the winnowing pair index — the false-negative cut
+    applied at mining time. Composes two session artifacts (BM25
+    postings, near-dup pair table); both builds carry their own
+    measured rows."""
+    from ..operators.retrieval_ext import bm25_hard_negatives
+
+    return shape(bm25_hard_negatives(spark, sf_dir), HN_SPEC)
+
+
+def _bm25_hard_negatives_oracle() -> str:
+    from ..operators.dedup import CORPUS_SQL
+    from ..operators.retrieval_ext import bm25_hard_negatives_sql
+
+    return "WITH " + CORPUS_SQL.strip() + sql_select(
+        HN_SPEC, bm25_hard_negatives_sql()
+    )
+
+
+EXTENSIONS_R11["bm25_hard_negatives"] = QuerySpec(
+    _bm25_hard_negatives, _bm25_hard_negatives_oracle()
+)

@@ -1121,6 +1121,7 @@ _CHANGED_R11 = [
     "ivfpq_residual_recall",
     "knn_ivfpq_residual_rerank",
     "streaming_trigram_lm_partials",
+    "bm25_hard_negatives",
     # serve-path changes needing fresh driver witness:
     # - winnowing_overlap_pairs broadcast → cost-based hint (ADVICE r10)
     # - bm25_topk registry row now cost-routes between the exact and

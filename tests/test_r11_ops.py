@@ -320,6 +320,39 @@ def test_residual_rerank_recall_dominates_adc(spark, sf_dir):
     assert len(rer & gt) >= len(adc & gt)
 
 
+def test_hard_negatives_exclude_near_dups(spark, sf_dir):
+    """The mining row's point: no mined negative may be a verified
+    near-duplicate of its query, and on the dup-injected fixture the
+    exclusion must actually FIRE (a dup pair shares almost all terms,
+    so the partner is its query's top BM25 hit — if the unfiltered
+    pool contains no near-dup pair the fixture stopped exercising the
+    operator)."""
+    from iot_temp_data_pipeline_spark.operators.retrieval_ext import (
+        HN_POOL,
+        bm25_hard_negatives,
+    )
+    from iot_temp_data_pipeline_spark.operators.text_analysis import (
+        cached_winnowing_pairs,
+    )
+    from iot_temp_data_pipeline_spark.operators.tfidf import bm25_topk
+
+    dup = set()
+    for r in cached_winnowing_pairs(spark, sf_dir).collect():
+        dup.add((r["doc_a"], r["doc_b"]))
+        dup.add((r["doc_b"], r["doc_a"]))
+    mined = [
+        (r["query_id"], r["doc_id"])
+        for r in bm25_hard_negatives(spark, sf_dir).collect()
+    ]
+    assert mined
+    assert not [p for p in mined if p in dup]
+    pool = [
+        (r["query_id"], r["doc_id"])
+        for r in bm25_topk(spark, sf_dir, 100, HN_POOL).collect()
+    ]
+    assert [p for p in pool if p in dup]  # the exclusion fired
+
+
 def test_cobatch_flag_positive_path(spark, sf_dir):
     """The fixture's injected dup pairs are structurally cross-split
     (1M ≡ 1, 2M ≡ 2 mod 3), so the registry row's co_batch_dup is

@@ -1292,14 +1292,23 @@ def token_budget_pick(docs: DataFrame, budget: int = TB_BUDGET) -> DataFrame:
     score values). cum_tokens = score-offset + within-score prefix —
     identical to the single-window form because the greedy total order
     IS (score DESC, doc_id)."""
-    scored = docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.expr(
-            "div(1000 * size(array_distinct(split(lower(text), '\\\\s+'))),"
-            " size(split(lower(text), '\\\\s+')))"
-        ).alias("score_permille"),
-    ).filter(F.col("n_tokens") > 0)
+    # Bind the token array as a real column FIRST (the shingles_of_tokens
+    # PERF note, applied here in optimization r11): the old projection
+    # split lower(text) three times per row (token_count + the two
+    # sizes in the score expression), and this subtree is evaluated
+    # TWICE (histogram digest + main branch) — one split per row halves
+    # the per-pass tokenize cost.
+    scored = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.expr("div(1000 * size(array_distinct(tk)), size(tk))").alias(
+                "score_permille"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
     hist = scored.groupBy("score_permille").agg(
         F.sum("n_tokens").alias("sc_tokens"), F.count("*").alias("sc_docs")
     )

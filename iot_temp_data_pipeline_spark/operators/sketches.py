@@ -510,21 +510,34 @@ def hll_registers(
 
 
 def hll_estimate(reg: DataFrame, exact: DataFrame) -> DataFrame:
-    """Estimate assembly over a (grp, bucket, m) register table: fill
-    empty buckets from a broadcast 64-row series, fold the exact-integer
-    harmonic sum, broadcast-join the verification columns."""
-    spark = reg.sparkSession
-    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
-    full = (
-        reg.select("grp")
-        .distinct()
-        .crossJoin(F.broadcast(buckets))
-        .join(reg, ["grp", "bucket"], "left")
-        .withColumn("m", F.coalesce(F.col("m"), F.lit(0)))
-    )
-    agg = full.groupBy("grp").agg(
+    """Estimate assembly over a (grp, bucket, m) register table: fold
+    the exact-integer harmonic sum in ONE group-sized aggregate,
+    broadcast-join the verification columns.
+
+    Empty buckets are folded ARITHMETICALLY, not materialized: a bucket
+    absent from ``reg`` contributes 2^rho_max to the harmonic sum and 0
+    to nonzero_registers, so ``harmonic_scaled = Σ_present 2^(rho_max−m)
+    + (64 − n_present) · 2^rho_max`` — identical values to the previous
+    fill-join form (plan-diffed + hash-pinned r11), with the per-group
+    64-row crossJoin series, the left fill join, and the corpus-wide
+    ``reg.select("grp").distinct()`` pass it forced all gone (that
+    distinct re-evaluated the whole register subtree a second time —
+    the plan had THREE full scans of events for this query, now two:
+    the exact count and the register build). Works for any merged
+    register table (streamed partials, the union sketch): present rows
+    with m = 0 would still count as empty via the m > 0 guard, though
+    no builder in this repo emits them (rho ≥ 1 by construction)."""
+    agg = reg.groupBy("grp").agg(
         F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("nonzero_registers"),
-        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - m)")).alias("harmonic_scaled"),
+        (
+            F.sum(
+                F.when(
+                    F.col("m") > 0,
+                    F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - m)"),
+                ).otherwise(F.lit(1 << HLL_RHO_MAX))
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_RHO_MAX)
+        ).alias("harmonic_scaled"),
     )
     return (
         exact.join(F.broadcast(agg), "grp")
@@ -702,6 +715,19 @@ def hll_set_intersection(
     ev = events.filter(F.col("event_type").isin(type_a, type_b)).select(
         "event_type", "user_id"
     )
+    # Share-the-scan variants measured and REJECTED (optimization r11):
+    # deduplicating (event_type, user_id) once and deriving registers +
+    # exact counts from the pair table is the textbook rewrite (the
+    # corpus is evaluated 4× below), but materializing the shared pair
+    # table costs more than the redundant scans at any scale where this
+    # digest query is cheap — localCheckpoint(eager) measured 0.89 s
+    # min-of-3 vs 0.59 s for the 4-scan form at sf0.1, and .persist()
+    # (racy multi-materialization across the three consumer subtrees in
+    # one action) 2.17 s. The 4 evaluations are each partial-aggregated
+    # scans with group-bounded shuffles, so the redundancy is scan-bound
+    # and embarrassingly parallel; the hll_estimate fill-join rewrite
+    # (one aggregate, no crossJoin/fill series) is where the real win
+    # was.
     reg = hll_registers(ev, "event_type", "user_id")
     union_reg = (
         reg.groupBy("bucket")

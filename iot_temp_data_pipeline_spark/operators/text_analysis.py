@@ -1122,12 +1122,33 @@ def bigram_surprisal_per_doc(docs: DataFrame) -> DataFrame:
     a zero-shuffle map + one per-doc aggregate. Docs with < 2 tokens
     have no bigrams and emit nothing (below any LM gate's scope).
     Output: (doc_id, lang, n_bigrams, total_bits, mean_centibits)."""
+    # STRUCT bigram keys, not concat_ws strings (optimization r11):
+    # the (w1, w2) struct groups/joins identically to the "w1 w2"
+    # string (tokens are whitespace-split, so the space separator was
+    # injective) but skips a per-bigram string allocation on the
+    # corpus-sized explode and lets the context window read bg.w1
+    # without re-splitting — A/B measured 0.955 → 0.814 s min-of-3 at
+    # sf0.1, hash-identical output. The streamed model-partials twin
+    # keeps string keys (its sink schema); bigram_bits_from_counts
+    # serves both via the dtype branch.
+    tk = F.col("tk")
+    idx = F.when(
+        F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bg_rows = (
         docs.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
         .select(
             "doc_id",
             "lang",
-            F.explode(shingles_of_tokens(F.col("tk"), 2)).alias("bg"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("w1"),
+                        F.element_at(tk, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
         )
         .persist()
     )
@@ -1161,10 +1182,19 @@ def bigram_bits_from_counts(c2: DataFrame) -> DataFrame:
     window over the VOCAB-sized model keyed by the context token,
     never a corpus exchange. Shared by the batch gate above and its
     streamed-partials twin (plans/streaming_specs), so the two can
-    never diverge on the bit scheme (review r10)."""
+    never diverge on the bit scheme (review r10). The bg key may be a
+    "w1 w2" string (the streamed sink schema, the refresh artifacts)
+    or a (w1, w2) struct (the batch gate's allocation-free form,
+    optimization r11) — the context extractor branches on dtype, the
+    bit arithmetic is one definition either way."""
     from ..functions.stats import bit_length_col
 
-    w1win = Window.partitionBy(F.split(F.col("bg"), " ").getItem(0))
+    bg_type = dict(c2.dtypes)["bg"]
+    w1win = Window.partitionBy(
+        F.col("bg.w1")
+        if bg_type.startswith("struct")
+        else F.split(F.col("bg"), " ").getItem(0)
+    )
     return c2.select(
         "bg",
         "c2",
@@ -1259,13 +1289,40 @@ def trigram_surprisal_per_doc(
     # materializing arrays, the OPPOSITE of the
     # bigram_surprisal_per_doc case (whose persisted frame feeds the
     # corpus-sized SCORING join, not two small aggregates).
+    # STRUCT trigram keys (optimization r11, the bigram gate's
+    # allocation-free form): (w1, w2, w3) structs group/join exactly
+    # like the "w1 w2 w3" concat string (whitespace-split tokens make
+    # the separator injective) but skip a per-trigram string build on
+    # both explodes, and the context key is a sub-struct read — no
+    # split/slice/array_join re-parse per scored row. Interleaved A/B
+    # (6 runs each, one session) measured median 1.173 → 1.056 s /
+    # min 1.024 → 0.964 s at sf0.1, hash-identical output. The
+    # streamed model-partials twin keeps string keys (its sink schema);
+    # its trigram_bits_from_counts path is unchanged.
+    tk = F.col("tk")
+
+    def tri_structs(col):
+        idx = F.when(
+            F.size(col) >= 3, F.sequence(F.lit(1), F.size(col) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(col, i).alias("w1"),
+                F.element_at(col, i + 1).alias("w2"),
+                F.element_at(col, i + 2).alias("w3"),
+            ),
+        )
+
     md_tok = model_docs.select(tokens(F.col("text")).alias("tk"))
     c3 = (
-        md_tok.select(F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg"))
+        md_tok.select(F.explode(tri_structs(tk)).alias("tg"))
         .groupBy("tg")
         .agg(F.count("*").alias("c3"))
     )
-    ctx_of = lambda c: F.array_join(F.slice(F.split(c, " "), 1, 2), " ")  # noqa: E731
+    ctx_of = lambda c: F.struct(  # noqa: E731
+        c.getField("w1").alias("w1"), c.getField("w2").alias("w2")
+    )
     ctx = c3.groupBy(ctx_of(F.col("tg")).alias("ctx")).agg(
         F.sum("c3").alias("c12")
     )
@@ -1273,7 +1330,7 @@ def trigram_surprisal_per_doc(
         F.count_distinct("w").alias("v")
     )
     sc = docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
-        "doc_id", F.explode(shingles_of_tokens(F.col("tk"), 3)).alias("tg")
+        "doc_id", F.explode(tri_structs(tk)).alias("tg")
     )
     return (
         sc.join(F.broadcast(c3), "tg", "left")

@@ -106,10 +106,23 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
-    per_cust = (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # Aggregate BEFORE the join (optimization r11, guide §2.3): the
+    # old join-then-count form moved every kept order row through the
+    # outer join (broadcast of the whole filtered orders table locally;
+    # a full |orders| shuffle at any scale past the broadcast cap).
+    # Counting per custkey first is map-side combined, so the exchange
+    # carries ≤ |custkeys| pre-aggregated rows and the join side AQE
+    # sees is |customers|-sized — the LEFT join + coalesce(0) preserves
+    # the outer-join NULL semantics exactly (COUNT(o_orderkey) over an
+    # unmatched customer = 0). count("o_orderkey"), not count(*), keeps
+    # the null-key skip of the original aggregate.
+    per_order_cust = od.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+    per_cust = cu.join(
+        per_order_cust, cu.c_custkey == per_order_cust.o_custkey, "left_outer"
+    ).select(
+        "c_custkey", F.coalesce("n_orders", F.lit(0)).alias("c_count")
     )
     df = (
         per_cust.groupBy("c_count")

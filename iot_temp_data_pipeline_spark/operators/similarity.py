@@ -657,6 +657,125 @@ def knn_ivf(
     )
 
 
+def ivf_sweep_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple[int, ...],
+    query_mod: int = 100,
+    centroid_mod: int | None = None,
+    k: int = 5,
+    assign: str = "auto",
+) -> DataFrame:
+    """Every n_probe sweep point from ONE probe pass (optimization
+    r11): ``knn_ivf(n_probe=p)``'s candidate set at probe depth p is by
+    construction a prefix (by cell rank) of the max(probes) candidate
+    set, so the sweep searches ONCE at max(probes), keeps each
+    candidate's probe rank, and derives every sweep point's top-k with
+    per-p RUNNING conditional ranks — sum(probe_rank ≤ p) over the
+    cosine-ordered running frame equals row_number restricted to the
+    p-deep candidate subset whenever the current row is itself in that
+    subset. All the ranks share one window spec (one exchange, one
+    sort, a single Window operator), and the per-p selection is an
+    array filter + explode in the same projection — so the old form's
+    Σ probes (= 7 cells of probe work for (1,2,4)) and 3 separate
+    window exchanges become max(probes) (= 4) cells and 1 exchange,
+    with bit-identical rows per sweep point (same cosine ordering,
+    same (cosine DESC, neighbor_id) tiebreak).
+
+    Output: (n_probe, query_id, neighbor_id, cosine, rank ≤ k)."""
+    p_max = max(probes)
+    emb, n = quantized_corpus(spark, sf_dir)
+    if assign == "auto":
+        assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+    if centroid_mod is None:
+        centroid_mod = adaptive_centroid_mod(n)
+    assigned, cent = ivf_index(spark, sf_dir, centroid_mod, assign)
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_qvec",
+        "q_qnorm2",
+        "cell_id",
+        qcosine(
+            F.col("q_qvec"), F.col("c_qvec"), F.col("q_qnorm2"), F.col("c_qnorm2")
+        ).alias("p_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cell_id")
+    )
+    probe_tbl = (
+        probe_scored.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= p_max)
+        .select(
+            "query_id",
+            "q_qvec",
+            "q_qnorm2",
+            "probe_rank",
+            F.col("cell_id").alias("q_cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_tbl), F.col("cell_id") == F.col("q_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm2"), F.col("qnorm2")
+            ).alias("cosine"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = scored.select(
+        "query_id",
+        "probe_rank",
+        "neighbor_id",
+        "cosine",
+        *[
+            F.sum(
+                F.when(F.col("probe_rank") <= p, 1).otherwise(0)
+            ).over(w_run).alias(f"r{p}")
+            for p in probes
+        ],
+    )
+    picks = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("n_probe"),
+                    (
+                        (F.col("probe_rank") <= p) & (F.col(f"r{p}") <= k)
+                    ).alias("ok"),
+                    F.col(f"r{p}").cast("long").alias("rank"),
+                )
+                for p in probes
+            ]
+        ),
+        lambda s: s["ok"],
+    )
+    return (
+        ranked.select(
+            "query_id", "neighbor_id", "cosine", F.explode(picks).alias("pk")
+        )
+        .select(
+            F.col("pk.n_probe").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("pk.rank").alias("rank"),
+        )
+    )
+
+
 def knn_ivf_sql(
     query_mod: int = 100,
     centroid_mod: int | None = None,

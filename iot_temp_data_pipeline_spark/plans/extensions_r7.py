@@ -127,28 +127,40 @@ def _ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     likewise the session-cached artifact, so each sweep point costs
     one probe-bounded search + two digest aggregates."""
     bf = sim.ground_truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    out = None
-    for p in SWEEP_PROBES:
-        ivf = sim.knn_ivf(spark, sf_dir, n_probe=p).select(
-            "query_id", "neighbor_id"
-        )
-        joined = bf.join(
-            ivf.withColumn("hit", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        r = joined.agg(
+    # One probe pass serves all sweep points (optimization r11,
+    # sim.ivf_sweep_topk): the old per-p loop ran three full IVF
+    # searches (Σ probes = 7 cells of candidate work, 3 window
+    # exchanges, 3 evaluations of the probe subtree); the fused sweep
+    # probes max(probes) = 4 cells once and derives each point's top-k
+    # from running conditional ranks in a single Window — per-point
+    # rows bit-identical (A/B'd and hash-pinned by the unchanged
+    # oracle). The recall join replicates the tiny ground-truth table
+    # once per sweep point instead of re-joining per loop iteration.
+    sweep = sim.ivf_sweep_topk(spark, sf_dir, SWEEP_PROBES).select(
+        "n_probe", "query_id", "neighbor_id"
+    )
+    bf3 = bf.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in SWEEP_PROBES])
+        ).alias("n_probe"),
+    )
+    joined = bf3.join(
+        sweep.withColumn("hit", F.lit(1)),
+        ["n_probe", "query_id", "neighbor_id"],
+        "left",
+    )
+    out = (
+        joined.groupBy("n_probe")
+        .agg(
             F.countDistinct("query_id").alias("n_queries"),
             (
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
                 / F.count("*").cast("double")
             ).alias("mean_recall_at_5"),
-        ).select(
-            F.lit(p).cast("long").alias("n_probe"),
-            "n_queries",
-            "mean_recall_at_5",
         )
-        out = r if out is None else out.unionByName(r)
+        .select("n_probe", "n_queries", "mean_recall_at_5")
+    )
     return shape(out, SWEEP_SPEC)
 
 

@@ -447,3 +447,71 @@ def test_cobatch_flag_ignores_fixture_mod_convention(spark, sf_dir):
     # audit reports it (if this placement ever separates them, pick ids
     # that co-locate — the point is no mod filter zeroes the audit)
     assert flag == 1
+
+
+def test_hll_estimate_arithmetic_fill_degenerate_registers(spark):
+    """Optimization r11 pinned-equivalence test: hll_estimate folds
+    empty buckets arithmetically instead of materializing a 64-row
+    fill series. The subtle inputs are a NULL-bucket register row
+    (NULL key hash — the old fill join silently dropped it) and an
+    m=0 row (counts as empty): both must leave the harmonic sum as if
+    the row never existed / were an empty bucket, exactly like the old
+    crossJoin + LeftOuter form."""
+    from iot_temp_data_pipeline_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+        hll_estimate,
+    )
+
+    reg = spark.createDataFrame(
+        [
+            ("a", 0, 5),
+            ("a", 1, 1),
+            ("a", None, None),  # NULL bucket: must contribute nothing
+            ("b", 2, 0),  # m=0 row: counts as an empty bucket
+        ],
+        "grp string, bucket int, m int",
+    )
+    exact = spark.createDataFrame(
+        [("a", 7), ("b", 3)], "grp string, exact_keys long"
+    )
+    rows = {r["grp"]: r for r in hll_estimate(reg, exact).collect()}
+    full = 1 << HLL_RHO_MAX
+    # grp a: buckets {0: m=5, 1: m=1}, 62 empty, NULL row cancels out
+    assert rows["a"]["nonzero_registers"] == 2
+    assert rows["a"]["harmonic_scaled"] == (
+        (1 << (HLL_RHO_MAX - 5)) + (1 << (HLL_RHO_MAX - 1)) + (HLL_M - 2) * full
+    )
+    # grp b: the m=0 row IS an empty bucket -> all 64 empty
+    assert rows["b"]["nonzero_registers"] == 0
+    assert rows["b"]["harmonic_scaled"] == HLL_M * full
+
+
+def test_ivfsq8_enc_index_is_cached_inverted_list(spark, sf_dir):
+    """Optimization r11: the IVF-SQ8 serve reads a session-cached
+    inverted-list artifact (codes WITH cell ids) instead of re-joining
+    codes to assignments per serve. Pin (a) the cache hit and (b) the
+    artifact's rows == the join it replaced."""
+    from iot_temp_data_pipeline_spark.operators.sq8 import (
+        ivfsq8_enc_index,
+        sq8_index,
+    )
+    from iot_temp_data_pipeline_spark.operators.similarity import (
+        MATMUL_ASSIGN_MIN_N,
+        adaptive_centroid_mod,
+        ivf_index,
+        quantized_corpus,
+    )
+
+    first = ivfsq8_enc_index(spark, sf_dir)
+    assert ivfsq8_enc_index(spark, sf_dir) is first  # session artifact
+    emb, n = quantized_corpus(spark, sf_dir)
+    cm = adaptive_centroid_mod(n)
+    assign = "matmul" if n >= MATMUL_ASSIGN_MIN_N else "hof"
+    assigned, _ = ivf_index(spark, sf_dir, cm, assign)
+    expect = sq8_index(spark, sf_dir).join(
+        assigned.select("vec_id", "cell_id"), "vec_id"
+    )
+    got = {(r["vec_id"], r["cell_id"]) for r in first.select("vec_id", "cell_id").collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in expect.select("vec_id", "cell_id").collect()}
+    assert got == want

@@ -218,7 +218,11 @@ def ngram_jaccard_pairs(
     # the un-persisted form re-tokenized the whole corpus per side.
     # counts is one narrow row per document — the cheapest thing in
     # this operator to materialize. A/B: 2.044 → 1.841 s min-of-4 at
-    # sf0.1, hash-identical.
+    # sf0.1, hash-identical. Lifecycle (ADVICE r11): the builder is
+    # lazy, so no in-operator action exists to unpersist after — the
+    # cache (like `sh` above) lives until the session's next
+    # clearCache(); the bench clears between runs, and a long-lived
+    # session should clearCache per corpus snapshot.
     counts = _shingle_counts(corpus, n).persist()
     ca = counts.alias("ca")
     cb = counts.alias("cb")
@@ -376,7 +380,6 @@ def _pow2_sql(x: str, e: int) -> str:
 def minhash_band_tuning(
     corpus: DataFrame,
     configs: list[tuple[int, int]] = LSH_TUNING_CONFIGS,
-    materialize: bool = True,
 ) -> DataFrame:
     """The banding-parameter design table for the MinHash-LSH dedup:
     for each way of splitting the k=16 signature into (bands b, rows r),
@@ -392,35 +395,48 @@ def minhash_band_tuning(
     no libm pow), so every per-pair probability is bit-identical
     cross-engine; only the final mean/expected sums need f4 rounding.
 
-    Scale shape: the pair table builds once (df-pruned shingle
-    self-join, checkpointed) and each config is a 1-row aggregate over
-    it — at 100 TB, 5 digest scans of an already-bounded pair list."""
+    Scale shape (optimization r12, guide §1.2/§2.4): ONE digest pass.
+    Every config's S-curve statistics are plain aggregate expressions
+    of the same ``jaccard`` column, so all |configs|×3 aggregates (plus
+    one shared count) run in a single 1-row aggregate over ONE
+    evaluation of the pair build, then ``inline`` back to one row per
+    config. The old form ran one full aggregate scan PER config over an
+    eagerly localCheckpoint'ed pair table — |configs| jobs, |configs|
+    digest scans, plus a blocking materialization barrier before the
+    first aggregate could start. At 100 TB: one digest scan of the
+    bounded pair list instead of five, and no checkpoint write of the
+    pair table at all (the build streams straight into its only
+    consumer). Per-config values are the same expressions over the same
+    rows; the float sums ride the spec's f4 rounding exactly as before
+    (summation order was never pinned — the DuckDB twin already sums in
+    its own order)."""
     pairs = ngram_jaccard_pairs(corpus).select("jaccard")
-    if materialize:
-        pairs = pairs.localCheckpoint(eager=True)
-    # (callers that already hold the session-cached pair artifact can
-    # pass materialize=False and pre-select jaccard themselves)
     one = F.lit(1.0)
-    out = None
-    for b, r in configs:
+    aggs = [F.count("*").alias("n_pairs")]
+    for i, (b, r) in enumerate(configs):
         p = one - _pow2_col(one - _pow2_col(F.col("jaccard"), r), b)
-        agg = pairs.agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(p).alias("sum_p"),
-            F.min(p).alias("min_detect_prob"),
-            F.sum(one - p).alias("expected_missed"),
-        ).select(
+        aggs.extend(
+            [
+                F.sum(p).alias(f"_sum_p_{i}"),
+                F.min(p).alias(f"_min_p_{i}"),
+                F.sum(one - p).alias(f"_miss_{i}"),
+            ]
+        )
+    digest = pairs.agg(*aggs)
+    rows = [
+        F.struct(
             F.lit(b).cast("long").alias("bands"),
             F.lit(r).cast("long").alias("rows_per_band"),
             F.col("n_pairs").cast("long").alias("n_pairs"),
-            (F.col("sum_p") / F.col("n_pairs").cast("double")).alias(
+            (F.col(f"_sum_p_{i}") / F.col("n_pairs").cast("double")).alias(
                 "mean_detect_prob"
             ),
-            "min_detect_prob",
-            "expected_missed",
+            F.col(f"_min_p_{i}").alias("min_detect_prob"),
+            F.col(f"_miss_{i}").alias("expected_missed"),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+        for i, (b, r) in enumerate(configs)
+    ]
+    return digest.select(F.inline(F.array(*rows)))
 
 
 def minhash_band_tuning_sql(
@@ -1519,7 +1535,8 @@ def containment_pairs(
     )
     # Persisted once, same rationale + A/B basis as ngram_jaccard_pairs
     # (optimization r11): the doc-count map pass ran once per aliased
-    # join side.
+    # join side. Same clearCache-owned lifecycle as documented there
+    # (ADVICE r11).
     counts = _shingle_counts(corpus, n).persist()
     ca = counts.alias("ca")
     cb = counts.alias("cb")
@@ -1807,10 +1824,24 @@ def jaccard_prefix_filter_pairs(
     # prefix length p = |S| − ⌈θ|S|⌉ + 1, the ceil in exact integers;
     # rnk (the position in the FULL ordered shingle list) rides along
     # for the positional filter below
+    # Persisted once (optimization r12, guide §1.2/§5): the candidate
+    # self-join consumes `prefix` through TWO aliases, and the executed
+    # AQE plan reuses only part of the duplicated subtree (4
+    # ReusedExchange but both window chains still evaluate) — so the
+    # un-persisted form re-paid the corpus explode + df window + two
+    # doc windows per side. `prefix` is the PRUNED table (~1−θ of the
+    # shingle rows at θ=0.6), not the full corpus-sized shingle table
+    # the comment above deliberately leaves uncached — interleaved A/B:
+    # 2.55/2.91 → 1.63/1.73 s (min/med) at sf0.1. Persisting `docarr`
+    # as well was A/B'd and LOST (1.95/2.06 — corpus-sized arrays in
+    # the block manager, the r11/catch-#8 GC pattern). Lifecycle: the
+    # cache lives until the session's next clearCache (the bench clears
+    # between runs; a long-lived embedder should clearCache or re-plan
+    # per corpus snapshot).
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("n_sh") - F.expr(f"(({num} * n_sh) + {den} - 1) div {den}") + 1
-    ).select("doc_id", "shingle", "n_sh", "rnk")
+    ).select("doc_id", "shingle", "n_sh", "rnk").persist()
     # PPJoin positional filter (probe catch #8's fix): a collision at
     # positions (i, j) bounds the overlap by 1 + min(|A|−i, |B|−j); a
     # pair with Jaccard ≥ θ needs overlap α = ⌈θ/(1+θ)·(|A|+|B|)⌉, and

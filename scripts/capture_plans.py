@@ -1,11 +1,12 @@
 """Capture `.explain("formatted")` output for named registry queries
-into plans/r11/<query>_<suffix>.txt — the optimization round's
-before/after plan evidence (OPTIMIZATION_r11.md companion files).
+into plans/<round>/<query>_<suffix>.txt — the optimization round's
+before/after plan evidence (OPTIMIZATION_r*.md companion files).
 
 Usage: python scripts/capture_plans.py <suffix> q1 q2 ...
        [SF dir via $SPARK_GRAFT_SF_DIR, default sf0.1 — plans are
        captured at the bench scale so Exchange counts / join strategy
-       match what the bench measures]
+       match what the bench measures; round dir via $SPARK_GRAFT_PLAN_DIR,
+       default r12]
 """
 
 from __future__ import annotations
@@ -22,6 +23,8 @@ from iot_temp_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:  # ADVICE r11: argv guard, not an IndexError
+        raise SystemExit(__doc__)
     suffix = sys.argv[1]
     names = sys.argv[2:]
     unknown = [n for n in names if n not in REGISTRY]
@@ -31,7 +34,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")

@@ -185,13 +185,31 @@ def contaminated_docs(corpus: DataFrame) -> DataFrame:
     is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1_000_000)
     eval_grams = grams.filter(is_eval).select("gh").distinct()
     train = grams.filter(~is_eval)
-    n_grams = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        train.join(eval_grams, "gh")
+    # ONE pass over the train grams (optimization r12, guide §1.2/§2.4):
+    # the old form evaluated the train-side tokenize+8-gram explode
+    # TWICE — once for the per-doc gram totals, once (joined to the eval
+    # set) for the overlap counts — then joined the two aggregates back
+    # on doc_id. eval_grams is DISTINCT, so a LEFT join annotates each
+    # train gram with at most one hit flag (no row multiplication), and
+    # a single groupBy computes both totals: n_ngrams = count(*),
+    # n_overlap = Σ hit. Docs with zero overlap are dropped after the
+    # aggregate — exactly the rows the old inner hits-join never
+    # produced. Halves the dominant corpus explode and removes the
+    # doc_id join exchange.
+    per_doc = (
+        train.join(
+            eval_grams.withColumn("_hit", F.lit(1)), "gh", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
     )
-    return hits.join(n_grams, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_overlap",
         "n_ngrams",
@@ -1298,8 +1316,19 @@ def token_budget_pick(docs: DataFrame, budget: int = TB_BUDGET) -> DataFrame:
     # sizes in the score expression), and this subtree is evaluated
     # TWICE (histogram digest + main branch) — one split per row halves
     # the per-pass tokenize cost.
+    #
+    # The row gate is `text IS NOT NULL`, applied BEFORE the split
+    # (optimization r12, finishing the r11 item): the old
+    # `filter(n_tokens > 0)` pushed past the tk binding and re-expanded
+    # `split(lower(text))` three times inside the scan's filter
+    # Condition (plans/r11/token_budget_pick_after.txt:37). They are
+    # equivalent: `split` on ANY non-null string yields ≥ 1 elements
+    # (Java split returns [""] on ""), and size(NULL) = -1 under the
+    # session's legacy sizeOfNull — so size(tk) > 0 ⇔ text IS NOT NULL,
+    # and the pushed predicate is now a null check, not three splits.
     scored = (
-        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("tk"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("tk"))
         .select(
             "doc_id",
             F.size("tk").cast("long").alias("n_tokens"),
@@ -1307,7 +1336,6 @@ def token_budget_pick(docs: DataFrame, budget: int = TB_BUDGET) -> DataFrame:
                 "score_permille"
             ),
         )
-        .filter(F.col("n_tokens") > 0)
     )
     hist = scored.groupBy("score_permille").agg(
         F.sum("n_tokens").alias("sc_tokens"), F.count("*").alias("sc_docs")
@@ -1321,8 +1349,16 @@ def token_budget_pick(docs: DataFrame, budget: int = TB_BUDGET) -> DataFrame:
         F.coalesce(F.sum("sc_docs").over(w_hist), F.lit(0)).alias("doc_off"),
     )
     w_in = Window.partitionBy("score_permille").orderBy("doc_id")
+    # LEFT join, not inner (optimization r12): `offsets` is the grouped
+    # digest of `scored` itself, so every score_permille value matches
+    # exactly one offsets row and LEFT ≡ INNER here — but the inner form
+    # made the optimizer push an isnotnull(score_permille) key filter
+    # into the scan, re-expanding the derived column's split(lower(text))
+    # twice per row in the filter Condition. The left join pushes no key
+    # predicate; the scan Condition is now just isnotnull(text) —
+    # exactly one split per row, completing the r11 item.
     return (
-        scored.join(F.broadcast(offsets), "score_permille")
+        scored.join(F.broadcast(offsets), "score_permille", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -55,6 +55,48 @@ MAXSIM_K = 5
 MAXSIM_MICROS = "1000000.0"  # micro-unit scale for the exact floor
 
 
+def _maxsim_reduce(
+    pairs: DataFrame, tokens_per_doc: int, k: int
+) -> DataFrame:
+    """Shared MaxSim reduction tail over a (q_tdoc, tdoc, q_vec, ms)
+    token-score stream: ONE grouped aggregate per (query, doc) pair
+    instead of the former two (max by (q, d, q_vec), then sum by
+    (q, d)) — optimization r12, guide §2.3/§2.4.
+
+    The fixture's multi-vector layout is ``vec_id = tdoc·m + j``, so a
+    query token's slot is ``q_vec % m`` — the per-query-token maxes are
+    m conditional MAX aggregates in a single groupBy(q_tdoc, tdoc), and
+    the MaxSim score is their sum. Every (q, d) group carries all m
+    slots by construction (the catalyst/pooled streams join full token
+    sets; the matmul partials emit every slot per batch), and longs
+    make max-then-sum order-free, so the result is bit-identical to the
+    two-aggregate chain. Plan effect: the (q, d, q_vec)-keyed hash
+    aggregate pair — and, where the stream is not already partitioned
+    by q_tdoc (the exhaustive forms), its whole EXCHANGE — disappears;
+    the shuffle now carries one pre-aggregated row per (q, d) with m
+    max columns instead of m rows."""
+    tok_maxes = [
+        F.max(
+            F.when(F.col("q_vec") % tokens_per_doc == j, F.col("ms"))
+        ).alias(f"_tm_{j}")
+        for j in range(tokens_per_doc)
+    ]
+    sc = pairs.groupBy("q_tdoc", "tdoc").agg(*tok_maxes)
+    total = F.col("_tm_0")
+    for j in range(1, tokens_per_doc):
+        total = total + F.col(f"_tm_{j}")
+    sc = sc.select("q_tdoc", "tdoc", total.alias("maxsim_micros"))
+    w = Window.partitionBy("q_tdoc").orderBy(
+        F.col("maxsim_micros").desc(), F.col("tdoc")
+    )
+    return sc.select(
+        F.col("q_tdoc").alias("query_doc"),
+        F.col("tdoc").alias("neighbor_doc"),
+        "maxsim_micros",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
 def maxsim_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -113,7 +155,7 @@ def maxsim_topk(
             else "catalyst"
         )
     if strategy == "matmul":
-        return _maxsim_matmul(tok, query_mod, k)
+        return _maxsim_matmul(tok, query_mod, k, tokens_per_doc)
     q = tok.filter(F.col("tdoc") % query_mod == 0).select(
         F.col("tdoc").alias("q_tdoc"),
         F.col("vec_id").alias("q_vec"),
@@ -140,24 +182,15 @@ def maxsim_topk(
             .alias("ms"),
         )
     )
-    tokmax = scored.groupBy("q_tdoc", "tdoc", "q_vec").agg(
-        F.max("ms").alias("tok_ms")
-    )
-    sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
-        F.sum("tok_ms").alias("maxsim_micros")
-    )
-    w = Window.partitionBy("q_tdoc").orderBy(
-        F.col("maxsim_micros").desc(), F.col("tdoc")
-    )
-    return sc.select(
-        F.col("q_tdoc").alias("query_doc"),
-        F.col("tdoc").alias("neighbor_doc"),
-        "maxsim_micros",
-        F.row_number().over(w).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= k)
+    return _maxsim_reduce(scored, tokens_per_doc, k)
 
 
-def _maxsim_matmul(tok: DataFrame, query_mod: int, k: int) -> DataFrame:
+def _maxsim_matmul(
+    tok: DataFrame,
+    query_mod: int,
+    k: int,
+    tokens_per_doc: int = MAXSIM_TOKENS_PER_DOC,
+) -> DataFrame:
     """Scale strategy for :func:`maxsim_topk` (probe catch #7: the
     interpreted HOF cosine went 71× at 100× pairs): the query TOKEN
     matrix is collected once (Q_docs·m rows — the broadcast-bound
@@ -252,21 +285,9 @@ def _maxsim_matmul(tok: DataFrame, query_mod: int, k: int) -> DataFrame:
         partial_max,
         schema="q_tdoc long, tdoc long, q_vec long, ms long",
     )
-    tokmax = partials.groupBy("q_tdoc", "tdoc", "q_vec").agg(
-        F.max("ms").alias("tok_ms")
-    )
-    sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
-        F.sum("tok_ms").alias("maxsim_micros")
-    )
-    w = Window.partitionBy("q_tdoc").orderBy(
-        F.col("maxsim_micros").desc(), F.col("tdoc")
-    )
-    return sc.select(
-        F.col("q_tdoc").alias("query_doc"),
-        F.col("tdoc").alias("neighbor_doc"),
-        "maxsim_micros",
-        F.row_number().over(w).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= k)
+    # per-batch partial maxes fold into the same m conditional maxes
+    # (max of per-batch maxes == global max — order-free longs)
+    return _maxsim_reduce(partials, tokens_per_doc, k)
 
 
 def maxsim_topk_sql(
@@ -869,21 +890,7 @@ def maxsim_pooled_rerank(
             .alias("ms"),
         )
     )
-    tokmax = pairs.groupBy("q_tdoc", "tdoc", "q_vec").agg(
-        F.max("ms").alias("tok_ms")
-    )
-    sc = tokmax.groupBy("q_tdoc", "tdoc").agg(
-        F.sum("tok_ms").alias("maxsim_micros")
-    )
-    w = Window.partitionBy("q_tdoc").orderBy(
-        F.col("maxsim_micros").desc(), F.col("tdoc")
-    )
-    return sc.select(
-        F.col("q_tdoc").alias("query_doc"),
-        F.col("tdoc").alias("neighbor_doc"),
-        "maxsim_micros",
-        F.row_number().over(w).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= k)
+    return _maxsim_reduce(pairs, tokens_per_doc, k)
 
 
 def maxsim_pooled_rerank_sql(

@@ -77,13 +77,31 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contam_drop = qa.contaminated_docs(corpus).select("doc_id")
+    # Materialized ONCE (optimization r12, guide §1.2/§5): `surv` feeds
+    # BOTH the per-domain count digest (a broadcast build subtree) and
+    # the main capped branch, and broadcast-build subtrees run as
+    # concurrent jobs — un-materialized, the ENTIRE gate→exact-dedup→
+    # decontam chain (the expensive part of this flagship) evaluated
+    # twice per run. localCheckpoint(eager) rather than persist():
+    # the fork consumers launch concurrently under AQE, so a lazy
+    # persist races both subtrees into a double build (the r11
+    # hll_set_intersection finding); the eager barrier pays one tiny
+    # materialization of narrow survivor rows and guarantees one
+    # evaluation. Rebuilt per run (keyed to nothing), so the bench
+    # still times the full chain. At 100 TB this is the written
+    # survivors table between pipeline stages the docstring names.
     surv = (
         stats.join(keep_exact, "doc_id", "left_semi")
         .join(near_drop, "doc_id", "left_anti")
         .join(contam_drop, "doc_id", "left_anti")
         .filter(F.col("quality_score") >= 0.4)
         .select("doc_id", "lang", "source", "n_tokens")
+        .localCheckpoint(eager=True)
     )
+    # Every corpus consumer (stats / exact keys / contam grams) has
+    # materialized behind the eager barrier — release the cache now
+    # instead of leaking it for the session (r11 unpersist hygiene).
+    corpus.unpersist()
     h = portable_hash32(F.col("doc_id").cast("string"), seed=qa.DOMAIN_SEED)
     counts = surv.groupBy("source").agg(F.count("*").alias("n_source"))
     capped = surv.join(F.broadcast(counts), "source").filter(

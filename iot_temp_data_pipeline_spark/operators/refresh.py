@@ -179,16 +179,31 @@ def refresh_gate_report(
         "doc_id", F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact")
     )
 
-    # gate 2: winnowing overlap vs the pruned history index
-    inc_fp = winnowing_fingerprints(base).select("doc_id", "fp_hash").distinct()
-    inc_counts = inc_fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    # gate 2: winnowing overlap vs the pruned history index.
+    # n_fp rides the fingerprint rows as a count window over the SAME
+    # doc_id grouping the distinct already pays (optimization r12,
+    # guide §1.2/§2.4): the old form joined a separate inc_counts
+    # aggregate into `best` AND into the final report — with the
+    # aliased sides not sharing evaluation (the r11 AQE finding), the
+    # winnowing fingerprint build (the gate's expensive kernel) ran
+    # THREE times per report. Carrying n_fp in-row drops the probe-side
+    # count join outright (max(n_fp) in the pair aggregate is exact —
+    # n_fp is constant within a (doc, hist) group), and inc_counts
+    # becomes a narrow projection of the same rows: two fingerprint
+    # evaluations → and ONE behind corpus_refresh_report's barrier.
+    inc_fp = (
+        winnowing_fingerprints(base)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    inc_counts = inc_fp.select("doc_id", "n_fp").distinct()
     best = (
         inc_fp.join(hist_fp_pruned, "fp_hash")
         .groupBy("doc_id", "hist_id")
-        .agg(F.count("*").alias("shared_fps"))
+        .agg(F.count("*").alias("shared_fps"), F.max("n_fp").alias("n_fp"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
         .join(hint(hist_fp_counts), "hist_id")
-        .join(hint(inc_counts), "doc_id")
         .groupBy("doc_id")
         .agg(
             F.max(
@@ -277,6 +292,17 @@ def corpus_refresh_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc_docs, hist_hashes, hist_fp_pruned, hist_fp_counts, bits,
         count_hint=hint,
     )
+    # Materialized ONCE (optimization r12, guide §1.2/§5 — the
+    # corpus_pipeline_full pattern): attach_cobatch_flag consumes the
+    # gate report twice (the kept→placement path and the report spine),
+    # so un-materialized the whole three-gate probe ran twice per run.
+    # Eager barrier, not persist, for the same concurrent-subtree race
+    # reason as corpus_pipeline_full; one narrow row per increment doc.
+    # At 100 TB this is the written admission report the audit then
+    # reads — and the barrier stays inside the timed builder. The
+    # streamed twin is untouched: its per-micro-batch gate frames flow
+    # through foreachBatch unchanged.
+    gate = gate.localCheckpoint(eager=True)
     return attach_cobatch_flag(spark, sf_dir, gate, count_hint=hint)
 
 

@@ -660,6 +660,7 @@ from .extensions_r8 import EXTENSIONS_R8  # noqa: E402
 from .extensions_r9 import EXTENSIONS_R9  # noqa: E402
 from .extensions_r10 import EXTENSIONS_R10  # noqa: E402
 from .extensions_r11 import EXTENSIONS_R11  # noqa: E402
+from .extensions_r12 import EXTENSIONS_R12  # noqa: E402
 from .relational import RELATIONAL  # noqa: E402
 from .streaming_specs import STREAMING  # noqa: E402
 from .subqueries import SUBQUERIES  # noqa: E402
@@ -680,6 +681,7 @@ REGISTRY.update(EXTENSIONS_R8)
 REGISTRY.update(EXTENSIONS_R9)
 REGISTRY.update(EXTENSIONS_R10)
 REGISTRY.update(EXTENSIONS_R11)
+REGISTRY.update(EXTENSIONS_R12)
 REGISTRY["events_asof_last_click"] = QuerySpec(last_click_before_error, ASOF_SQL)
 REGISTRY["clicks_in_error_windows"] = QuerySpec(clicks_in_error_windows, RANGEJOIN_SQL)
 
@@ -1104,6 +1106,53 @@ _DRIVER_VERIFIED_R10 = {
     'tokenizer_fertility', 'unigram_surprisal_bits', 'vocab_divergence_tvd',
     'weighted_sample_topk', 'winnowing_detector_quality',
 }
+# Round-11 driver sample (CORRECTNESS_r11.json keys, frozen).
+_DRIVER_VERIFIED_R11 = {
+    'bm25_hard_negatives', 'bm25_topk', 'catalog_maintenance_report',
+    'corpus_refresh_report', 'dedup_exact', 'dedup_ngram_jaccard',
+    'dedup_winnowing_overlap', 'drift_embedding_centroids', 'events_hourly_tumbling',
+    'events_json_props', 'events_ohlc_hourly', 'events_session_windows',
+    'events_sliding_window', 'hll_set_intersection', 'ingest_audit_log',
+    'ingest_file_log', 'ingest_kaggle_transform', 'ivfpq_residual_recall',
+    'knn_ivfpq_residual', 'knn_ivfpq_residual_rerank', 'merge_error_intervals',
+    'quality_trigram_surprisal', 'retention_filter', 'salted_event_type_stats',
+    'salted_hot_key_join', 'streaming_cdc_upsert', 'streaming_corpus_refresh',
+    'streaming_custom_source', 'streaming_custom_source_dist', 'streaming_dedup_exact',
+    'streaming_dedup_latest_wins', 'streaming_histq_partials', 'streaming_incremental_dedup',
+    'streaming_incremental_mart', 'streaming_interval_join', 'streaming_mg_partials',
+    'streaming_outer_interval_join', 'streaming_session_windows', 'streaming_stateful_device_stats',
+    'streaming_static_enrich', 'streaming_trigram_lm_partials', 'streaming_tumbling_watermark',
+    'streaming_vocab_tvd', 'synthetic_fields_contract', 'time_weighted_avg',
+    'topk_orders', 'tpch_q18_large_volume_customers', 'versioned_manifest_stats',
+    'versioned_table_diff', 'window_temperature_deltas',
+}
+# Round-12 changed/new set (optimization round 2: VERDICT r11 items
+# #1-#6, #9): every query whose plan was restructured this round needs
+# a fresh driver witness; the new build row has no row anywhere.
+_CHANGED_R12 = [
+    # new this round (VERDICT r11 #6): the from-scratch IVF-SQ8
+    # inverted-list build row
+    "ivfsq8_index_build",
+    # plan-restructured this round:
+    # - one-digest-pass band tuning (#2)
+    # - single-train-pass decontamination (+ its corpus_pipeline_full
+    #   embedding, which also gained the survivor barrier) (#1)
+    # - token_budget_pick pushed-filter fix (#9)
+    # - the fused MaxSim reduction (all three consumers) (#3)
+    # - prefix-filter pair persist (#2)
+    "minhash_band_tuning",
+    "decontaminate_ngram_overlap",
+    "corpus_pipeline_full",
+    "token_budget_pick",
+    "colbert_maxsim_topk",
+    "maxsim_pooled_rerank",
+    "maxsim_pooled_recall",
+    "dedup_prefix_filter_join",
+    # - gate-report single-pass fp counts + admission barrier; the
+    #   streamed twin shares the gate kernel
+    "corpus_refresh_report",
+    "streaming_corpus_refresh",
+]
 # Round-11 changed/new set (VERDICT r10 asks #2-#4 + ADVICE r10).
 # Kept deliberately SMALL: r11 is the staleness burn-down round —
 # VERDICT r10 #1 requires every one of the 25 queries whose newest
@@ -1144,12 +1193,13 @@ _ROUND_SETS = [
     _DRIVER_VERIFIED_R08,
     _DRIVER_VERIFIED_R09,
     _DRIVER_VERIFIED_R10,
+    _DRIVER_VERIFIED_R11,
 ]
 _last_round: dict[str, int] = {}
 for _i, _s in enumerate(_ROUND_SETS):
     for _n in _s:
         _last_round[_n] = _i
-_changed = [n for n in _CHANGED_R11 if n in REGISTRY]
+_changed = [n for n in _CHANGED_R12 if n in REGISTRY]
 _new_this_round = [n for n in _changed if n not in _last_round]
 _changed_with_row = [n for n in _changed if n in _last_round]
 # Ordering priority (driver samples ~50 entries per round, dict order):

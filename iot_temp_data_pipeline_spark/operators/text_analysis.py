@@ -81,7 +81,15 @@ def text_stats(docs: DataFrame) -> DataFrame:
         "source",
         F.length("text").cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0))
+        # regexp_count, not size(regexp_extract_all) (optimization
+        # r12): same regex pass, same non-overlapping match count, but
+        # no per-row array of every matched substring — strictly less
+        # allocation on the corpus's hottest pure-map row. A/B under
+        # ambient load read a tie (min 0.585 → 0.506 s, medians inside
+        # the noise band); adopted on the strict-subset-of-work
+        # argument. The oracle keeps len(regexp_extract_all(...)) —
+        # the counts are identical by definition.
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN))
         .cast("long")
         .alias("n_bpe_tokens"),
         avg_word_len.alias("avg_word_len"),
@@ -1607,9 +1615,10 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
     One narrow projection + one map-side-combined aggregate — the
     cheapest possible corpus pass."""
     word = F.size(tokens(F.col("text"))).cast("long")
-    sub = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
-    ).cast("long")
+    # regexp_count form — see functions/text.bpe_token_count (r12)
+    sub = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN)).cast(
+        "long"
+    )
     return (
         docs.select(
             "lang",

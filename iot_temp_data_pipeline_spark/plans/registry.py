@@ -1152,6 +1152,8 @@ _CHANGED_R12 = [
     #   streamed twin shares the gate kernel
     "corpus_refresh_report",
     "streaming_corpus_refresh",
+    # - single-explode cells form for the Heaps'-law curve
+    "vocab_growth_curve",
 ]
 # Round-11 changed/new set (VERDICT r10 asks #2-#4 + ADVICE r10).
 # Kept deliberately SMALL: r11 is the staleness burn-down round —
